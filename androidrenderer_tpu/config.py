@@ -1,0 +1,187 @@
+"""Render configuration — the TPU-native equivalent of the reference's cvar system.
+
+The reference exposes ~40 live-editable cvars (console/cvars.hpp:23-129) read every frame
+(e.g. ``r.GI.Mode``, ``r.Shadow.SunShadowMode``, ``r.AO``, ``r.AntiAliasing``,
+``r.GI.LPV.*`` — scene_renderer.cpp:19-29, directional_light.cpp:22-44,
+light_propagation_volume.cpp:23-81).  Under XLA, a "cvar change" is either a recompile
+(structural flags — here: frozen dataclass fields used as static jit args) or a runtime
+scalar (continuous parameters — carried in :class:`RenderParams`, a pytree leaf bundle).
+
+``RenderConfig`` is hashable and immutable so it can be passed as a ``static_argnum`` to
+``jax.jit``; changing any field triggers exactly one recompilation, mirroring how the
+reference rebuilds pipelines when a mode cvar flips (scene_renderer.cpp:134-211).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Tuple
+
+import jax.numpy as jnp
+from typing import NamedTuple
+
+
+class GIMode(enum.Enum):
+    """r.GI.Mode equivalent (scene_renderer.cpp:196-211)."""
+
+    OFF = 0
+    LPV = 1
+    RT = 2
+
+
+class ShadowMode(enum.Enum):
+    """r.Shadow.SunShadowMode equivalent (directional_light.cpp:22-44)."""
+
+    OFF = 0
+    CSM = 1
+    RT = 2
+
+
+class AOMode(enum.Enum):
+    """r.AO equivalent (ambient_occlusion_phase.cpp:191-397)."""
+
+    OFF = 0
+    SSAO = 1  # CACAO-like screen-space compute path
+    RT = 2  # RTAO via BVH traversal
+
+
+class AAMode(enum.Enum):
+    """r.AntiAliasing equivalent. Vendor upscalers (FSR3/DLSS/XeSS) are not portable to
+    TPU; the IUpscaler-shaped replacement is our own jittered TAA (upscaler.hpp:13-32)."""
+
+    OFF = 0
+    TAA = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static (compile-time) frame configuration.
+
+    Resolutions and capacities must be static for XLA; every other structural toggle
+    mirrors a reference cvar or build flag.
+    """
+
+    # Output & internal render resolution (render-res != output-res split, the
+    # reference's upscaler contract — scene_renderer.cpp:31-43).
+    render_width: int = 512
+    render_height: int = 512
+    output_width: int = 512
+    output_height: int = 512
+
+    # Camera (scene_renderer.cpp:111-116: z_near=0.05, fov=75deg).
+    fov_degrees: float = 75.0
+    z_near: float = 0.05
+
+    # Feature toggles.
+    gi_mode: GIMode = GIMode.OFF
+    shadow_mode: ShadowMode = ShadowMode.CSM
+    ao_mode: AOMode = AOMode.OFF
+    aa_mode: AAMode = AAMode.OFF
+    bloom: bool = True
+    sky: bool = True
+
+    # Shadow cascade config (directional_light.cpp:28-44: 4 cascades @ 4096^2,
+    # lambda 0.95, max distance 128m). TPU default shrinks the cascade resolution; the
+    # algorithm is resolution-independent.
+    num_shadow_cascades: int = 4
+    shadow_cascade_resolution: int = 1024
+    shadow_cascade_split_lambda: float = 0.95
+    shadow_max_distance: float = 128.0
+
+    # LPV config (light_propagation_volume.cpp:23-81, hpp:57-62: 4 cascades x 32^3,
+    # cell size 0.25m doubling per cascade, RSM 128^2, 32 propagation steps).
+    lpv_num_cascades: int = 4
+    lpv_resolution: int = 32
+    lpv_cell_size: float = 0.25
+    lpv_rsm_resolution: int = 128
+    lpv_num_propagation_steps: int = 32
+    lpv_behind_camera_percent: float = 0.1
+
+    # Bloom (bloomer.cpp:9: 6 mips).
+    bloom_num_mips: int = 6
+
+    # RT (rtao.comp.slang:55-90, rtgi.rt.slang:57-110).
+    rtao_num_samples: int = 4
+    rtao_max_distance: float = 8.0
+    rtgi_num_bounces: int = 1
+
+    # Raster engine tiling (TPU-specific; lane-friendly 8x128 multiples).
+    tile_height: int = 32
+    tile_width: int = 128
+    max_tris_per_tile: int = 2048
+
+    # Capacity limits, mirroring the reference's pools (render_scene.cpp:12,
+    # material_storage.cpp:11, mesh_storage.cpp:13-20).
+    max_primitives: int = 65536
+    max_materials: int = 65536
+
+    def __post_init__(self) -> None:
+        if self.render_height % self.tile_height != 0:
+            raise ValueError(
+                f"render_height {self.render_height} must be a multiple of tile_height "
+                f"{self.tile_height}"
+            )
+        if self.render_width % self.tile_width != 0:
+            raise ValueError(
+                f"render_width {self.render_width} must be a multiple of tile_width "
+                f"{self.tile_width}"
+            )
+
+    @property
+    def render_resolution(self) -> Tuple[int, int]:
+        return (self.render_height, self.render_width)
+
+    @property
+    def output_resolution(self) -> Tuple[int, int]:
+        return (self.output_height, self.output_width)
+
+    @property
+    def tiles_y(self) -> int:
+        return self.render_height // self.tile_height
+
+    @property
+    def tiles_x(self) -> int:
+        return self.render_width // self.tile_width
+
+    @property
+    def num_tiles(self) -> int:
+        return self.tiles_y * self.tiles_x
+
+    def replace(self, **kwargs) -> "RenderConfig":
+        return dataclasses.replace(self, **kwargs)
+
+
+class RenderParams(NamedTuple):
+    """Runtime (traced) scalar parameters — the "float cvar" half of the cvar system.
+
+    All fields are 0-d (or tiny) jnp arrays; changing them does NOT recompile.
+    Defaults mirror the reference's cvar defaults.
+    """
+
+    # Exposure fudge factors (§2.7 of SURVEY.md):
+    #   sun direct light (directional_light.frag:141-149)
+    sun_exposure: jnp.ndarray
+    #   RTGI irradiance (rtgi.rt.slang:104-108)
+    rtgi_exposure: jnp.ndarray
+    #   LPV apply exposure, default pi*10 (light_propagation_volume.cpp:77-79)
+    lpv_exposure: jnp.ndarray
+    #   bloom add strength (scene_upsample.frag:61)
+    bloom_strength: jnp.ndarray
+    # CSM depth bias scale (directional_light.frag:88: 0.0005*sqrt(1-NoL^2)/NoL)
+    shadow_bias: jnp.ndarray
+    # RTAO ray max distance cvar (ambient_occlusion_phase.cpp / rtao.comp.slang)
+    rtao_max_distance: jnp.ndarray
+
+    @staticmethod
+    def default() -> "RenderParams":
+        import math
+
+        return RenderParams(
+            sun_exposure=jnp.float32(0.00031415927),
+            rtgi_exposure=jnp.float32(0.0031415927),
+            lpv_exposure=jnp.float32(math.pi * 10.0),
+            bloom_strength=jnp.float32(0.014159),
+            shadow_bias=jnp.float32(0.0005),
+            rtao_max_distance=jnp.float32(8.0),
+        )

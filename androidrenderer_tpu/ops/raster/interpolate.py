@@ -1,0 +1,73 @@
+"""Visibility-buffer resolve: perspective-correct attribute interpolation.
+
+The reference's gbuffer fragment shader interpolates vertex attributes in hardware and
+samples materials per fragment (materials/gltf_basic_pbr.slang:53-253). Here shading is
+deferred behind the visibility buffer: for each pixel we gather the winning triangle's
+edge coefficients and vertex attributes, re-evaluate the edge functions, and interpolate
+with perspective-correct barycentrics ``lambda_i = D_i / sum(D)`` (see setup.py — raw
+attributes interpolate directly, no divide-by-w).
+
+Everything is a per-pixel gather + FMA — embarrassingly parallel over the screen.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple
+
+import jax.numpy as jnp
+
+from androidrenderer_tpu.ops.raster.setup import TriangleSetup
+
+
+class PixelBarycentrics(NamedTuple):
+    tri_id: jnp.ndarray  # (H, W) int32, -1 = background
+    vertex_ids: jnp.ndarray  # (H, W, 3) int32 (clamped-safe for background)
+    lam: jnp.ndarray  # (H, W, 3) f32 perspective-correct barycentrics
+    valid: jnp.ndarray  # (H, W) bool
+    w: jnp.ndarray  # (H, W) f32 interpolated clip w (view distance along -z)
+
+
+def compute_barycentrics(
+    vis: jnp.ndarray,  # (H, W) int32 visibility buffer
+    setup: TriangleSetup,
+    tri_indices: jnp.ndarray,  # (N, 3) int32
+) -> PixelBarycentrics:
+    height, width = vis.shape
+    valid = vis >= 0
+    tid = jnp.maximum(vis, 0)
+
+    edge = setup.edge[tid]  # (H, W, 3, 3)
+    q = setup.q[tid]  # (H, W, 3)
+    px = jnp.arange(width, dtype=jnp.float32)[None, :, None]
+    py = jnp.arange(height, dtype=jnp.float32)[:, None, None]
+
+    d = edge[..., 0] * px + edge[..., 1] * py + edge[..., 2]  # (H, W, 3)
+    s = jnp.sum(d, axis=-1, keepdims=True)
+    lam = d / jnp.where(s == 0.0, 1.0, s)
+
+    qv = q[..., 0] * px[..., 0] + q[..., 1] * py[..., 0] + q[..., 2]
+    w = qv / jnp.where(s[..., 0] == 0.0, 1.0, s[..., 0])
+
+    return PixelBarycentrics(
+        tri_id=vis,
+        vertex_ids=tri_indices[tid],
+        lam=lam.astype(jnp.float32),
+        valid=valid,
+        w=w.astype(jnp.float32),
+    )
+
+
+def interpolate_attributes(
+    bary: PixelBarycentrics,
+    attributes: Dict[str, jnp.ndarray],  # name -> (V, K) vertex attribute arrays
+) -> Dict[str, jnp.ndarray]:
+    """Interpolate each attribute to (H, W, K). Background pixels get zeros."""
+    out: Dict[str, jnp.ndarray] = {}
+    vids = bary.vertex_ids  # (H, W, 3)
+    lam = bary.lam[..., None]  # (H, W, 3, 1)
+    mask = bary.valid[..., None]
+    for name, a in attributes.items():
+        av = a[vids]  # (H, W, 3, K)
+        interp = jnp.sum(av * lam, axis=-2)
+        out[name] = jnp.where(mask, interp, 0.0).astype(a.dtype)
+    return out

@@ -1,0 +1,140 @@
+"""Vertex transform + clipless homogeneous triangle setup.
+
+Math (2DH rasterization, Olano-Greer style — no clipping needed):
+
+For clip-space vertices ``(X, Y, Z, W)`` we first fold the viewport transform into
+homogeneous *pixel space*  ``v' = (X', Y', W)`` with ``X'/W = px``, ``Y'/W = py``
+(pixel centers at integer coordinates +- the convention in camera.py). Edge functions
+are then
+
+    D_i(px, py) = dot(cross(v'_j, v'_k), (px, py, 1))        (i, j, k cyclic)
+
+which are affine in pixel coordinates. Writing ``s = D_0 + D_1 + D_2`` and
+``q = D_0*W_0 + D_1*W_1 + D_2*W_2``:
+
+- coverage: all D_i >= 0 (front) or all <= 0 (back face / flipped winding);
+- perspective-correct barycentrics: ``lambda_i = D_i / s`` — these interpolate raw
+  vertex attributes directly, no divide-by-w anywhere;
+- interpolated clip w: ``w(p) = q / s``;
+- ndc depth under the reference's infinite reversed-Z projection (clip.z == z_near for
+  every vertex, scene_view.cpp:13-27): ``z_ndc(p) = z_near * s / q``. The on-screen
+  range is (0, 1]; z_ndc > 1 is closer than the near plane (clipped), z_ndc <= 0 is
+  behind the camera. For general projections (ortho shadow maps) we carry a third
+  accumulator ``r = sum D_i * Z_i`` and use ``z_ndc = r / q``.
+
+Setup emits, per triangle, a 12-float record:
+  edge coefficients (3 edges x [A, B, C])  +  q coefficients ([A, B, C]) — since
+  s's coefficients are just the sum of the edge rows, and r's equal q's with Z in
+  place of W we emit ``r`` coefficients too (3) and a pixel-space AABB (4) + flags.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class TriangleSetup(NamedTuple):
+    """SoA per-triangle raster constants. N is padded; invalid lanes have valid=0."""
+
+    edge: jnp.ndarray  # (N, 3, 3) f32 — D_i(px,py) = edge[i] . (px, py, 1)
+    q: jnp.ndarray  # (N, 3) f32 — q(px,py) coefficients (sum D_i * W_i)
+    r: jnp.ndarray  # (N, 3) f32 — r(px,py) coefficients (sum D_i * Z_i)
+    bbox: jnp.ndarray  # (N, 4) f32 — [x0, y0, x1, y1] inclusive pixel bounds
+    valid: jnp.ndarray  # (N,) bool
+    double_sided: jnp.ndarray  # (N,) bool — accept back-facing coverage
+
+
+def transform_to_clip(world_positions: jnp.ndarray, view_proj: jnp.ndarray) -> jnp.ndarray:
+    """(V, 3) world -> (V, 4) clip. One MXU matmul."""
+    vp = view_proj.astype(jnp.float32)
+    xyz = world_positions.astype(jnp.float32)
+    clip = xyz @ vp[:, :3].T + vp[:, 3]
+    return clip
+
+
+def clip_to_pixel_h(clip: jnp.ndarray, width: int, height: int) -> jnp.ndarray:
+    """(..., 4) clip -> (..., 3) homogeneous pixel space (X', Y', W).
+
+    px = (x_ndc + 1) * W/2 - 0.5 ;  py = (1 - y_ndc) * H/2 - 0.5  (y-down image).
+    """
+    x, y, w = clip[..., 0], clip[..., 1], clip[..., 3]
+    xp = (x + w) * (0.5 * width) - 0.5 * w
+    yp = (w - y) * (0.5 * height) - 0.5 * w
+    return jnp.stack([xp, yp, w], axis=-1)
+
+
+def triangle_setup(
+    clip: jnp.ndarray,  # (V, 4) clip-space positions
+    tri_indices: jnp.ndarray,  # (N, 3) int32 vertex indices
+    width: int,
+    height: int,
+    double_sided: jnp.ndarray | None = None,  # (N,) bool
+    tri_valid: jnp.ndarray | None = None,  # (N,) bool — padding mask
+) -> TriangleSetup:
+    """Build raster constants for N triangles. Pure XLA (gathers + cross products)."""
+    n = tri_indices.shape[0]
+    v = clip_to_pixel_h(clip, width, height)  # (V, 3)
+
+    v0 = v[tri_indices[:, 0]]  # (N, 3)
+    v1 = v[tri_indices[:, 1]]
+    v2 = v[tri_indices[:, 2]]
+    z0 = clip[tri_indices[:, 0], 2]
+    z1 = clip[tri_indices[:, 1], 2]
+    z2 = clip[tri_indices[:, 2], 2]
+    w0, w1, w2 = v0[:, 2], v1[:, 2], v2[:, 2]
+
+    e0 = jnp.cross(v1, v2)  # (N, 3): D_0 coefficients
+    e1 = jnp.cross(v2, v0)
+    e2 = jnp.cross(v0, v1)
+    edge = jnp.stack([e0, e1, e2], axis=1)  # (N, 3, 3)
+
+    # q = sum_i D_i * W_i ; r = sum_i D_i * Z_i — affine, same basis as the edges.
+    qc = e0 * w0[:, None] + e1 * w1[:, None] + e2 * w2[:, None]
+    rc = e0 * z0[:, None] + e1 * z1[:, None] + e2 * z2[:, None]
+
+    # Degenerate triangles: zero area in the homogeneous sense (all cross rows ~ 0).
+    area2 = jnp.abs(e0) + jnp.abs(e1) + jnp.abs(e2)
+    nondegenerate = jnp.sum(area2, axis=-1) > 0.0
+
+    # Pixel-space AABB. Only trustworthy when every vertex has w > 0; triangles
+    # crossing w == 0 get a full-screen box (they are rare: geometry straddling the
+    # camera plane).
+    eps = 1e-6
+    all_front = (w0 > eps) & (w1 > eps) & (w2 > eps)
+    px = jnp.stack([v0[:, 0] / jnp.where(w0 == 0, 1, w0),
+                    v1[:, 0] / jnp.where(w1 == 0, 1, w1),
+                    v2[:, 0] / jnp.where(w2 == 0, 1, w2)], axis=1)
+    py = jnp.stack([v0[:, 1] / jnp.where(w0 == 0, 1, w0),
+                    v1[:, 1] / jnp.where(w1 == 0, 1, w1),
+                    v2[:, 1] / jnp.where(w2 == 0, 1, w2)], axis=1)
+    x0 = jnp.where(all_front, jnp.floor(jnp.min(px, axis=1)), 0.0)
+    y0 = jnp.where(all_front, jnp.floor(jnp.min(py, axis=1)), 0.0)
+    x1 = jnp.where(all_front, jnp.ceil(jnp.max(px, axis=1)), float(width - 1))
+    y1 = jnp.where(all_front, jnp.ceil(jnp.max(py, axis=1)), float(height - 1))
+    x0 = jnp.clip(x0, 0.0, float(width - 1))
+    y0 = jnp.clip(y0, 0.0, float(height - 1))
+    x1 = jnp.clip(x1, 0.0, float(width - 1))
+    y1 = jnp.clip(y1, 0.0, float(height - 1))
+    bbox = jnp.stack([x0, y0, x1, y1], axis=-1)
+
+    # Fully behind the camera => never visible (z_ndc <= 0 everywhere); cull in setup.
+    any_front = (w0 > eps) | (w1 > eps) | (w2 > eps)
+    # Off-screen AABB cull (only valid when all_front).
+    on_screen = jnp.where(all_front, (x1 >= x0) & (y1 >= y0), True)
+
+    valid = nondegenerate & any_front & on_screen
+    if tri_valid is not None:
+        valid = valid & tri_valid
+    if double_sided is None:
+        double_sided = jnp.ones((n,), dtype=bool)
+
+    return TriangleSetup(
+        edge=edge.astype(jnp.float32),
+        q=qc.astype(jnp.float32),
+        r=rc.astype(jnp.float32),
+        bbox=bbox.astype(jnp.float32),
+        valid=valid,
+        double_sided=double_sided,
+    )

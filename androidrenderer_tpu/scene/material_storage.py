@@ -1,0 +1,151 @@
+"""MaterialStorage + texture pool.
+
+Mirrors MaterialStorage (material_storage.cpp:6-82): a single pooled material
+parameter array (the reference's 65536-slot BasicPbrMaterialGpu buffer) whose texture
+slots are integer indices into a bindless pool (texture_descriptor_pool.hpp:16-46).
+
+The TPU-native "bindless array" is a padded texture array: every registered image is
+resampled to a fixed square resolution and stacked into one (T, S, S, 4) u8 array plus
+a full mip chain — shading kernels gather from it by (texture_id, uv, mip). Index 0 is
+a default white texture and index 1 a default flat normal map, like the backend's
+default resources (render_backend.cpp default white/normal textures).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List
+
+import numpy as np
+
+ALPHA_OPAQUE = 0
+ALPHA_MASK = 1
+ALPHA_BLEND = 2
+
+WHITE_TEXTURE = 0
+FLAT_NORMAL_TEXTURE = 1
+
+
+@dataclasses.dataclass
+class Material:
+    base_color_factor: np.ndarray  # (4,)
+    metalness_factor: float = 0.0
+    roughness_factor: float = 1.0
+    emission_factor: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(3, dtype=np.float32)
+    )
+    base_color_texture: int = WHITE_TEXTURE
+    normal_texture: int = FLAT_NORMAL_TEXTURE
+    metal_rough_texture: int = WHITE_TEXTURE
+    emission_texture: int = WHITE_TEXTURE
+    alpha_mode: int = ALPHA_OPAQUE
+    alpha_cutoff: float = 0.5
+    double_sided: bool = False
+
+
+def _resample_to_square(img: np.ndarray, size: int) -> np.ndarray:
+    """Nearest-neighbour resample an (h, w, c) u8 image to (size, size, 4)."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        img = np.clip(np.asarray(img, np.float32) * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    if img.ndim == 2:
+        img = img[..., None]
+    h, w, c = img.shape
+    ys = (np.arange(size) * h // size).clip(0, h - 1)
+    xs = (np.arange(size) * w // size).clip(0, w - 1)
+    out = img[ys][:, xs]
+    if c < 4:
+        pad = np.full((size, size, 4 - c), 255, dtype=np.uint8)
+        if c == 1:
+            out = np.repeat(out, 3, axis=-1)
+            pad = np.full((size, size, 1), 255, dtype=np.uint8)
+        out = np.concatenate([out, pad], axis=-1)
+    return out[:, :, :4]
+
+
+def build_mip_chain(textures: np.ndarray) -> List[np.ndarray]:
+    """Box-filtered mip chain for a (T, S, S, 4) u8 array, down to 1x1."""
+    mips = [textures]
+    cur = textures.astype(np.float32)
+    while cur.shape[1] > 1:
+        t, s, _, c = cur.shape
+        cur = cur.reshape(t, s // 2, 2, s // 2, 2, c).mean(axis=(2, 4))
+        mips.append(np.clip(cur + 0.5, 0, 255).astype(np.uint8))
+    return mips
+
+
+class MaterialStorage:
+    def __init__(self, texture_size: int = 256, max_materials: int = 65536):
+        self.texture_size = texture_size
+        self.max_materials = max_materials
+        self.materials: List[Material] = []
+        self._images: List[np.ndarray] = []
+        # Default resources.
+        white = np.full((texture_size, texture_size, 4), 255, dtype=np.uint8)
+        flat_normal = np.zeros((texture_size, texture_size, 4), dtype=np.uint8)
+        flat_normal[..., 0] = 128
+        flat_normal[..., 1] = 128
+        flat_normal[..., 2] = 255
+        flat_normal[..., 3] = 255
+        self._images.append(white)
+        self._images.append(flat_normal)
+
+    @property
+    def num_textures(self) -> int:
+        return len(self._images)
+
+    def add_texture(self, image: np.ndarray) -> int:
+        """Register an image (h, w, c) u8 or float [0,1]; returns its pool index."""
+        self._images.append(_resample_to_square(image, self.texture_size))
+        return len(self._images) - 1
+
+    def add_material(self, material: Material) -> int:
+        if len(self.materials) >= self.max_materials:
+            raise RuntimeError("material pool exhausted (65536 slots)")
+        self.materials.append(material)
+        return len(self.materials) - 1
+
+    # -- packing for device upload ---------------------------------------------------
+    def pack_parameters(self, pad_to: int = 256) -> dict:
+        """SoA material parameter arrays padded to `pad_to` multiple."""
+        n = max(len(self.materials), 1)
+        m = -(-n // pad_to) * pad_to
+
+        def arr(shape, dtype=np.float32):
+            return np.zeros((m, *shape), dtype=dtype)
+
+        base_color = arr((4,))
+        base_color[:, :] = 1.0
+        metal_rough = arr((2,))
+        emission = arr((3,))
+        tex_ids = np.zeros((m, 4), dtype=np.int32)
+        tex_ids[:, 1] = FLAT_NORMAL_TEXTURE
+        alpha = arr((2,))  # [mode, cutoff]
+        double_sided = np.zeros((m,), dtype=bool)
+
+        for i, mat in enumerate(self.materials):
+            base_color[i] = mat.base_color_factor
+            metal_rough[i] = [mat.metalness_factor, mat.roughness_factor]
+            emission[i] = mat.emission_factor
+            tex_ids[i] = [
+                mat.base_color_texture,
+                mat.normal_texture,
+                mat.metal_rough_texture,
+                mat.emission_texture,
+            ]
+            alpha[i] = [float(mat.alpha_mode), mat.alpha_cutoff]
+            double_sided[i] = mat.double_sided
+
+        return {
+            "base_color_factor": base_color,
+            "metal_rough_factor": metal_rough,
+            "emission_factor": emission,
+            "texture_ids": tex_ids,
+            "alpha": alpha,
+            "double_sided": double_sided,
+        }
+
+    def pack_textures(self) -> List[np.ndarray]:
+        """Stacked texture array + mip chain: list of (T, s, s, 4) u8 per mip level."""
+        stack = np.stack(self._images, axis=0)
+        return build_mip_chain(stack)
