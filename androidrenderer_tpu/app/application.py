@@ -1,0 +1,63 @@
+"""Application — the tick loop + flycam + scene owner (core/application.cpp:17-175).
+
+The platform layers (GLFW window, Android GameActivity) have no TPU analog; the
+replacement surface is headless: ``tick()`` renders one frame and returns the u8 image,
+and the CLI (headless.py) drives frames to PNG files. Input callbacks map to direct
+flycam methods (move/rotate), matching InputManager's dispatch targets
+(input/input_manager.hpp:19-60, application.cpp:143-163: move speed 2 m/s).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import numpy as np
+
+from androidrenderer_tpu.camera import Camera, taa_jitter
+from androidrenderer_tpu.config import AAMode, RenderConfig, RenderParams
+from androidrenderer_tpu.render import initial_temporal_state, make_renderer
+from androidrenderer_tpu.scene.scene import RenderScene
+
+MOVE_SPEED = 2.0  # m/s (application.hpp:35-37)
+
+
+class Application:
+    def __init__(self, config: RenderConfig, scene: RenderScene):
+        self.config = config
+        self.scene_host = scene
+        self.scene, self.scene_stats = scene.build()
+        self.camera = Camera(
+            fov_degrees=config.fov_degrees,
+            aspect=config.render_width / config.render_height,
+            z_near=config.z_near,
+            render_resolution=(config.render_width, config.render_height),
+        )
+        self._renderer = make_renderer(config)
+        self.temporal = initial_temporal_state(config.render_height, config.render_width)
+        self.params = RenderParams.default()
+        self.frame_count = 0
+        self.last_frame_seconds: Optional[float] = None
+
+    # -- input (flycam) ---------------------------------------------------------
+    def move(self, local_delta, dt: float = 1.0 / 60.0) -> None:
+        self.camera.translate_local(np.asarray(local_delta) * MOVE_SPEED * dt)
+
+    def rotate(self, delta_pitch: float, delta_yaw: float) -> None:
+        self.camera.rotate(delta_pitch, delta_yaw)
+
+    # -- frame ---------------------------------------------------------------------
+    def tick(self) -> np.ndarray:
+        """Render one frame; returns the (H, W, 3) u8 image."""
+        if self.config.aa_mode == AAMode.TAA:
+            self.camera.set_jitter(taa_jitter(self.frame_count))
+        t0 = time.perf_counter()
+        out, self.temporal = self._renderer(
+            self.scene, self.camera.view_data(), self.params, self.temporal
+        )
+        img = np.asarray(out.image)  # blocks
+        self.last_frame_seconds = time.perf_counter() - t0
+        self.camera.end_frame()
+        self.frame_count += 1
+        self._last_outputs = out
+        return img

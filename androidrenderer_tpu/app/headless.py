@@ -1,0 +1,111 @@
+"""Headless render CLI — the windows_application.cpp / AndroidMain.cpp equivalent.
+
+Usage:
+    python -m androidrenderer_tpu.app.headless --scene cornell --size 256 \
+        --frames 2 --out /tmp/frame.png [--platform cpu] [--gltf path.glb]
+
+Renders N frames of a fixture scene (or a glTF file once the importer lands) and
+writes the last frame as PNG, printing per-frame timings.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="androidrenderer_tpu headless renderer")
+    ap.add_argument("--scene", default="cornell",
+                    help="fixture name: cornell | courtyard | courtyard-big | alpha, "
+                         "or a .gltf/.glb path")
+    ap.add_argument("--size", type=int, default=256, help="square render size (px)")
+    ap.add_argument("--width", type=int, default=0)
+    ap.add_argument("--height", type=int, default=0)
+    ap.add_argument("--frames", type=int, default=1)
+    ap.add_argument("--out", default="/tmp/androidrenderer_tpu_frame.png")
+    ap.add_argument("--camera", default=None,
+                    help="x,y,z[,pitch,yaw] camera placement override")
+    ap.add_argument("--platform", default=None, help="jax platform override (cpu)")
+    ap.add_argument("--orbit", type=float, default=0.0,
+                    help="yaw delta per frame (radians) for motion")
+    args = ap.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from androidrenderer_tpu.app.application import Application
+    from androidrenderer_tpu.config import RenderConfig
+    from androidrenderer_tpu.scene import procedural
+    from androidrenderer_tpu.utils.image import save_png
+
+    w = args.width or args.size
+    h = args.height or args.size
+    if w % 128 or h % 32:
+        print(f"error: size must be a multiple of 128x32 tiles (got {w}x{h})",
+              file=sys.stderr)
+        return 2
+
+    name = args.scene
+    default_cam = ([0.0, 0.0, 2.2], 0.0, 3.14159265)
+    if name == "cornell":
+        scene = procedural.cornell_scene()
+    elif name == "courtyard":
+        scene = procedural.courtyard_scene()
+        default_cam = ([0.0, 1.7, 6.0], -0.05, 3.14159265)
+    elif name == "courtyard-big":
+        scene = procedural.courtyard_scene(column_rings=4, detail=8)
+        default_cam = ([0.0, 1.7, 6.0], -0.05, 3.14159265)
+    elif name == "alpha":
+        scene = procedural.alpha_test_scene()
+        default_cam = ([0.0, 0.0, -4.0], 0.0, 0.0)
+    elif name.endswith((".gltf", ".glb")):
+        from androidrenderer_tpu.scene.gltf import load_gltf_scene
+
+        scene = load_gltf_scene(name)
+        default_cam = ([0.0, 1.0, 4.0], 0.0, 3.14159265)
+    else:
+        print(f"error: unknown scene '{name}'", file=sys.stderr)
+        return 2
+
+    cfg = RenderConfig(
+        render_width=w, render_height=h, output_width=w, output_height=h
+    )
+    app = Application(cfg, scene)
+    print(f"scene: {app.scene_stats}")
+
+    pos, pitch, yaw = default_cam
+    if args.camera:
+        try:
+            parts = [float(x) for x in args.camera.split(",")]
+        except ValueError:
+            parts = []
+        if len(parts) not in (3, 5):
+            print(
+                f"error: --camera expects 'x,y,z' or 'x,y,z,pitch,yaw' (got "
+                f"{args.camera!r})",
+                file=sys.stderr,
+            )
+            return 2
+        pos = parts[:3]
+        if len(parts) == 5:
+            pitch, yaw = parts[3], parts[4]
+    app.camera.set_position(pos)
+    app.camera.pitch, app.camera.yaw = pitch, yaw
+
+    img = None
+    for i in range(args.frames):
+        img = app.tick()
+        print(f"frame {i}: {app.last_frame_seconds * 1e3:.2f} ms")
+        if args.orbit:
+            app.rotate(0.0, args.orbit)
+
+    save_png(args.out, img)
+    print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

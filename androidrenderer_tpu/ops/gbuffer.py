@@ -1,0 +1,117 @@
+"""GBuffer resolve — visibility buffer -> shaded surface attributes.
+
+The TPU analog of GbufferPhase + the gltf_basic_pbr uber-shader's gbuffer fragment
+stage (phase/gbuffer_phase.cpp:27-98, materials/gltf_basic_pbr.slang:53-253): bindless
+texture fetches with TBN normal mapping, vertex-color modulation, and the reference's
+channel conventions (data.g = roughness, data.b = metalness;
+base color/emission stored sRGB — here kept linear f32, conversion folded into
+sampling). Runs deferred behind the visibility buffer, so each pixel shades exactly
+once — the depth-EQUAL trick taken to its conclusion.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from androidrenderer_tpu.ops import texture as tex
+from androidrenderer_tpu.ops.post import srgb_to_linear
+from androidrenderer_tpu.ops.raster.interpolate import (
+    compute_barycentrics,
+    interpolate_with_derivatives,
+)
+from androidrenderer_tpu.ops.raster.setup import TriangleSetup
+from androidrenderer_tpu.scene.scene import SceneArrays, texture_base_size
+
+
+class GBuffer(NamedTuple):
+    """Deferred surface attributes (all (H, W, C) f32). Matches the reference's four
+    MRTs + depth (scene_renderer.cpp:580-649)."""
+
+    base_color: jnp.ndarray  # (H, W, 3) linear
+    normal: jnp.ndarray  # (H, W, 3) world, unit
+    roughness: jnp.ndarray  # (H, W, 1)
+    metalness: jnp.ndarray  # (H, W, 1)
+    emission: jnp.ndarray  # (H, W, 3) linear
+    world_position: jnp.ndarray  # (H, W, 3)
+    depth: jnp.ndarray  # (H, W) reversed-Z ndc
+    valid: jnp.ndarray  # (H, W) bool
+
+
+def _normalize(v, eps=1e-12):
+    return v / jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), eps))
+
+
+def resolve_gbuffer(
+    scene: SceneArrays,
+    setup: TriangleSetup,
+    vis: jnp.ndarray,  # (H, W) int32
+    depth: jnp.ndarray,  # (H, W) f32
+    mip_bias: jnp.ndarray | float = 0.0,
+) -> GBuffer:
+    bary = compute_barycentrics(vis, setup, scene.tri_indices)
+    tid = jnp.maximum(vis, 0)
+    mat_id = scene.tri_material[tid]  # (H, W)
+
+    uv, duvdx, duvdy = interpolate_with_derivatives(bary, scene.uvs)
+    base_size = texture_base_size(scene)
+    lod = tex.compute_lod(duvdx, duvdy, base_size, mip_bias)
+
+    tex_ids = scene.mat_texture_ids[mat_id]  # (H, W, 4)
+
+    base_s = tex.sample_trilinear(
+        scene.textures, scene.texture_level_offsets, base_size, tex_ids[..., 0], uv, lod
+    )
+    base_rgb = srgb_to_linear(base_s[..., :3])
+    vcolor = jnp.einsum("hwvk,hwv->hwk", scene.colors[bary.vertex_ids], bary.lam)
+    base_factor = scene.mat_base_color[mat_id]
+    base_color = base_rgb * base_factor[..., :3] * vcolor[..., :3]
+
+    # Normal mapping (gltf_basic_pbr.slang TBN path). Normal textures are linear.
+    nrm_s = tex.sample_trilinear(
+        scene.textures, scene.texture_level_offsets, base_size, tex_ids[..., 1], uv, lod
+    )
+    n_ts = nrm_s[..., :3] * 2.0 - 1.0
+    geo_n = jnp.einsum("hwvk,hwv->hwk", scene.normals[bary.vertex_ids], bary.lam)
+    geo_n = _normalize(geo_n)
+    tan4 = jnp.einsum("hwvk,hwv->hwk", scene.tangents[bary.vertex_ids], bary.lam)
+    t = tan4[..., :3]
+    t_len2 = jnp.sum(t * t, axis=-1, keepdims=True)
+    has_tangent = t_len2 > 1e-8
+    t = jnp.where(has_tangent, t / jnp.sqrt(jnp.maximum(t_len2, 1e-12)), 0.0)
+    b = jnp.cross(geo_n, t) * tan4[..., 3:4]
+    mapped_n = _normalize(
+        t * n_ts[..., 0:1] + b * n_ts[..., 1:2] + geo_n * n_ts[..., 2:3]
+    )
+    normal = jnp.where(has_tangent, mapped_n, geo_n)
+
+    # Metal/rough: glTF metallicRoughness texture (G = roughness, B = metalness) —
+    # the same channels the reference's gbuffer data target carries.
+    mr_lod = jnp.floor(lod)
+    mr_s = tex.sample_trilinear(
+        scene.textures, scene.texture_level_offsets, base_size, tex_ids[..., 2], uv, mr_lod
+    )
+    mr_factor = scene.mat_metal_rough[mat_id]  # [metalness, roughness]
+    roughness = (mr_s[..., 1:2]) * mr_factor[..., 1:2]
+    metalness = (mr_s[..., 2:3]) * mr_factor[..., 0:1]
+
+    em_s = tex.sample_trilinear(
+        scene.textures, scene.texture_level_offsets, base_size, tex_ids[..., 3], uv, mr_lod
+    )
+    emission = srgb_to_linear(em_s[..., :3]) * scene.mat_emission[mat_id]
+
+    world_pos = jnp.einsum("hwvk,hwv->hwk", scene.positions[bary.vertex_ids], bary.lam)
+
+    mask = bary.valid[..., None]
+    zero = jnp.zeros_like(base_color)
+    return GBuffer(
+        base_color=jnp.where(mask, base_color, 0.0),
+        normal=jnp.where(mask, normal, 0.0),
+        roughness=jnp.where(mask[..., :1], jnp.clip(roughness, 0.045, 1.0), 1.0),
+        metalness=jnp.where(mask[..., :1], jnp.clip(metalness, 0.0, 1.0), 0.0),
+        emission=jnp.where(mask, emission, zero),
+        world_position=jnp.where(mask, world_pos, 0.0),
+        depth=depth,
+        valid=bary.valid,
+    )

@@ -1,0 +1,57 @@
+"""Deferred lighting — the LightingPhase (phase/lighting_phase.cpp:34-134) as screen
+ops: sun CSM/RT-shadowed direct light -> GI overlay -> additive emissive -> sky at
+depth==0.
+
+Parity notes (directional_light.frag:96-149):
+- light vector l = normalize(-sun_direction); full Filament brdf(); direct = NoL *
+  brdf * sun_color * shadow * 0.00031415927 (the reference's exposure fudge).
+- The reference reconstructs the camera position as -view[3].xyz, which is R*eye, not
+  eye (a latent bug it compensates visually). We use the true camera position — the
+  correct view vector — and document the divergence.
+- NaN guard on direct light (frag:146-148).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from androidrenderer_tpu.ops.brdf import brdf, normalize
+from androidrenderer_tpu.ops.gbuffer import GBuffer
+
+
+def sun_lighting(
+    gbuffer: GBuffer,
+    camera_position: jnp.ndarray,  # (3,)
+    sun_direction: jnp.ndarray,  # (3,) direction light travels (sun -> world)
+    sun_color: jnp.ndarray,  # (3,)
+    shadow: jnp.ndarray | None,  # (H, W, 1) in [0, 1], None = fully lit
+    exposure,  # scalar — reference default 0.00031415927
+) -> jnp.ndarray:
+    """(H, W, 3) linear HDR direct sun light."""
+    l = normalize(-sun_direction)[None, None, :]
+    v = normalize(camera_position[None, None, :] - gbuffer.world_position)
+    ndotl = jnp.clip(
+        jnp.sum(gbuffer.normal * l, axis=-1, keepdims=True), 0.0, 1.0
+    )
+    f = brdf(gbuffer.base_color, gbuffer.normal, gbuffer.metalness, gbuffer.roughness, l, v)
+    s = shadow if shadow is not None else 1.0
+    direct = ndotl * f * sun_color[None, None, :] * s * exposure
+    direct = jnp.nan_to_num(direct, nan=0.0, posinf=0.0, neginf=0.0)
+    return jnp.where(gbuffer.valid[..., None], direct, 0.0)
+
+
+def compose_lit_scene(
+    gbuffer: GBuffer,
+    direct: jnp.ndarray,  # (H, W, 3) sun pass
+    gi: jnp.ndarray | None,  # (H, W, 3) GI overlay (LPV/RT), already exposed
+    ao: jnp.ndarray | None,  # (H, W, 1)
+    sky: jnp.ndarray,  # (H, W, 3) background radiance
+) -> jnp.ndarray:
+    """lit = (sun + GI*AO) + emissive, sky where nothing was drawn
+    (lighting_phase.cpp:34-134: sun fullscreen -> GI overlay -> emissive additive ->
+    sky at depth==far via the depth-EQUAL trick)."""
+    lit = direct
+    if gi is not None:
+        lit = lit + gi * (ao if ao is not None else 1.0)
+    lit = lit + gbuffer.emission
+    return jnp.where(gbuffer.valid[..., None], lit, sky)

@@ -25,6 +25,12 @@ class PixelBarycentrics(NamedTuple):
     lam: jnp.ndarray  # (H, W, 3) f32 perspective-correct barycentrics
     valid: jnp.ndarray  # (H, W) bool
     w: jnp.ndarray  # (H, W) f32 interpolated clip w (view distance along -z)
+    # For analytic screen-space derivatives: attribute a(p) = f/s with
+    # f = sum d_i a_i, so da/dx = (sum A_i a_i * s - f * sum A_i) / s^2.
+    d: jnp.ndarray  # (H, W, 3) raw edge-function values
+    s: jnp.ndarray  # (H, W) sum of edge values
+    edge_a: jnp.ndarray  # (H, W, 3) x-gradient coefficients A_i
+    edge_b: jnp.ndarray  # (H, W, 3) y-gradient coefficients B_i
 
 
 def compute_barycentrics(
@@ -54,6 +60,35 @@ def compute_barycentrics(
         lam=lam.astype(jnp.float32),
         valid=valid,
         w=w.astype(jnp.float32),
+        d=d.astype(jnp.float32),
+        s=s[..., 0].astype(jnp.float32),
+        edge_a=edge[..., 0].astype(jnp.float32),
+        edge_b=edge[..., 1].astype(jnp.float32),
+    )
+
+
+def interpolate_with_derivatives(
+    bary: PixelBarycentrics,
+    attr: jnp.ndarray,  # (V, K)
+):
+    """Interpolated value + analytic d/dx, d/dy — exact hardware-quad-derivative
+    replacement for mip selection (texture.py). Returns three (H, W, K) arrays."""
+    av = attr[bary.vertex_ids]  # (H, W, 3, K)
+    s = jnp.where(bary.s == 0.0, 1.0, bary.s)[..., None]
+    f = jnp.sum(av * bary.d[..., None], axis=-2)
+    fx = jnp.sum(av * bary.edge_a[..., None], axis=-2)
+    fy = jnp.sum(av * bary.edge_b[..., None], axis=-2)
+    sx = jnp.sum(bary.edge_a, axis=-1)[..., None]
+    sy = jnp.sum(bary.edge_b, axis=-1)[..., None]
+    value = f / s
+    inv_s2 = 1.0 / (s * s)
+    ddx = (fx * s - f * sx) * inv_s2
+    ddy = (fy * s - f * sy) * inv_s2
+    mask = bary.valid[..., None]
+    return (
+        jnp.where(mask, value, 0.0),
+        jnp.where(mask, ddx, 0.0),
+        jnp.where(mask, ddy, 0.0),
     )
 
 

@@ -39,8 +39,11 @@ def _eval_chunk(
     y = py[None, None, :, None]
     # D[c, e, y, x] = A*px + B*py + C
     d = edge[:, :, 0, None, None] * x + edge[:, :, 1, None, None] * y + edge[:, :, 2, None, None]
-    cov_front = jnp.all(d >= 0.0, axis=1)
-    cov_back = jnp.all(d <= 0.0, axis=1)
+    # Front face = glTF CCW winding with right-hand-rule normals. In our y-down pixel
+    # space that orientation makes all edge values NEGATIVE (the viewport y-flip
+    # mirrors the winding), hence the <= for front coverage.
+    cov_front = jnp.all(d <= 0.0, axis=1)
+    cov_back = jnp.all(d >= 0.0, axis=1)
     cov = cov_front | (cov_back & double_sided[:, None, None])
 
     x2 = px[None, None, :]

@@ -1,0 +1,95 @@
+"""Texture array sampling — the TPU replacement for bindless sampled images.
+
+The reference binds a bindless texture array and samples with HW trilinear filtering +
+a global mip bias (texture_descriptor_pool.hpp:16-46, view_data.hpp
+material_texture_mip_bias). Here the pool is a mip-packed flat array
+(T, sum(s_l^2), 4) u8 (scene.py:_pack_mips_flat): a texel at (tex, level, y, x) lives at
+flat index ``level_offset[level] + y * size_l + x``, so trilinear filtering is 8 gathers
+with computed indices and no branching on level.
+
+Mip selection is analytic from the visibility buffer: uv(p) = f(p)/s(p) with f, s
+affine in pixel coords, so duv/dpixel is closed-form per pixel — equivalent to the
+hardware's quad derivatives but exact.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def sample_bilinear(
+    textures: jnp.ndarray,  # (T, F, 4) u8 mip-packed flat pool
+    level_offsets: jnp.ndarray,  # (L,) i32
+    base_size: int,  # static: size of mip 0
+    tex_ids: jnp.ndarray,  # (...,) i32
+    uv: jnp.ndarray,  # (..., 2) f32, repeat-wrapped
+    level: jnp.ndarray,  # (...,) i32 clamped mip level
+) -> jnp.ndarray:
+    """Bilinear sample at an integer mip level. Returns (..., 4) f32 in [0, 1]."""
+    num_levels = level_offsets.shape[0]
+    level = jnp.clip(level, 0, num_levels - 1)
+    # size_l = base_size >> level
+    size = jnp.right_shift(jnp.int32(base_size), level.astype(jnp.int32))
+    sizef = size.astype(jnp.float32)
+
+    # Repeat wrap, texel centers at (i + 0.5) / size.
+    u = uv[..., 0] - jnp.floor(uv[..., 0])
+    v = uv[..., 1] - jnp.floor(uv[..., 1])
+    x = u * sizef - 0.5
+    y = v * sizef - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+
+    def wrap(i):
+        return jnp.remainder(i.astype(jnp.int32), size)
+
+    x0i, x1i = wrap(x0), wrap(x0 + 1)
+    y0i, y1i = wrap(y0), wrap(y0 + 1)
+
+    off = level_offsets[level]
+
+    def fetch(yy, xx):
+        idx = off + yy * size + xx
+        return textures[tex_ids, idx].astype(jnp.float32) * (1.0 / 255.0)
+
+    c00 = fetch(y0i, x0i)
+    c01 = fetch(y0i, x1i)
+    c10 = fetch(y1i, x0i)
+    c11 = fetch(y1i, x1i)
+    top = c00 + (c01 - c00) * fx
+    bot = c10 + (c11 - c10) * fx
+    return top + (bot - top) * fy
+
+
+def sample_trilinear(
+    textures: jnp.ndarray,
+    level_offsets: jnp.ndarray,
+    base_size: int,
+    tex_ids: jnp.ndarray,
+    uv: jnp.ndarray,
+    lod: jnp.ndarray,  # (...,) f32 fractional level of detail
+) -> jnp.ndarray:
+    num_levels = level_offsets.shape[0]
+    lod = jnp.clip(lod, 0.0, float(num_levels - 1))
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, num_levels - 1)
+    f = (lod - l0.astype(jnp.float32))[..., None]
+    a = sample_bilinear(textures, level_offsets, base_size, tex_ids, uv, l0)
+    b = sample_bilinear(textures, level_offsets, base_size, tex_ids, uv, l1)
+    return a + (b - a) * f
+
+
+def compute_lod(
+    duv_dx: jnp.ndarray,  # (..., 2) analytic UV derivative wrt pixel x
+    duv_dy: jnp.ndarray,  # (..., 2)
+    base_size: int,
+    mip_bias: jnp.ndarray | float = 0.0,
+) -> jnp.ndarray:
+    """Hardware-style LOD: log2 of the max screen-space texel footprint."""
+    s = float(base_size)
+    fx = jnp.sum((duv_dx * s) ** 2, axis=-1)
+    fy = jnp.sum((duv_dy * s) ** 2, axis=-1)
+    rho2 = jnp.maximum(jnp.maximum(fx, fy), 1e-12)
+    return 0.5 * jnp.log2(rho2) + mip_bias

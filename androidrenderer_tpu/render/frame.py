@@ -1,0 +1,128 @@
+"""The frame function — SceneRenderer::render() as one jitted XLA program.
+
+Phase sequence mirrors scene_renderer.cpp:121-470:
+
+    culling -> depth prepass -> visibility (gbuffer) -> [GI pre]
+    -> shadows -> lighting (sun + GI + emissive + sky) -> AO -> [AA] -> bloom
+    -> tonemap composite -> u8 image
+
+but with zero barriers/graphs: data dependencies ARE the schedule. Temporal state
+(TAA history, previous depth for HiZ, LPV volumes) is threaded functionally.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from androidrenderer_tpu.camera import ViewData
+from androidrenderer_tpu.config import AOMode, AAMode, GIMode, RenderConfig, RenderParams, ShadowMode
+from androidrenderer_tpu.ops import culling, lighting, post, sky
+from androidrenderer_tpu.ops.gbuffer import GBuffer, resolve_gbuffer
+from androidrenderer_tpu.ops.raster import (
+    rasterize_depth,
+    rasterize_visibility,
+    transform_to_clip,
+    triangle_setup,
+)
+from androidrenderer_tpu.ops.raster.binning import bin_triangles
+from androidrenderer_tpu.render.temporal import TemporalState
+from androidrenderer_tpu.scene.scene import SceneArrays
+
+
+class FrameOutputs(NamedTuple):
+    image: jnp.ndarray  # (H, W, 3) u8 display-ready
+    hdr: jnp.ndarray  # (H, W, 3) f32 lit scene (pre-tonemap)
+    depth: jnp.ndarray  # (H, W) f32
+    visibility: jnp.ndarray  # (H, W) i32
+    gbuffer: GBuffer
+
+
+def render_frame(
+    scene: SceneArrays,
+    view: ViewData,
+    params: RenderParams,
+    temporal: TemporalState,
+    config: RenderConfig,
+):
+    """Pure frame function: returns (FrameOutputs, next TemporalState)."""
+    h, w = config.render_height, config.render_width
+
+    # --- culling (depth_culling_phase.cpp analog) --------------------------------
+    prim_mask = culling.frustum_cull_spheres(
+        scene.prim_bounds, jnp.asarray(view.view), jnp.asarray(view.frustum), view.z_near
+    )
+    prim_mask = prim_mask & scene.prim_valid
+    tri_mask = culling.primitive_mask_to_triangle_mask(
+        prim_mask, scene.tri_primitive, scene.tri_valid
+    )
+
+    # --- geometry: transform + setup + bin (the "GPU-driven" pipe) ----------------
+    clip = transform_to_clip(scene.positions, jnp.asarray(view.view_proj))
+    setup = triangle_setup(
+        clip,
+        scene.tri_indices,
+        w,
+        h,
+        double_sided=scene.tri_double_sided,
+        tri_valid=tri_mask,
+    )
+    bins = bin_triangles(
+        setup, config.tiles_y, config.tiles_x, config.tile_height, config.tile_width,
+        cap=config.max_tris_per_tile,
+    )
+
+    # --- depth prepass + visibility buffer ----------------------------------------
+    depth = rasterize_depth(
+        setup, bins, h, w, config.tile_height, config.tile_width
+    )
+    vis = rasterize_visibility(
+        setup, bins, depth, config.tile_height, config.tile_width
+    )
+
+    # --- gbuffer resolve ------------------------------------------------------------
+    gbuf = resolve_gbuffer(scene, setup, vis, depth)
+
+    # --- sky ------------------------------------------------------------------------
+    p00 = view.projection[0, 0]
+    p11 = view.projection[1, 1]
+    if config.sky:
+        sky_img = sky.sky_background(
+            jnp.asarray(view.inverse_view), p00, p11,
+            scene.sun_direction, scene.sun_color, h, w,
+            exposure=params.sun_exposure,
+        )
+    else:
+        sky_img = jnp.zeros((h, w, 3), jnp.float32)
+
+    # --- shadows (CSM milestone fills this in) ---------------------------------------
+    shadow = None
+
+    # --- lighting ---------------------------------------------------------------------
+    direct = lighting.sun_lighting(
+        gbuf,
+        jnp.asarray(view.position),
+        scene.sun_direction,
+        scene.sun_color,
+        shadow,
+        params.sun_exposure,
+    )
+    lit = lighting.compose_lit_scene(gbuf, direct, gi=None, ao=None, sky=sky_img)
+
+    # --- post: bloom + tonemap ----------------------------------------------------------
+    image = post.to_uint8(post.composite(lit, None, params.bloom_strength))
+
+    next_temporal = temporal._replace(
+        prev_depth=depth,
+        frame_index=temporal.frame_index + 1,
+    )
+    outputs = FrameOutputs(image=image, hdr=lit, depth=depth, visibility=vis, gbuffer=gbuf)
+    return outputs, next_temporal
+
+
+def make_renderer(config: RenderConfig):
+    """jit-compiled frame function with the config baked in statically."""
+    return jax.jit(partial(render_frame, config=config))

@@ -1,0 +1,37 @@
+"""Temporal state — the pytree that replaces the reference's ping-pong textures.
+
+The reference carries cross-frame GPU state in persistent textures/buffers: TAA history
+(upscaler accumulation), last-frame visibility list (depth_culling_phase.hpp:44-59),
+LPV cascade volumes, probe caches. Under XLA the frame is a pure function, so all of it
+rides in one NamedTuple threaded through ``render_frame(...) -> (image, next_state)``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class TemporalState(NamedTuple):
+    taa_history: jnp.ndarray  # (H, W, 3) f32 HDR accumulation
+    taa_valid: jnp.ndarray  # () bool — history usable
+    prev_depth: jnp.ndarray  # (H, W) f32 — previous frame depth (HiZ source)
+    frame_index: jnp.ndarray  # () i32
+    # LPV cascades: (cascades, 3 SH-color channels x 4 coeffs = 12, X, Y, Z) — filled
+    # by the LPV milestone; zeros otherwise.
+    lpv_volume: jnp.ndarray
+    lpv_center: jnp.ndarray  # (cascades, 3) snapped cascade centers
+
+
+def initial_temporal_state(
+    height: int, width: int, lpv_cascades: int = 4, lpv_res: int = 32
+) -> TemporalState:
+    return TemporalState(
+        taa_history=jnp.zeros((height, width, 3), jnp.float32),
+        taa_valid=jnp.array(False),
+        prev_depth=jnp.zeros((height, width), jnp.float32),
+        frame_index=jnp.int32(0),
+        lpv_volume=jnp.zeros((lpv_cascades, 12, lpv_res, lpv_res, lpv_res), jnp.float32),
+        lpv_center=jnp.zeros((lpv_cascades, 3), jnp.float32),
+    )

@@ -1,0 +1,341 @@
+"""Procedural test scenes — the fixture library.
+
+The reference validates with glTF scene fixtures (Sponza, CornellBox, AlphaTest,
+GiOcclusionTest — windows_application.cpp:25-40, RenderCore/assets/). This module
+provides equivalent procedural fixtures that need no asset files: a Cornell box for GI
+verification, an alpha-test fence, and a Sponza-scale colonnade courtyard whose
+triangle count is tunable to match Sponza (~262k tris) for benchmarking.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from androidrenderer_tpu.scene.material_storage import (
+    ALPHA_MASK,
+    Material,
+    MaterialStorage,
+)
+from androidrenderer_tpu.scene.mesh_storage import MeshStorage
+from androidrenderer_tpu.scene.scene import RenderScene
+
+# --------------------------------------------------------------------- mesh builders
+
+
+def plane_mesh(size_x=1.0, size_z=1.0, subdiv=1, uv_scale=1.0):
+    """XZ plane centered at origin, +Y normal. Returns (pos, idx, nrm, uv)."""
+    n = subdiv + 1
+    xs = np.linspace(-size_x / 2, size_x / 2, n)
+    zs = np.linspace(-size_z / 2, size_z / 2, n)
+    gx, gz = np.meshgrid(xs, zs, indexing="xy")
+    pos = np.stack([gx, np.zeros_like(gx), gz], axis=-1).reshape(-1, 3)
+    uv = np.stack(
+        [(gx / size_x + 0.5) * uv_scale, (gz / size_z + 0.5) * uv_scale], axis=-1
+    ).reshape(-1, 2)
+    idx = []
+    for r in range(subdiv):
+        for c in range(subdiv):
+            a = r * n + c
+            b = a + 1
+            d = a + n
+            e = d + 1
+            idx += [a, d, b, b, d, e]
+    nrm = np.tile([0.0, 1.0, 0.0], (pos.shape[0], 1))
+    return (
+        pos.astype(np.float32),
+        np.array(idx, np.int32),
+        nrm.astype(np.float32),
+        uv.astype(np.float32),
+    )
+
+
+def box_mesh(sx=1.0, sy=1.0, sz=1.0, subdiv=1):
+    """Axis-aligned box centered at origin with per-face normals/uvs."""
+    pos, idx, nrm, uv = [], [], [], []
+    base = 0
+    faces = [
+        # (normal, u axis, v axis)
+        ([0, 1, 0], [1, 0, 0], [0, 0, 1]),
+        ([0, -1, 0], [1, 0, 0], [0, 0, -1]),
+        ([1, 0, 0], [0, 0, 1], [0, 1, 0]),
+        ([-1, 0, 0], [0, 0, -1], [0, 1, 0]),
+        ([0, 0, 1], [1, 0, 0], [0, 1, 0]),
+        ([0, 0, -1], [-1, 0, 0], [0, 1, 0]),
+    ]
+    half = np.array([sx, sy, sz]) / 2
+    n = subdiv + 1
+    for normal, ua, va in faces:
+        normal, ua, va = map(np.asarray, (normal, ua, va))
+        us = np.linspace(-1, 1, n)
+        vs = np.linspace(-1, 1, n)
+        for vv in vs:
+            for uu in us:
+                p = (normal + ua * uu + va * vv) * half
+                pos.append(p)
+                nrm.append(normal)
+                uv.append([(uu + 1) / 2, (vv + 1) / 2])
+        for r in range(subdiv):
+            for c in range(subdiv):
+                a = base + r * n + c
+                b, d, e = a + 1, a + n, a + n + 1
+                idx += [a, d, b, b, d, e]
+        base += n * n
+    return (
+        np.array(pos, np.float32),
+        np.array(idx, np.int32),
+        np.array(nrm, np.float32),
+        np.array(uv, np.float32),
+    )
+
+
+def cylinder_mesh(radius=0.5, height=2.0, segments=16, stacks=4):
+    """Open-ended vertical cylinder centered at origin."""
+    pos, nrm, uv, idx = [], [], [], []
+    for s in range(stacks + 1):
+        y = height * (s / stacks - 0.5)
+        for a in range(segments + 1):
+            ang = 2 * np.pi * a / segments
+            c, sn = np.cos(ang), np.sin(ang)
+            pos.append([radius * c, y, radius * sn])
+            nrm.append([c, 0.0, sn])
+            uv.append([a / segments * 4.0, s / stacks])
+    w = segments + 1
+    for s in range(stacks):
+        for a in range(segments):
+            i0 = s * w + a
+            i1, i2, i3 = i0 + 1, i0 + w, i0 + w + 1
+            idx += [i0, i2, i1, i1, i2, i3]
+    return (
+        np.array(pos, np.float32),
+        np.array(idx, np.int32),
+        np.array(nrm, np.float32),
+        np.array(uv, np.float32),
+    )
+
+
+def translate(t):
+    m = np.eye(4, dtype=np.float32)
+    m[:3, 3] = t
+    return m
+
+
+def transform(t=(0, 0, 0), scale=(1, 1, 1), ry=0.0):
+    c, s = np.cos(ry), np.sin(ry)
+    rot = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+    m = np.eye(4, dtype=np.float32)
+    m[:3, :3] = (rot * np.asarray(scale)).astype(np.float32)
+    m[:3, 3] = t
+    return m
+
+
+# ----------------------------------------------------------------------- textures
+
+
+def checker_texture(size=64, tiles=8, c0=(255, 255, 255), c1=(40, 40, 40)):
+    y, x = np.mgrid[0:size, 0:size]
+    mask = ((x * tiles // size) + (y * tiles // size)) % 2 == 0
+    img = np.zeros((size, size, 4), np.uint8)
+    img[..., 3] = 255
+    img[mask, :3] = c0
+    img[~mask, :3] = c1
+    return img
+
+
+def noise_texture(size=64, seed=0, base=(180, 140, 100), amp=40):
+    rng = np.random.default_rng(seed)
+    img = np.zeros((size, size, 4), np.uint8)
+    noise = rng.integers(-amp, amp, (size, size, 1))
+    img[..., :3] = np.clip(np.asarray(base) + noise, 0, 255)
+    img[..., 3] = 255
+    return img
+
+
+def foliage_alpha_texture(size=64, seed=1):
+    """Blotchy alpha texture for alpha-mask testing (AlphaTest.gltf analog)."""
+    rng = np.random.default_rng(seed)
+    img = np.zeros((size, size, 4), np.uint8)
+    img[..., 1] = 140
+    img[..., 0] = 40
+    y, x = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    a = np.zeros((size, size))
+    for _ in range(12):
+        cx, cy, r = rng.uniform(0, 1, 3)
+        a += np.exp(-(((x - cx) ** 2 + (y - cy) ** 2) / (0.02 * (r + 0.2) ** 2)))
+    img[..., 3] = (np.clip(a, 0, 1) > 0.35) * 255
+    return img
+
+
+# ------------------------------------------------------------------------- scenes
+
+
+def cornell_scene() -> RenderScene:
+    """Cornell-box-like GI fixture: white box, red/green walls, two blocks,
+    emissive panel. Camera should sit at z ~ +2.5 looking down -z."""
+    scene = RenderScene()
+    ms, mats = scene.meshes, scene.materials
+
+    white = mats.add_material(Material(np.array([0.73, 0.73, 0.73, 1.0], np.float32)))
+    red = mats.add_material(Material(np.array([0.65, 0.05, 0.05, 1.0], np.float32)))
+    green = mats.add_material(Material(np.array([0.12, 0.45, 0.15, 1.0], np.float32)))
+    light = mats.add_material(
+        Material(
+            np.array([1.0, 1.0, 1.0, 1.0], np.float32),
+            emission_factor=np.array([40.0, 32.0, 24.0], np.float32),
+        )
+    )
+
+    wall_pos, wall_idx, wall_nrm, wall_uv = plane_mesh(2.0, 2.0, subdiv=4)
+    wall = ms.add_mesh(wall_pos, wall_idx, wall_nrm, uvs=wall_uv)
+    bpos, bidx, bnrm, buv = box_mesh(0.6, 1.2, 0.6, subdiv=2)
+    tall_box = ms.add_mesh(bpos, bidx, bnrm, uvs=buv)
+    bpos, bidx, bnrm, buv = box_mesh(0.6, 0.6, 0.6, subdiv=2)
+    small_box = ms.add_mesh(bpos, bidx, bnrm, uvs=buv)
+
+    rx90 = np.eye(4, dtype=np.float32)
+
+    def rot_x(deg):
+        a = np.radians(deg)
+        m = np.eye(4, dtype=np.float32)
+        m[1, 1], m[1, 2] = np.cos(a), -np.sin(a)
+        m[2, 1], m[2, 2] = np.sin(a), np.cos(a)
+        return m
+
+    def rot_z(deg):
+        a = np.radians(deg)
+        m = np.eye(4, dtype=np.float32)
+        m[0, 0], m[0, 1] = np.cos(a), -np.sin(a)
+        m[1, 0], m[1, 1] = np.sin(a), np.cos(a)
+        return m
+
+    scene.add_primitive(wall, white, translate([0, -1, 0]))  # floor
+    scene.add_primitive(wall, white, rot_x(180.0) @ translate([0, -1, 0]))  # ceiling@+1
+    scene.add_primitive(wall, white, rot_x(90.0) @ translate([0, -1, 0]))  # back
+    scene.add_primitive(wall, red, rot_z(-90.0) @ translate([0, -1, 0]))  # left
+    scene.add_primitive(wall, green, rot_z(90.0) @ translate([0, -1, 0]))  # right
+    scene.add_primitive(
+        wall, light, rot_x(180.0) @ transform((0, -0.999, 0), (0.25, 1, 0.25))
+    )
+    scene.add_primitive(tall_box, white, transform((-0.35, -0.4, -0.3), ry=0.3))
+    scene.add_primitive(small_box, white, transform((0.35, -0.7, 0.35), ry=-0.25))
+    scene.set_sun([0.3, -1.0, -0.5], [1.0, 0.95, 0.9], 20000.0)
+    return scene
+
+
+def alpha_test_scene() -> RenderScene:
+    """Alpha-masked fence in front of a wall (AlphaTest.gltf analog)."""
+    scene = RenderScene()
+    ms, mats = scene.meshes, scene.materials
+    fence_tex = mats.add_texture(foliage_alpha_texture())
+    wall_mat = mats.add_material(Material(np.array([0.7, 0.7, 0.75, 1.0], np.float32)))
+    fence_mat = mats.add_material(
+        Material(
+            np.array([1, 1, 1, 1], np.float32),
+            base_color_texture=fence_tex,
+            alpha_mode=ALPHA_MASK,
+            alpha_cutoff=0.5,
+            double_sided=True,
+        )
+    )
+    wp, wi, wn, wu = plane_mesh(4.0, 4.0, subdiv=2)
+    wall = ms.add_mesh(wp, wi, wn, uvs=wu)
+
+    def rot_x(deg):
+        a = np.radians(deg)
+        m = np.eye(4, dtype=np.float32)
+        m[1, 1], m[1, 2] = np.cos(a), -np.sin(a)
+        m[2, 1], m[2, 2] = np.sin(a), np.cos(a)
+        return m
+
+    scene.add_primitive(wall, wall_mat, rot_x(90.0) @ translate([0, 0, 2.0]))
+    scene.add_primitive(wall, fence_mat, rot_x(90.0) @ translate([0, 0, 0.0]))
+    scene.set_sun([0.2, -0.8, -0.6], [1.0, 1.0, 1.0], 30000.0)
+    return scene
+
+
+def courtyard_scene(column_rings: int = 3, detail: int = 3) -> RenderScene:
+    """Sponza-scale colonnade courtyard stress scene.
+
+    detail=3, column_rings=3 is ~30k tris; detail scales quadratically. Use
+    ``courtyard_scene(column_rings=4, detail=8)`` for a Sponza-class ~260k-triangle
+    load. Camera: stand at (0, 1.7, 6) looking at the origin.
+    """
+    scene = RenderScene()
+    ms, mats = scene.meshes, scene.materials
+
+    floor_tex = mats.add_texture(checker_texture(128, 16, (200, 190, 170), (90, 80, 70)))
+    wall_tex = mats.add_texture(noise_texture(128, 2, (190, 160, 130), 25))
+    col_tex = mats.add_texture(noise_texture(128, 3, (210, 200, 185), 15))
+    drape_tex = mats.add_texture(checker_texture(64, 4, (160, 30, 30), (120, 15, 15)))
+
+    floor_mat = mats.add_material(
+        Material(np.ones(4, np.float32), base_color_texture=floor_tex, roughness_factor=0.8)
+    )
+    wall_mat = mats.add_material(
+        Material(np.ones(4, np.float32), base_color_texture=wall_tex, roughness_factor=0.9)
+    )
+    col_mat = mats.add_material(
+        Material(np.ones(4, np.float32), base_color_texture=col_tex, roughness_factor=0.6)
+    )
+    drape_mat = mats.add_material(
+        Material(
+            np.ones(4, np.float32),
+            base_color_texture=drape_tex,
+            roughness_factor=0.95,
+            double_sided=True,
+        )
+    )
+    gold_mat = mats.add_material(
+        Material(
+            np.array([1.0, 0.77, 0.34, 1.0], np.float32),
+            metalness_factor=1.0,
+            roughness_factor=0.3,
+        )
+    )
+
+    sub = max(2, detail * 2)
+    fp, fi, fn, fu = plane_mesh(24.0, 16.0, subdiv=sub * 2, uv_scale=8.0)
+    floor = ms.add_mesh(fp, fi, fn, uvs=fu)
+    wp, wi, wn, wu = box_mesh(24.0, 8.0, 0.5, subdiv=sub)
+    long_wall = ms.add_mesh(wp, wi, wn, uvs=wu)
+    wp, wi, wn, wu = box_mesh(0.5, 8.0, 16.0, subdiv=sub)
+    short_wall = ms.add_mesh(wp, wi, wn, uvs=wu)
+    cp, ci, cn, cu = cylinder_mesh(0.35, 5.0, segments=8 * detail, stacks=2 * detail)
+    column = ms.add_mesh(cp, ci, cn, uvs=cu)
+    bp, bi, bn, bu = box_mesh(1.0, 0.3, 1.0, subdiv=max(1, detail // 2))
+    capital = ms.add_mesh(bp, bi, bn, uvs=bu)
+    dp, di, dn, du = plane_mesh(2.5, 3.5, subdiv=sub)
+    drape = ms.add_mesh(dp, di, dn, uvs=du)
+    sp, si, sn_, su = box_mesh(0.8, 0.8, 0.8, subdiv=detail)
+    ornament = ms.add_mesh(sp, si, sn_, uvs=su)
+
+    scene.add_primitive(floor, floor_mat)
+    scene.add_primitive(long_wall, wall_mat, translate([0, 4.0, -8.0]))
+    scene.add_primitive(long_wall, wall_mat, translate([0, 4.0, 8.0]))
+    scene.add_primitive(short_wall, wall_mat, translate([-12.0, 4.0, 0]))
+    scene.add_primitive(short_wall, wall_mat, translate([12.0, 4.0, 0]))
+
+    def rot_x90():
+        m = np.eye(4, dtype=np.float32)
+        m[1, 1], m[1, 2] = 0.0, -1.0
+        m[2, 1], m[2, 2] = 1.0, 0.0
+        return m
+
+    rng = np.random.default_rng(42)
+    for ring in range(column_rings):
+        z = -6.0 + ring * (12.0 / max(column_rings - 1, 1))
+        for k in range(8):
+            x = -10.5 + k * 3.0
+            scene.add_primitive(column, col_mat, translate([x, 2.5, z]))
+            scene.add_primitive(capital, col_mat, translate([x, 5.15, z]))
+            if k % 2 == 0:
+                scene.add_primitive(
+                    drape, drape_mat, transform((x + 1.5, 3.5, z), ry=0.0) @ rot_x90()
+                )
+    for _ in range(10):
+        x, z = rng.uniform(-9, 9), rng.uniform(-5, 5)
+        scene.add_primitive(
+            ornament, gold_mat, transform((x, 0.4, z), ry=rng.uniform(0, 3.14))
+        )
+
+    scene.set_sun([0.35, -1.0, 0.25], [1.0, 0.96, 0.88], 110_000.0)
+    return scene

@@ -1,0 +1,245 @@
+"""RenderScene — the primitive pool + sun/sky owner, and its device-side pytree.
+
+Mirrors the reference's RenderScene (render_scene.hpp:22-124): an ObjectPool of
+MeshPrimitives whose GPU face is the PrimitiveDataGPU buffer with pointers into the
+mesh/material pools (render_scene.cpp:38-88), plus the sun and procedural sky.
+
+TPU-native redesign: ``build()`` bakes the scene into :class:`SceneArrays`, a NamedTuple
+pytree of device arrays. Primitive transforms are folded into world-space vertex
+mega-arrays at build time (primitives are static after add_to_scene in the reference
+too — gltf_model.cpp:141), triangle-level tables carry material/primitive ids, and
+every axis is padded to static capacity so the whole frame stays one XLA program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, NamedTuple, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from androidrenderer_tpu.scene.material_storage import (
+    ALPHA_BLEND,
+    ALPHA_MASK,
+    ALPHA_OPAQUE,
+    MaterialStorage,
+)
+from androidrenderer_tpu.scene.mesh_storage import MeshStorage
+
+
+def _pad_rows(a: np.ndarray, n: int, fill=0) -> np.ndarray:
+    if a.shape[0] >= n:
+        return a[:n]
+    pad = np.full((n - a.shape[0], *a.shape[1:]), fill, dtype=a.dtype)
+    return np.concatenate([a, pad], axis=0)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+class SceneArrays(NamedTuple):
+    """Device-resident scene — the TPU analog of the mesh/material/primitive buffers."""
+
+    # Instance-expanded world-space geometry (V = padded vertex count).
+    positions: jnp.ndarray  # (V, 3) f32
+    normals: jnp.ndarray  # (V, 3) f32 (world, normalized)
+    tangents: jnp.ndarray  # (V, 4) f32 (world xyz, handedness w)
+    uvs: jnp.ndarray  # (V, 2) f32
+    colors: jnp.ndarray  # (V, 4) f32
+    # Triangle tables (N = padded triangle count).
+    tri_indices: jnp.ndarray  # (N, 3) i32
+    tri_material: jnp.ndarray  # (N,) i32
+    tri_primitive: jnp.ndarray  # (N,) i32
+    tri_double_sided: jnp.ndarray  # (N,) bool
+    tri_alpha_mode: jnp.ndarray  # (N,) i32 (0 opaque / 1 mask / 2 blend)
+    tri_valid: jnp.ndarray  # (N,) bool
+    # Primitive table (P = padded primitive count) for culling.
+    prim_bounds: jnp.ndarray  # (P, 4) f32 world bounding sphere
+    prim_tri_range: jnp.ndarray  # (P, 2) i32 [first_triangle, num_triangles]
+    prim_valid: jnp.ndarray  # (P,) bool
+    # Materials (M = padded material count).
+    mat_base_color: jnp.ndarray  # (M, 4) f32
+    mat_metal_rough: jnp.ndarray  # (M, 2) f32
+    mat_emission: jnp.ndarray  # (M, 3) f32
+    mat_texture_ids: jnp.ndarray  # (M, 4) i32 [base, normal, metal_rough, emission]
+    mat_alpha: jnp.ndarray  # (M, 2) f32 [mode, cutoff]
+    mat_double_sided: jnp.ndarray  # (M,) bool
+    # Texture pool, mip-packed flat: (T, sum(s_l^2), 4) u8 + level offset table.
+    # The base texture size is implied statically: L levels => base size 2**(L-1).
+    textures: jnp.ndarray
+    texture_level_offsets: jnp.ndarray  # (L,) i32 texel offset of each mip level
+    # Lighting environment.
+    sun_direction: jnp.ndarray  # (3,) f32 — direction the light TRAVELS (sun -> world)
+    sun_color: jnp.ndarray  # (3,) f32 premultiplied color * intensity
+    sun_angular_size: jnp.ndarray  # () f32 tan(angular radius), for soft RT shadows
+    # Emissive surface point cloud for GI injection (K, 9): pos, normal, radiance.
+    emissive_points: jnp.ndarray
+    emissive_point_count: jnp.ndarray  # () i32
+
+
+def texture_base_size(scene: "SceneArrays") -> int:
+    """Static base mip size: L levels of a power-of-two chain => 2**(L-1)."""
+    return 2 ** (scene.texture_level_offsets.shape[0] - 1)
+
+
+@dataclasses.dataclass
+class Primitive:
+    mesh_id: int
+    material_id: int
+    transform: np.ndarray  # (4, 4) model -> world
+
+
+class RenderScene:
+    """Host-side scene builder."""
+
+    def __init__(
+        self,
+        meshes: MeshStorage | None = None,
+        materials: MaterialStorage | None = None,
+        max_primitives: int = 65536,
+    ):
+        self.meshes = meshes or MeshStorage()
+        self.materials = materials or MaterialStorage()
+        self.max_primitives = max_primitives
+        self.primitives: List[Primitive] = []
+        # Sun defaults: pointing down-ish; color white * intensity (render_scene.cpp
+        # sun defaults; exact angles differ per scene).
+        self.sun_direction = np.array([0.1, -1.0, 0.3], dtype=np.float32)
+        self.sun_color = np.array([1.0, 1.0, 1.0], dtype=np.float32) * 110_000.0
+        self.sun_angular_size = 0.00918  # tan(~0.526 deg), solar disc
+
+    def add_primitive(self, mesh_id: int, material_id: int, transform=None) -> int:
+        if len(self.primitives) >= self.max_primitives:
+            raise RuntimeError("primitive pool exhausted (65536 slots)")
+        if transform is None:
+            transform = np.eye(4, dtype=np.float32)
+        self.primitives.append(
+            Primitive(mesh_id, material_id, np.asarray(transform, np.float32))
+        )
+        return len(self.primitives) - 1
+
+    def set_sun(self, direction, color, intensity: float = 1.0) -> None:
+        d = np.asarray(direction, np.float64)
+        self.sun_direction = (d / np.linalg.norm(d)).astype(np.float32)
+        self.sun_color = (np.asarray(color, np.float32) * intensity).astype(np.float32)
+
+    # ------------------------------------------------------------------ build
+    def build(self, pad: int = 512) -> Tuple[SceneArrays, dict]:
+        """Bake to device arrays. Returns (scene_arrays, stats)."""
+        all_pos, all_nrm, all_tan, all_uv, all_col = [], [], [], [], []
+        all_tri, all_mat, all_prim, all_dbl, all_alpha = [], [], [], [], []
+        prim_bounds, prim_range = [], []
+        vtx_base = 0
+
+        mat_params = self.materials.pack_parameters()
+        for pid, prim in enumerate(self.primitives):
+            mesh = self.meshes.meshes[prim.mesh_id]
+            s, e = mesh.first_vertex, mesh.first_vertex + mesh.num_vertices
+            m = prim.transform.astype(np.float64)
+            pos = self.meshes.positions[s:e].astype(np.float64)
+            wpos = pos @ m[:3, :3].T + m[:3, 3]
+            # Normal matrix = inverse transpose of upper 3x3.
+            nmat = np.linalg.inv(m[:3, :3]).T
+            nrm = self.meshes.normals[s:e].astype(np.float64) @ nmat.T
+            nrm /= np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-12)
+            tan = self.meshes.tangents[s:e].astype(np.float64)
+            tan_w = tan[:, 3:4]
+            tan_xyz = tan[:, :3] @ m[:3, :3].T
+            tl = np.linalg.norm(tan_xyz, axis=1, keepdims=True)
+            tan_xyz = np.where(tl > 1e-12, tan_xyz / np.maximum(tl, 1e-12), tan_xyz)
+
+            all_pos.append(wpos.astype(np.float32))
+            all_nrm.append(nrm.astype(np.float32))
+            all_tan.append(np.concatenate([tan_xyz, tan_w], axis=1).astype(np.float32))
+            all_uv.append(self.meshes.uvs[s:e])
+            all_col.append(self.meshes.colors[s:e])
+
+            tris = self.meshes.mesh_triangles(prim.mesh_id) - mesh.first_vertex + vtx_base
+            ntri = tris.shape[0]
+            first_tri = sum(t.shape[0] for t in all_tri)
+            all_tri.append(tris)
+            all_mat.append(np.full(ntri, prim.material_id, np.int32))
+            all_prim.append(np.full(ntri, pid, np.int32))
+            mat = self.materials.materials[prim.material_id]
+            all_dbl.append(np.full(ntri, mat.double_sided, bool))
+            all_alpha.append(np.full(ntri, mat.alpha_mode, np.int32))
+
+            # World bounding sphere: transform object sphere (uniform-ish scale assumed;
+            # use max singular value for safety).
+            c = mesh.bounds_sphere[:3].astype(np.float64)
+            r = float(mesh.bounds_sphere[3])
+            wc = m[:3, :3] @ c + m[:3, 3]
+            scale = np.linalg.svd(m[:3, :3], compute_uv=False)[0]
+            prim_bounds.append(np.array([*wc, r * scale], np.float32))
+            prim_range.append(np.array([first_tri, ntri], np.int32))
+            vtx_base += mesh.num_vertices
+
+        if not all_pos:
+            raise RuntimeError("empty scene")
+
+        positions = np.concatenate(all_pos)
+        tri_indices = np.concatenate(all_tri)
+        nv, nt = positions.shape[0], tri_indices.shape[0]
+        npr = len(self.primitives)
+        pv, pt, pp = _round_up(nv, pad), _round_up(nt, pad), _round_up(npr, 64)
+
+        tex_mips = self.materials.pack_textures()
+        flat, offsets = _pack_mips_flat(tex_mips)
+
+        scene = SceneArrays(
+            positions=jnp.asarray(_pad_rows(positions, pv)),
+            normals=jnp.asarray(_pad_rows(np.concatenate(all_nrm), pv)),
+            tangents=jnp.asarray(_pad_rows(np.concatenate(all_tan), pv)),
+            uvs=jnp.asarray(_pad_rows(np.concatenate(all_uv), pv)),
+            colors=jnp.asarray(_pad_rows(np.concatenate(all_col), pv, fill=1)),
+            tri_indices=jnp.asarray(_pad_rows(tri_indices, pt)),
+            tri_material=jnp.asarray(_pad_rows(np.concatenate(all_mat), pt)),
+            tri_primitive=jnp.asarray(_pad_rows(np.concatenate(all_prim), pt)),
+            tri_double_sided=jnp.asarray(_pad_rows(np.concatenate(all_dbl), pt)),
+            tri_alpha_mode=jnp.asarray(_pad_rows(np.concatenate(all_alpha), pt)),
+            tri_valid=jnp.asarray(
+                _pad_rows(np.ones(nt, dtype=bool), pt, fill=False)
+            ),
+            prim_bounds=jnp.asarray(_pad_rows(np.stack(prim_bounds), pp)),
+            prim_tri_range=jnp.asarray(_pad_rows(np.stack(prim_range), pp)),
+            prim_valid=jnp.asarray(_pad_rows(np.ones(npr, dtype=bool), pp, fill=False)),
+            mat_base_color=jnp.asarray(mat_params["base_color_factor"]),
+            mat_metal_rough=jnp.asarray(mat_params["metal_rough_factor"]),
+            mat_emission=jnp.asarray(mat_params["emission_factor"]),
+            mat_texture_ids=jnp.asarray(mat_params["texture_ids"]),
+            mat_alpha=jnp.asarray(mat_params["alpha"]),
+            mat_double_sided=jnp.asarray(mat_params["double_sided"]),
+            textures=jnp.asarray(flat),
+            texture_level_offsets=jnp.asarray(offsets),
+            sun_direction=jnp.asarray(self.sun_direction),
+            sun_color=jnp.asarray(self.sun_color),
+            sun_angular_size=jnp.float32(self.sun_angular_size),
+            emissive_points=jnp.zeros((1, 9), jnp.float32),
+            emissive_point_count=jnp.int32(0),
+        )
+        stats = {
+            "num_vertices": nv,
+            "num_triangles": nt,
+            "num_primitives": npr,
+            "num_materials": len(self.materials.materials),
+            "num_textures": self.materials.num_textures,
+        }
+        return scene, stats
+
+
+def _pack_mips_flat(mips: List[np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
+    """Pack a mip chain [(T, s, s, 4)...] into (T, sum s^2, 4) + level offsets.
+
+    One flat texel axis means per-pixel trilinear sampling is a single gather with a
+    computed index — no per-level branches (ops/texture.py).
+    """
+    t = mips[0].shape[0]
+    flats = [m.reshape(t, -1, 4) for m in mips]
+    offsets = np.zeros(len(mips), dtype=np.int32)
+    acc = 0
+    for i, f in enumerate(flats):
+        offsets[i] = acc
+        acc += f.shape[1]
+    return np.concatenate(flats, axis=1), offsets
