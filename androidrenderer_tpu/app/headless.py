@@ -56,7 +56,7 @@ def main(argv=None) -> int:
         scene = procedural.courtyard_scene()
         default_cam = ([0.0, 1.7, 6.0], -0.05, 3.14159265)
     elif name == "courtyard-big":
-        scene = procedural.courtyard_scene(column_rings=4, detail=8)
+        scene = procedural.courtyard_scene(column_rings=4, detail=13)
         default_cam = ([0.0, 1.7, 6.0], -0.05, 3.14159265)
     elif name == "alpha":
         scene = procedural.alpha_test_scene()

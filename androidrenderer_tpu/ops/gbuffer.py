@@ -49,8 +49,9 @@ def resolve_gbuffer(
     vis: jnp.ndarray,  # (H, W) int32
     depth: jnp.ndarray,  # (H, W) f32
     mip_bias: jnp.ndarray | float = 0.0,
+    row_offset: jnp.ndarray | int = 0,
 ) -> GBuffer:
-    bary = compute_barycentrics(vis, setup, scene.tri_indices)
+    bary = compute_barycentrics(vis, setup, scene.tri_indices, row_offset)
     tid = jnp.maximum(vis, 0)
     mat_id = scene.tri_material[tid]  # (H, W)
 

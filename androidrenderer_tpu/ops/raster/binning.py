@@ -31,7 +31,11 @@ def bin_triangles(
     tile_h: int,
     tile_w: int,
     cap: int,
+    tile_row_offset: jnp.ndarray | int = 0,
 ) -> TileBins:
+    """Bin into a (tiles_y x tiles_x) tile grid whose first tile row is
+    ``tile_row_offset`` (nonzero when rendering a horizontal screen band under
+    multi-chip screen sharding — parallel/mesh.py)."""
     n = setup.edge.shape[0]
     num_tiles = tiles_y * tiles_x
 
@@ -43,7 +47,7 @@ def bin_triangles(
 
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     tile_x = (tile_ids % tiles_x)[:, None]  # (num_tiles, 1)
-    tile_y = (tile_ids // tiles_x)[:, None]
+    tile_y = (tile_ids // tiles_x)[:, None] + tile_row_offset
 
     mask = (
         (tile_x >= tx0[None, :])

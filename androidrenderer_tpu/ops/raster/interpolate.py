@@ -37,6 +37,7 @@ def compute_barycentrics(
     vis: jnp.ndarray,  # (H, W) int32 visibility buffer
     setup: TriangleSetup,
     tri_indices: jnp.ndarray,  # (N, 3) int32
+    row_offset: jnp.ndarray | int = 0,
 ) -> PixelBarycentrics:
     height, width = vis.shape
     valid = vis >= 0
@@ -45,7 +46,7 @@ def compute_barycentrics(
     edge = setup.edge[tid]  # (H, W, 3, 3)
     q = setup.q[tid]  # (H, W, 3)
     px = jnp.arange(width, dtype=jnp.float32)[None, :, None]
-    py = jnp.arange(height, dtype=jnp.float32)[:, None, None]
+    py = (jnp.arange(height, dtype=jnp.float32) + row_offset)[:, None, None]
 
     d = edge[..., 0] * px + edge[..., 1] * py + edge[..., 2]  # (H, W, 3)
     s = jnp.sum(d, axis=-1, keepdims=True)

@@ -57,12 +57,12 @@ def _eval_chunk(
 
 
 def _tile_pixel_centers(
-    tile_index: jnp.ndarray, tiles_x: int, tile_h: int, tile_w: int
+    tile_index: jnp.ndarray, tiles_x: int, tile_h: int, tile_w: int, row_offset
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     ty = tile_index // tiles_x
     tx = tile_index % tiles_x
     px = (tx * tile_w + jnp.arange(tile_w)).astype(jnp.float32)
-    py = (ty * tile_h + jnp.arange(tile_h)).astype(jnp.float32)
+    py = (ty * tile_h + jnp.arange(tile_h) + row_offset).astype(jnp.float32)
     return px, py
 
 
@@ -86,8 +86,12 @@ def rasterize_depth(
     tile_h: int,
     tile_w: int,
     chunk: int = 128,
+    row_offset: jnp.ndarray | int = 0,
 ) -> jnp.ndarray:
-    """Depth buffer (H, W) f32, cleared to 0.0, max-reduced reversed-Z."""
+    """Depth buffer (H, W) f32, cleared to 0.0, max-reduced reversed-Z.
+
+    ``height`` is the rendered band height; ``row_offset`` is the band's first pixel
+    row in the full frame (0 for single-device rendering)."""
     tiles_y, tiles_x = height // tile_h, width // tile_w
     cap = bins.lists.shape[1]
     chunk = min(chunk, cap)
@@ -97,7 +101,7 @@ def rasterize_depth(
     lists = lists.reshape(-1, num_chunks, chunk)
 
     def tile_fn(tile_index: jnp.ndarray, tile_lists: jnp.ndarray) -> jnp.ndarray:
-        px, py = _tile_pixel_centers(tile_index, tiles_x, tile_h, tile_w)
+        px, py = _tile_pixel_centers(tile_index, tiles_x, tile_h, tile_w, row_offset)
 
         def body(acc, ids):
             edge, q, r, dbl, live = _gather_chunk(setup, ids)
@@ -125,6 +129,7 @@ def rasterize_visibility(
     tile_h: int,
     tile_w: int,
     chunk: int = 128,
+    row_offset: jnp.ndarray | int = 0,
 ) -> jnp.ndarray:
     """Visibility buffer (H, W) int32 triangle ids; -1 where nothing was drawn.
 
@@ -148,7 +153,7 @@ def rasterize_visibility(
     def tile_fn(
         tile_index: jnp.ndarray, tile_lists: jnp.ndarray, tile_depth: jnp.ndarray
     ) -> jnp.ndarray:
-        px, py = _tile_pixel_centers(tile_index, tiles_x, tile_h, tile_w)
+        px, py = _tile_pixel_centers(tile_index, tiles_x, tile_h, tile_w, row_offset)
 
         def body(acc, ids):
             edge, q, r, dbl, live = _gather_chunk(setup, ids)

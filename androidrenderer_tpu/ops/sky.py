@@ -125,10 +125,14 @@ def view_ray_directions(
     p11,
     height: int,
     width: int,
+    row_offset: jnp.ndarray | int = 0,
+    full_height: int | None = None,
 ) -> jnp.ndarray:
-    """(H, W, 3) world-space unit rays through pixel centers."""
+    """(H, W, 3) world-space unit rays through pixel centers. ``height`` is the band
+    height; ``full_height`` the whole frame's (defaults to height)."""
+    fh = full_height or height
     px = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0
-    py = 1.0 - (jnp.arange(height, dtype=jnp.float32) + 0.5) / height * 2.0
+    py = 1.0 - (jnp.arange(height, dtype=jnp.float32) + row_offset + 0.5) / fh * 2.0
     x = px[None, :] / p00
     y = py[:, None] / p11
     d_view = jnp.stack(
@@ -149,8 +153,10 @@ def sky_background(
     height: int,
     width: int,
     exposure=0.00031415927,
+    row_offset: jnp.ndarray | int = 0,
+    full_height: int | None = None,
 ) -> jnp.ndarray:
     """(H, W, 3) HDR sky for the background pass, pre-scaled to lit-scene units."""
-    dirs = view_ray_directions(inverse_view, p00, p11, height, width)
+    dirs = view_ray_directions(inverse_view, p00, p11, height, width, row_offset, full_height)
     lum = sky_radiance(dirs, sun_direction)
     return lum * sun_color[None, None, :] * exposure * 0.05

@@ -47,9 +47,17 @@ def render_frame(
     params: RenderParams,
     temporal: TemporalState,
     config: RenderConfig,
+    band_height: int | None = None,
+    row_offset: jnp.ndarray | int = 0,
 ):
-    """Pure frame function: returns (FrameOutputs, next TemporalState)."""
-    h, w = config.render_height, config.render_width
+    """Pure frame function: returns (FrameOutputs, next TemporalState).
+
+    ``band_height``/``row_offset`` render a horizontal screen band — the multi-chip
+    screen-sharding entry (parallel/mesh.py); defaults render the full frame."""
+    h = band_height or config.render_height
+    w = config.render_width
+    tiles_y = h // config.tile_height
+    tile_row_offset = row_offset // config.tile_height if band_height else 0
 
     # --- culling (depth_culling_phase.cpp analog) --------------------------------
     prim_mask = culling.frustum_cull_spheres(
@@ -62,29 +70,33 @@ def render_frame(
 
     # --- geometry: transform + setup + bin (the "GPU-driven" pipe) ----------------
     clip = transform_to_clip(scene.positions, jnp.asarray(view.view_proj))
+    # Setup is computed against the FULL frame (AABBs live in global pixel space and
+    # are identical on every device under screen sharding — replicated work, tiny).
     setup = triangle_setup(
         clip,
         scene.tri_indices,
         w,
-        h,
+        config.render_height,
         double_sided=scene.tri_double_sided,
         tri_valid=tri_mask,
     )
     bins = bin_triangles(
-        setup, config.tiles_y, config.tiles_x, config.tile_height, config.tile_width,
-        cap=config.max_tris_per_tile,
+        setup, tiles_y, config.tiles_x, config.tile_height, config.tile_width,
+        cap=config.max_tris_per_tile, tile_row_offset=tile_row_offset,
     )
 
     # --- depth prepass + visibility buffer ----------------------------------------
     depth = rasterize_depth(
-        setup, bins, h, w, config.tile_height, config.tile_width
+        setup, bins, h, w, config.tile_height, config.tile_width,
+        row_offset=row_offset,
     )
     vis = rasterize_visibility(
-        setup, bins, depth, config.tile_height, config.tile_width
+        setup, bins, depth, config.tile_height, config.tile_width,
+        row_offset=row_offset,
     )
 
     # --- gbuffer resolve ------------------------------------------------------------
-    gbuf = resolve_gbuffer(scene, setup, vis, depth)
+    gbuf = resolve_gbuffer(scene, setup, vis, depth, row_offset=row_offset)
 
     # --- sky ------------------------------------------------------------------------
     p00 = view.projection[0, 0]
@@ -94,6 +106,7 @@ def render_frame(
             jnp.asarray(view.inverse_view), p00, p11,
             scene.sun_direction, scene.sun_color, h, w,
             exposure=params.sun_exposure,
+            row_offset=row_offset, full_height=config.render_height,
         )
     else:
         sky_img = jnp.zeros((h, w, 3), jnp.float32)

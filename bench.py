@@ -1,0 +1,83 @@
+"""Headline benchmark: Sponza-class scene (~262k tris) at 1920x1080, ms/frame.
+
+BASELINE.json target: <= 16 ms/frame on one TPU v5e chip. The scene is the procedural
+courtyard fixture scaled to Sponza's triangle count (the reference ships no Sponza
+asset; triangle count, texture usage, and screen coverage are matched instead).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
+vs_baseline = target_ms / measured_ms (>1 means faster than the 16 ms target).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+TARGET_MS = 16.0
+
+
+def main() -> int:
+    from androidrenderer_tpu.camera import Camera
+    from androidrenderer_tpu.config import RenderConfig, RenderParams
+    from androidrenderer_tpu.render import initial_temporal_state, make_renderer
+    from androidrenderer_tpu.scene.procedural import courtyard_scene
+
+    # 1920x1088 = 15x34 tiles of 128x32 (1088 rows rendered; the extra 8 rows vs
+    # 1080 are <1% more work, counted against us).
+    width, height = 1920, 1088
+    config = RenderConfig(
+        render_width=width, render_height=height,
+        output_width=width, output_height=height,
+        tile_height=32, tile_width=128,
+        max_tris_per_tile=4096,
+    )
+
+    # detail=13 => 266,648 triangles (Sponza ~262k).
+    scene_host = courtyard_scene(column_rings=4, detail=13)
+    scene, stats = scene_host.build()
+    print(f"# scene: {stats}", file=sys.stderr)
+
+    cam = Camera(
+        fov_degrees=config.fov_degrees, aspect=width / height,
+        z_near=config.z_near, render_resolution=(width, height),
+    )
+    cam.set_position([0.0, 1.7, 6.0])
+    cam.pitch, cam.yaw = -0.05, np.pi
+    view = cam.view_data()
+    params = RenderParams.default()
+    temporal = initial_temporal_state(height, width)
+
+    renderer = make_renderer(config)
+
+    # Warmup (compile) + 2 cached frames.
+    t0 = time.perf_counter()
+    out, temporal = renderer(scene, view, params, temporal)
+    np.asarray(out.image)
+    print(f"# compile+first frame: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    for _ in range(2):
+        out, temporal = renderer(scene, view, params, temporal)
+    np.asarray(out.image)
+
+    times = []
+    for _ in range(8):
+        t0 = time.perf_counter()
+        out, temporal = renderer(scene, view, params, temporal)
+        np.asarray(out.image)  # device sync
+        times.append((time.perf_counter() - t0) * 1e3)
+    ms = float(np.median(times))
+    print(f"# frame times (ms): {[round(t, 2) for t in times]}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "sponza_class_262k_tris_1920x1080_frame_time",
+        "value": round(ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(TARGET_MS / ms, 4),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

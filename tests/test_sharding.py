@@ -1,0 +1,65 @@
+"""Multi-device screen sharding: sharded render must equal single-device render."""
+
+import numpy as np
+import jax
+import pytest
+from jax.sharding import Mesh
+
+from androidrenderer_tpu.camera import Camera
+from androidrenderer_tpu.config import RenderConfig, RenderParams
+from androidrenderer_tpu.parallel.mesh import make_sharded_renderer, shard_temporal
+from androidrenderer_tpu.render import initial_temporal_state, make_renderer
+from androidrenderer_tpu.scene.procedural import cornell_scene
+
+W, H = 128, 256
+CFG = RenderConfig(
+    render_width=W, render_height=H, output_width=W, output_height=H,
+    tile_height=8, tile_width=128, max_tris_per_tile=512,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    scene, _ = cornell_scene().build()
+    cam = Camera(fov_degrees=75.0, aspect=W / H, render_resolution=(W, H))
+    cam.set_position([0.0, 0.0, 2.2])
+    cam.yaw = np.pi
+    return scene, cam.view_data()
+
+
+def test_sharded_matches_single_device(setup):
+    scene, view = setup
+    params = RenderParams.default()
+
+    ref_out, ref_temp = make_renderer(CFG)(
+        scene, view, params, initial_temporal_state(H, W)
+    )
+
+    devices = jax.devices()
+    assert len(devices) >= 8, "conftest must provide 8 virtual cpu devices"
+    mesh = Mesh(np.array(devices[:8]), ("screen",))
+    temporal = shard_temporal(initial_temporal_state(H, W), mesh)
+    out, temp = make_sharded_renderer(CFG, mesh)(scene, view, params, temporal)
+
+    np.testing.assert_array_equal(np.asarray(out.image), np.asarray(ref_out.image))
+    np.testing.assert_allclose(
+        np.asarray(out.depth), np.asarray(ref_out.depth), rtol=0, atol=0
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out.visibility), np.asarray(ref_out.visibility)
+    )
+    # Temporal state stays sharded and steps again without resharding.
+    out2, _ = make_sharded_renderer(CFG, mesh)(scene, view, params, temp)
+    np.testing.assert_array_equal(np.asarray(out2.image), np.asarray(ref_out.image))
+
+
+def test_sharded_rejects_bad_band_split(setup):
+    scene, view = setup
+    bad_cfg = CFG.replace(render_height=136, output_height=136)  # 17 tiles / 8 devs
+    devices = jax.devices()
+    mesh = Mesh(np.array(devices[:8]), ("screen",))
+    with pytest.raises(ValueError, match="bands"):
+        make_sharded_renderer(bad_cfg, mesh)(
+            scene, view, RenderParams.default(),
+            initial_temporal_state(136, W),
+        )
