@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from androidrenderer_tpu.camera import ViewData
 from androidrenderer_tpu.config import AOMode, AAMode, GIMode, RenderConfig, RenderParams, ShadowMode
 from androidrenderer_tpu.ops import culling, lighting, post, sky
+from androidrenderer_tpu.ops import shadow as shadow_ops
 from androidrenderer_tpu.ops.gbuffer import GBuffer, resolve_gbuffer
 from androidrenderer_tpu.ops.raster import (
     rasterize_depth,
@@ -111,8 +112,31 @@ def render_frame(
     else:
         sky_img = jnp.zeros((h, w, 3), jnp.float32)
 
-    # --- shadows (CSM milestone fills this in) ---------------------------------------
-    shadow = None
+    # --- shadows: in-jit cascade fit + batched depth raster + PCF --------------------
+    if config.shadow_mode == ShadowMode.CSM:
+        cascades = shadow_ops.fit_cascades(
+            jnp.asarray(view.inverse_view), p00, p11, scene.sun_direction,
+            config.num_shadow_cascades, config.shadow_cascade_resolution,
+            config.z_near, config.shadow_max_distance,
+            config.shadow_cascade_split_lambda,
+        )
+        shadow_maps = shadow_ops.render_shadow_cascades(
+            scene.positions, scene.tri_indices, scene.tri_valid, cascades,
+            config.shadow_cascade_resolution,
+        )
+        l = -scene.sun_direction / jnp.linalg.norm(scene.sun_direction)
+        ndotl = jnp.clip(
+            jnp.sum(gbuf.normal * l[None, None, :], axis=-1, keepdims=True), 0.0, 1.0
+        )
+        view_distance = jnp.where(
+            depth > 0.0, view.z_near / jnp.maximum(depth, 1e-12), 0.0
+        )
+        shadow = shadow_ops.sample_csm(
+            gbuf.world_position, view_distance, ndotl, cascades, shadow_maps,
+            params.shadow_bias,
+        )
+    else:
+        shadow = None
 
     # --- lighting ---------------------------------------------------------------------
     direct = lighting.sun_lighting(
