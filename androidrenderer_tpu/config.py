@@ -46,6 +46,14 @@ class AOMode(enum.Enum):
     RT = 2  # RTAO via BVH traversal
 
 
+class RasterBackend(enum.Enum):
+    """Rasterizer implementation: the Pallas scalar-span kernel (TPU production path,
+    ~8x the XLA reduction path) or the XLA path (CPU tests / fallback / oracle)."""
+
+    PALLAS = 0
+    XLA = 1
+
+
 class AAMode(enum.Enum):
     """r.AntiAliasing equivalent. Vendor upscalers (FSR3/DLSS/XeSS) are not portable to
     TPU; the IUpscaler-shaped replacement is our own jittered TAA (upscaler.hpp:13-32)."""
@@ -80,6 +88,9 @@ class RenderConfig:
     aa_mode: AAMode = AAMode.OFF
     bloom: bool = True
     sky: bool = True
+    raster_backend: RasterBackend = RasterBackend.PALLAS
+    pallas_interpret: bool = False  # interpret-mode Pallas (hermetic CPU tests)
+    raster_num_slabs: int = 4
 
     # Shadow cascade config (directional_light.cpp:28-44: 4 cascades @ 4096^2,
     # lambda 0.95, max distance 128m). TPU default shrinks the cascade resolution; the

@@ -43,6 +43,15 @@ def _normalize(v, eps=1e-12):
     return v / jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), eps))
 
 
+def _interp(attr, bary):
+    """Barycentric attribute interpolation as broadcast mul-sum.
+
+    NOTE: never einsum here — XLA lowers the (hwvk,hwv->hwk) contraction to a batched
+    dot_general with catastrophic layouts on TPU (measured 333 ms vs 0.1 ms for this
+    formulation at 2M px)."""
+    return jnp.sum(attr[bary.vertex_ids] * bary.lam[..., None], axis=-2)
+
+
 def resolve_gbuffer(
     scene: SceneArrays,
     setup: TriangleSetup,
@@ -65,7 +74,7 @@ def resolve_gbuffer(
         scene.textures, scene.texture_level_offsets, base_size, tex_ids[..., 0], uv, lod
     )
     base_rgb = srgb_to_linear(base_s[..., :3])
-    vcolor = jnp.einsum("hwvk,hwv->hwk", scene.colors[bary.vertex_ids], bary.lam)
+    vcolor = _interp(scene.colors, bary)
     base_factor = scene.mat_base_color[mat_id]
     base_color = base_rgb * base_factor[..., :3] * vcolor[..., :3]
 
@@ -74,9 +83,8 @@ def resolve_gbuffer(
         scene.textures, scene.texture_level_offsets, base_size, tex_ids[..., 1], uv, lod
     )
     n_ts = nrm_s[..., :3] * 2.0 - 1.0
-    geo_n = jnp.einsum("hwvk,hwv->hwk", scene.normals[bary.vertex_ids], bary.lam)
-    geo_n = _normalize(geo_n)
-    tan4 = jnp.einsum("hwvk,hwv->hwk", scene.tangents[bary.vertex_ids], bary.lam)
+    geo_n = _normalize(_interp(scene.normals, bary))
+    tan4 = _interp(scene.tangents, bary)
     t = tan4[..., :3]
     t_len2 = jnp.sum(t * t, axis=-1, keepdims=True)
     has_tangent = t_len2 > 1e-8
@@ -102,7 +110,7 @@ def resolve_gbuffer(
     )
     emission = srgb_to_linear(em_s[..., :3]) * scene.mat_emission[mat_id]
 
-    world_pos = jnp.einsum("hwvk,hwv->hwk", scene.positions[bary.vertex_ids], bary.lam)
+    world_pos = _interp(scene.positions, bary)
 
     mask = bary.valid[..., None]
     zero = jnp.zeros_like(base_color)

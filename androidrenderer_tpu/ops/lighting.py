@@ -55,3 +55,36 @@ def compose_lit_scene(
         lit = lit + gi * (ao if ao is not None else 1.0)
     lit = lit + gbuffer.emission
     return jnp.where(gbuffer.valid[..., None], lit, sky)
+
+
+def ssao(
+    gbuffer: GBuffer,
+    camera_position: jnp.ndarray,
+    z_near,
+    radius: float = 0.5,
+    bias: float = 0.02,
+    intensity: float = 1.0,
+) -> jnp.ndarray:
+    """Screen-space AO — the CACAO-slot fallback (ambient_occlusion_phase.cpp:191-355).
+
+    Alchemy-style estimator over fixed shifted taps (pure rolls, fully vectorized):
+    occlusion from neighbors whose world-space offset points above the tangent plane
+    within the radius."""
+    wp = gbuffer.world_position
+    n = gbuffer.normal
+    occ = jnp.zeros(wp.shape[:2], jnp.float32)
+    taps = 0
+    for r in (2, 5, 9):
+        for dy, dx in ((0, r), (0, -r), (r, 0), (-r, 0), (r, r), (-r, r), (r, -r), (-r, -r)):
+            q = jnp.roll(wp, (dy, dx), axis=(0, 1))
+            qv = jnp.roll(gbuffer.valid, (dy, dx), axis=(0, 1))
+            v = q - wp
+            d2 = jnp.sum(v * v, axis=-1)
+            vn = jnp.sum(v * n, axis=-1)
+            contrib = jnp.maximum(vn - bias, 0.0) / (d2 + 1e-4)
+            # range falloff
+            w_r = jnp.clip(1.0 - d2 / (radius * radius), 0.0, 1.0)
+            occ = occ + jnp.where(qv, contrib * w_r * jnp.sqrt(d2), 0.0)
+            taps += 1
+    ao = jnp.clip(1.0 - intensity * occ / taps * 8.0, 0.0, 1.0)
+    return jnp.where(gbuffer.valid, ao, 1.0)[..., None]

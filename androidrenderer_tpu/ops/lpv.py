@@ -1,0 +1,375 @@
+"""Light Propagation Volumes — Crytek-style cascaded LPV GI
+(gi/light_propagation_volume.cpp:321-1212, shaders/gi/lpv/*).
+
+Parity structure (SURVEY.md §2.7):
+- 4 cascades x 32^3 cells, cell 0.25 m doubling per cascade, camera-following with
+  ~10% of the volume behind the camera (cpp:455-519), snapped to whole cells.
+- RSM (flux/normal/depth) rendered from the sun per cascade at 128^2 (cpp:548-617)
+  — here: a visibility-buffer raster from the sun + deferred resolve.
+- VPL extraction: brightest of each 2x2 RSM quad (rsm_generate_vpls.comp:55-64).
+- Injection: cosine-lobe SH x flux scatter-add into the radiance volume; geometry
+  volume (GV) gets surfel occlusion with max-combine (gv_injection).
+- 32-step propagation, 6-neighbor faces scheme with side faces
+  (lpv_propagate.comp.slang:36-80) with GV occlusion.
+- Apply: fullscreen overlay evaluating the SH toward the surface normal
+  (overlay.frag), scaled by the lpv exposure cvar (default pi*10, cpp:77-79).
+
+Everything is pure XLA: the volumes are (C, 3, 4, R, R, R) arrays, propagation is a
+rolled-shift stencil (vectorized over all cascades/cells), injection is scatter-add.
+Volumes are rebuilt every frame exactly like the reference (clear_volume each frame,
+cpp:839-926) — no temporal state.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from androidrenderer_tpu.ops import sh
+from androidrenderer_tpu.ops.post import srgb_to_linear
+from androidrenderer_tpu.ops.raster.interpolate import compute_barycentrics
+from androidrenderer_tpu.ops.raster.setup import triangle_setup, transform_to_clip
+
+# Solid angles of the far face / side faces of a cell as seen from the neighbor
+# (standard LPV constants; 6 * (direct + 4 * side) == 4pi).
+SA_DIRECT = 0.4006696846
+SA_SIDE = 0.4234413544
+
+_DIRS = jnp.array(
+    [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
+    dtype=jnp.float32,
+)
+
+
+class LPVVolumes(NamedTuple):
+    radiance: jnp.ndarray  # (C, 3, 4, R, R, R) RGB x SH4, grid order (z, y, x)
+    gv: jnp.ndarray  # (C, 4, R, R, R) occlusion SH
+    mins: jnp.ndarray  # (C, 3) world-space min corner
+    cell_sizes: jnp.ndarray  # (C,) meters
+
+
+def cascade_origins(
+    camera_position: jnp.ndarray,  # (3,)
+    camera_forward: jnp.ndarray,  # (3,)
+    num_cascades: int,
+    resolution: int,
+    base_cell: float,
+    behind_percent: float = 0.1,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(C, 3) snapped cascade min corners + (C,) cell sizes (cpp:455-519)."""
+    mins = []
+    sizes = []
+    for c in range(num_cascades):
+        cell = base_cell * (2.0**c)
+        extent = cell * resolution
+        center = camera_position + camera_forward * extent * (0.5 - behind_percent)
+        mn = center - 0.5 * extent
+        mn = jnp.floor(mn / cell) * cell  # snap to whole cells
+        mins.append(mn)
+        sizes.append(cell)
+    return jnp.stack(mins), jnp.asarray(sizes, jnp.float32)
+
+
+def _rsm_ortho_matrix(
+    cascade_min: jnp.ndarray, extent, sun_direction: jnp.ndarray
+) -> jnp.ndarray:
+    """World -> light clip ortho covering the cascade volume (RSM camera)."""
+    sun = sun_direction / jnp.linalg.norm(sun_direction)
+    up = jnp.where(jnp.abs(sun[1]) < 0.99, jnp.array([0.0, 1.0, 0.0]),
+                   jnp.array([1.0, 0.0, 0.0]))
+    right = jnp.cross(up, sun)
+    right = right / jnp.linalg.norm(right)
+    lup = jnp.cross(sun, right)
+    center = cascade_min + 0.5 * extent
+    radius = 0.866026 * extent  # bounding sphere of the cube
+    backup = radius + 1.0
+    origin = center - sun * backup
+    depth_range = 2.0 * backup
+    rowx = right / radius
+    rowy = lup / radius
+    rowz = -sun / depth_range
+    return jnp.stack([
+        jnp.concatenate([rowx, (-jnp.dot(rowx, origin))[None]]),
+        jnp.concatenate([rowy, (-jnp.dot(rowy, origin))[None]]),
+        jnp.concatenate([rowz, (1.0 + jnp.dot(sun, origin) / depth_range)[None]]),
+        jnp.array([0.0, 0.0, 0.0, 1.0]),
+    ]).astype(jnp.float32)
+
+
+def render_rsm(
+    scene,  # SceneArrays
+    matrix: jnp.ndarray,  # (4, 4) RSM camera
+    resolution: int,
+    raster_fn,  # (setup, h, w) -> (depth, vis)
+):
+    """Render one RSM: (albedo (R,R,3), normal (R,R,3), world_pos (R,R,3), valid)."""
+    clip = transform_to_clip(scene.positions, matrix)
+    setup = triangle_setup(
+        clip, scene.tri_indices, resolution, resolution,
+        double_sided=jnp.ones_like(scene.tri_double_sided), tri_valid=scene.tri_valid,
+    )
+    depth, vis = raster_fn(setup, resolution, resolution)
+    bary = compute_barycentrics(vis, setup, scene.tri_indices)
+    lam = bary.lam[..., None]
+    nrm = jnp.sum(scene.normals[bary.vertex_ids] * lam, axis=-2)
+    nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-9)
+    wpos = jnp.sum(scene.positions[bary.vertex_ids] * lam, axis=-2)
+    mat_id = scene.tri_material[jnp.maximum(vis, 0)]
+    albedo = scene.mat_base_color[mat_id][..., :3]
+    # Material base-color textures at a coarse mip would refine this; factor-only flux
+    # matches the RSM's low resolution well.
+    return albedo, nrm, wpos, bary.valid
+
+
+def extract_vpls(
+    albedo: jnp.ndarray,  # (R, R, 3)
+    normal: jnp.ndarray,
+    world_pos: jnp.ndarray,
+    valid: jnp.ndarray,
+    sun_color: jnp.ndarray,  # (3,)
+):
+    """Brightest-of-2x2 VPL extraction (rsm_generate_vpls.comp:55-64).
+
+    Returns (pos (K,3), normal (K,3), flux (K,3), mask (K,)) with K = (R/2)^2."""
+    r = albedo.shape[0]
+    flux = albedo * sun_color[None, None, :] * jnp.where(valid[..., None], 1.0, 0.0)
+    lum = flux @ jnp.array([0.2126, 0.7152, 0.0722])
+    # group into 2x2 quads
+    lum4 = lum.reshape(r // 2, 2, r // 2, 2).transpose(0, 2, 1, 3).reshape(-1, 4)
+    pick = jnp.argmax(lum4, axis=1)  # (K,)
+
+    def gather(img):
+        k = img.shape[-1]
+        q = img.reshape(r // 2, 2, r // 2, 2, k).transpose(0, 2, 1, 3, 4).reshape(-1, 4, k)
+        return jnp.take_along_axis(q, pick[:, None, None], axis=1)[:, 0]
+
+    v4 = valid.reshape(r // 2, 2, r // 2, 2).transpose(0, 2, 1, 3).reshape(-1, 4)
+    mask = jnp.take_along_axis(v4, pick[:, None], axis=1)[:, 0]
+    # Scale: VPL count ratio (32^2 / 128^2) like vpl_injection.frag:36-52.
+    scale = (32.0 * 32.0) / (r * r)
+    return gather(world_pos), gather(normal), gather(flux) * scale, mask
+
+
+def inject(
+    radiance: jnp.ndarray,  # (3, 4, R, R, R) one cascade
+    gv: jnp.ndarray,  # (4, R, R, R)
+    vpl_pos: jnp.ndarray,  # (K, 3)
+    vpl_normal: jnp.ndarray,  # (K, 3)
+    vpl_flux: jnp.ndarray,  # (K, 3)
+    vpl_mask: jnp.ndarray,  # (K,)
+    cascade_min: jnp.ndarray,  # (3,)
+    cell_size,
+    resolution: int,
+):
+    """Scatter VPLs into the radiance volume (+ surfel occlusion into the GV)."""
+    # Offset half a cell along the normal to avoid self-light/self-occlusion
+    # (vpl_injection bias).
+    pos = vpl_pos + vpl_normal * (0.5 * cell_size)
+    cellf = (pos - cascade_min) / cell_size
+    cell = jnp.floor(cellf).astype(jnp.int32)
+    inb = vpl_mask & jnp.all((cell >= 0) & (cell < resolution), axis=-1)
+    cx, cy, cz = cell[:, 0], cell[:, 1], cell[:, 2]
+    # Out-of-bounds -> index R (dropped).
+    drop = jnp.where(inb, cz, resolution)
+
+    lobe = sh.sh_cosine_lobe(vpl_normal)  # (K, 4)
+    contrib = vpl_flux[:, :, None] * lobe[:, None, :]  # (K, 3, 4)
+    radiance = radiance.at[:, :, drop, cy, cx].add(
+        jnp.where(inb[:, None, None], contrib, 0.0).transpose(1, 2, 0), mode="drop"
+    )
+
+    # GV surfel occlusion, max-combined (gv uses raw RSM resolution in the reference;
+    # VPL-level injection is the coarse equivalent).
+    gv_cell = jnp.floor((vpl_pos - cascade_min) / cell_size).astype(jnp.int32)
+    ginb = vpl_mask & jnp.all((gv_cell >= 0) & (gv_cell < resolution), axis=-1)
+    gx, gy, gz = gv_cell[:, 0], gv_cell[:, 1], gv_cell[:, 2]
+    gdrop = jnp.where(ginb, gz, resolution)
+    occ = jnp.abs(sh.sh_cosine_lobe(vpl_normal))  # (K, 4)
+    gv = gv.at[:, gdrop, gy, gx].max(
+        jnp.where(ginb[:, None], occ, 0.0).T, mode="drop"
+    )
+    return radiance, gv
+
+
+def propagate(
+    radiance: jnp.ndarray,  # (C, 3, 4, R, R, R)
+    gv: jnp.ndarray,  # (C, 4, R, R, R)
+    num_steps: int,
+    occlusion: bool = True,
+) -> jnp.ndarray:
+    """32-step 6-neighbor propagation with side faces + GV occlusion
+    (lpv_propagate.comp.slang:36-80). Returns accumulated radiance."""
+    # Precompute per-direction face data (static, host numpy -> baked constants).
+    def np_sh_eval(v):
+        return np.array([sh.SH_C0, -sh.SH_C1 * v[1], sh.SH_C1 * v[2], -sh.SH_C1 * v[0]],
+                        np.float32)
+
+    def np_cos_lobe(v):
+        return np.array(
+            [sh.COS_LOBE_C0, -sh.COS_LOBE_C1 * v[1], sh.COS_LOBE_C1 * v[2],
+             -sh.COS_LOBE_C1 * v[0]], np.float32)
+
+    dirs_np = np.asarray(_DIRS)
+    face_terms = []
+    for d_idx in range(6):
+        d = dirs_np[d_idx]
+        d_axis = int(np.argmax(np.abs(d)))
+        terms = [(jnp.asarray(np_sh_eval(d)), jnp.asarray(np_cos_lobe(d)), SA_DIRECT)]
+        for s_idx in range(6):
+            sdir = dirs_np[s_idx]
+            if int(np.argmax(np.abs(sdir))) == d_axis:
+                continue
+            eval_dir = d + 0.5 * sdir
+            eval_dir = eval_dir / np.linalg.norm(eval_dir)
+            terms.append(
+                (jnp.asarray(np_sh_eval(eval_dir)), jnp.asarray(np_cos_lobe(sdir)),
+                 SA_SIDE)
+            )
+        face_terms.append(terms)
+
+    axis_of = [5, 5, 4, 4, 3, 3]  # grid axes (z,y,x) => dims 3,4,5 of (C,3,4,R,R,R)
+    shift_of = [-1, 1, -1, 1, -1, 1]  # roll amount bringing the neighbor into place
+    # _DIRS[0] = +x: neighbor at -x contributes -> roll +1 along x-dim? Grid order is
+    # (z, y, x): dir +x -> axis 5. Neighbor at cell - d; rolling by +1 along the axis
+    # moves data from index i-1 to i, i.e. brings the -d neighbor for positive d.
+    axis_map = {0: (5, 1), 1: (5, -1), 2: (4, 1), 3: (4, -1), 4: (3, 1), 5: (3, -1)}
+
+    def step(delta):
+        out = jnp.zeros_like(delta)
+        for d_idx in range(6):
+            axis, shift = axis_map[d_idx]
+            neighbor = jnp.roll(delta, shift, axis=axis)
+            # Zero the wrapped slab.
+            idx = 0 if shift == 1 else delta.shape[axis] - 1
+            neighbor = jax.lax.dynamic_update_slice_in_dim(
+                neighbor, jnp.zeros_like(jax.lax.index_in_dim(neighbor, idx, axis)),
+                idx, axis,
+            )
+            if occlusion:
+                ngv = jnp.roll(gv, shift, axis=axis - 1)  # gv dims are (C,4,R,R,R)
+                occ_eval = sh.sh_evaluate(-_DIRS[d_idx])  # (4,)
+                occ = 1.0 - jnp.clip(
+                    jnp.einsum("k,ckzyx->czyx", occ_eval, ngv), 0.0, 1.0
+                )
+                occ = occ[:, None, None]  # (C,1,1,R,R,R)
+            else:
+                occ = 1.0
+            for eval_sh, lobe_sh, sa in face_terms[d_idx]:
+                flux = jnp.maximum(
+                    jnp.einsum("k,cgkzyx->cgzyx", eval_sh, neighbor), 0.0
+                ) * (sa / jnp.pi)
+                out = out + flux[:, :, None] * occ * lobe_sh[None, None, :, None, None, None]
+        return out
+
+    acc = radiance
+    delta = radiance
+
+    def body(_, carry):
+        acc, delta = carry
+        delta = step(delta)
+        return acc + delta, delta
+
+    acc, _ = jax.lax.fori_loop(0, num_steps, body, (acc, delta))
+    return acc
+
+
+def apply_lpv(
+    volumes: LPVVolumes,
+    world_position: jnp.ndarray,  # (H, W, 3)
+    normal: jnp.ndarray,  # (H, W, 3)
+    base_color: jnp.ndarray,  # (H, W, 3)
+    valid: jnp.ndarray,  # (H, W)
+    exposure,  # lpv exposure cvar (default pi*10)
+) -> jnp.ndarray:
+    """Fullscreen GI overlay (overlay.frag): trilinear SH fetch from the finest
+    cascade containing the pixel, evaluated toward the surface normal."""
+    c, _, _, r, _, _ = volumes.radiance.shape
+
+    # Select finest cascade containing the point (with a 1-cell margin).
+    cellf = (world_position[None] - volumes.mins[:, None, None, :]) / volumes.cell_sizes[
+        :, None, None, None
+    ]
+    inside = jnp.all((cellf >= 1.0) & (cellf <= r - 2.0), axis=-1)  # (C, H, W)
+    first_inside = jnp.argmax(inside, axis=0)  # finest containing
+    any_inside = jnp.any(inside, axis=0)
+    ci = first_inside
+
+    h, w, _ = world_position.shape
+    sel = jnp.take_along_axis(
+        cellf.reshape(c, h, w, 3), ci[None, ..., None], axis=0
+    )[0] - 0.5  # sample at cell centers
+    c0 = jnp.floor(sel)
+    f = sel - c0
+    c0i = jnp.clip(c0.astype(jnp.int32), 0, r - 2)
+
+    # Gather the 8 corners of the trilinear cell for all 12 coefficients.
+    rad = volumes.radiance.transpose(0, 3, 4, 5, 1, 2).reshape(c, r, r, r, 12)
+
+    def corner(dx, dy, dz):
+        return rad[ci, c0i[..., 2] + dz, c0i[..., 1] + dy, c0i[..., 0] + dx]
+
+    fx = f[..., 0:1]
+    fy = f[..., 1:2]
+    fz = f[..., 2:3]
+    v000, v100 = corner(0, 0, 0), corner(1, 0, 0)
+    v010, v110 = corner(0, 1, 0), corner(1, 1, 0)
+    v001, v101 = corner(0, 0, 1), corner(1, 0, 1)
+    v011, v111 = corner(0, 1, 1), corner(1, 1, 1)
+    v00 = v000 + (v100 - v000) * fx
+    v10 = v010 + (v110 - v010) * fx
+    v01 = v001 + (v101 - v001) * fx
+    v11 = v011 + (v111 - v011) * fx
+    v0 = v00 + (v10 - v00) * fy
+    v1 = v01 + (v11 - v01) * fy
+    shv = (v0 + (v1 - v0) * fz).reshape(h, w, 3, 4)
+
+    lobe = sh.sh_cosine_lobe(-normal)  # (H, W, 4)
+    gi = jnp.maximum(jnp.einsum("hwgk,hwk->hwg", shv, lobe), 0.0)
+    gi = gi * base_color * (1.0 / jnp.pi) * exposure
+    return jnp.where((valid & any_inside)[..., None], gi, 0.0)
+
+
+def build_lpv(
+    scene,
+    camera_position: jnp.ndarray,
+    camera_forward: jnp.ndarray,
+    raster_fn,
+    num_cascades: int,
+    resolution: int,
+    base_cell: float,
+    rsm_resolution: int,
+    num_steps: int,
+    behind_percent: float = 0.1,
+) -> LPVVolumes:
+    """Full LPV frame slice: cascades -> RSM -> VPLs -> inject -> propagate."""
+    mins, cells = cascade_origins(
+        camera_position, camera_forward, num_cascades, resolution, base_cell,
+        behind_percent,
+    )
+    radiance = jnp.zeros((num_cascades, 3, 4, resolution, resolution, resolution))
+    gv = jnp.zeros((num_cascades, 4, resolution, resolution, resolution))
+    for c in range(num_cascades):
+        extent = cells[c] * resolution
+        m = _rsm_ortho_matrix(mins[c], extent, scene.sun_direction)
+        albedo, nrm, wpos, val = render_rsm(scene, m, rsm_resolution, raster_fn)
+        p, n, flux, mask = extract_vpls(albedo, nrm, wpos, val, scene.sun_color)
+        rc, gc = inject(
+            radiance[c], gv[c], p, n, flux, mask, mins[c], cells[c], resolution
+        )
+        # Emissive mesh-light point clouds (render_scene.cpp:257-310).
+        ep = scene.emissive_points
+        if ep.shape[0] > 1:
+            emask = (
+                jnp.arange(ep.shape[0]) < scene.emissive_point_count
+            )
+            rc, gc = inject(
+                rc, gc, ep[:, 0:3], ep[:, 3:6], ep[:, 6:9], emask, mins[c], cells[c],
+                resolution,
+            )
+        radiance = radiance.at[c].set(rc)
+        gv = gv.at[c].set(gc)
+    radiance = propagate(radiance, gv, num_steps)
+    return LPVVolumes(radiance=radiance, gv=gv, mins=mins, cell_sizes=cells)

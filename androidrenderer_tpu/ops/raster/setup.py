@@ -124,7 +124,18 @@ def triangle_setup(
     # Off-screen AABB cull (only valid when all_front).
     on_screen = jnp.where(all_front, (x1 >= x0) & (y1 >= y0), True)
 
-    valid = nondegenerate & any_front & on_screen
+    # Backface culling (single-sided triangles, fully in front of the camera):
+    # glTF CCW front faces have NEGATIVE signed area in our y-down pixel space.
+    # Mixed-w triangles are conservatively kept.
+    area2 = (px[:, 1] - px[:, 0]) * (py[:, 2] - py[:, 0]) - (
+        py[:, 1] - py[:, 0]
+    ) * (px[:, 2] - px[:, 0])
+    dbl = (
+        jnp.ones((n,), dtype=bool) if double_sided is None else double_sided
+    )
+    front_facing = ~all_front | (area2 < 0.0) | dbl
+
+    valid = nondegenerate & any_front & on_screen & front_facing
     if tri_valid is not None:
         valid = valid & tri_valid
     if double_sided is None:

@@ -129,20 +129,38 @@ def render_shadow_cascades(
     tile_h: int = 64,
     tile_w: int = 128,
     cap: int = 2048,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ) -> jnp.ndarray:
     """(C, R, R) reversed-Z shadow depth maps — batched depth-only raster.
 
     Shadow rasterization treats everything double-sided (a depth-only pass has no
     shading; this also matches the reference's shadow PSOs which disable culling for
     masked geometry)."""
+    from androidrenderer_tpu.ops.raster.raster_pallas import rasterize_pallas
 
-    def one(mat):
+    def one_setup(mat):
         clip = transform_to_clip(positions, mat)
         dbl = jnp.ones(tri_indices.shape[0], dtype=bool)
-        setup = triangle_setup(
+        return triangle_setup(
             clip, tri_indices, resolution, resolution, double_sided=dbl,
             tri_valid=tri_valid,
         )
+
+    if use_pallas:
+        maps = []
+        for i in range(cascades.matrices.shape[0]):
+            setup = one_setup(cascades.matrices[i])
+            maps.append(
+                rasterize_pallas(
+                    setup, resolution, resolution, num_slabs=2, depth_only=True,
+                    interpret=pallas_interpret,
+                )
+            )
+        return jnp.stack(maps)
+
+    def one(mat):
+        setup = one_setup(mat)
         bins = bin_triangles(
             setup, resolution // tile_h, resolution // tile_w, tile_h, tile_w, cap
         )

@@ -49,10 +49,15 @@ def sample_bilinear(
     y0i, y1i = wrap(y0), wrap(y0 + 1)
 
     off = level_offsets[level]
+    t, f, _ = textures.shape
+    flat = textures.reshape(t * f, 4)
+    tex_base = tex_ids.astype(jnp.int32) * f
 
     def fetch(yy, xx):
-        idx = off + yy * size + xx
-        return textures[tex_ids, idx].astype(jnp.float32) * (1.0 / 255.0)
+        # Single-axis flat gather — the two-axis form textures[tex_ids, idx] lowers to
+        # a slow multi-index gather on TPU (measured ~40x slower).
+        idx = tex_base + off + yy * size + xx
+        return flat[idx].astype(jnp.float32) * (1.0 / 255.0)
 
     c00 = fetch(y0i, x0i)
     c01 = fetch(y0i, x1i)

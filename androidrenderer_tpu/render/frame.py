@@ -19,8 +19,14 @@ import jax
 import jax.numpy as jnp
 
 from androidrenderer_tpu.camera import ViewData
-from androidrenderer_tpu.config import AOMode, AAMode, GIMode, RenderConfig, RenderParams, ShadowMode
+from androidrenderer_tpu.config import (
+    AOMode, AAMode, GIMode, RasterBackend, RenderConfig, RenderParams, ShadowMode,
+)
+from androidrenderer_tpu.ops import bloom as bloom_ops
+from androidrenderer_tpu.ops import lpv as lpv_ops
 from androidrenderer_tpu.ops import culling, lighting, post, sky
+from androidrenderer_tpu.ops import taa as taa_ops
+from androidrenderer_tpu.ops.rt import effects as rt_effects
 from androidrenderer_tpu.ops import shadow as shadow_ops
 from androidrenderer_tpu.ops.gbuffer import GBuffer, resolve_gbuffer
 from androidrenderer_tpu.ops.raster import (
@@ -30,6 +36,7 @@ from androidrenderer_tpu.ops.raster import (
     triangle_setup,
 )
 from androidrenderer_tpu.ops.raster.binning import bin_triangles
+from androidrenderer_tpu.ops.raster.raster_pallas import rasterize_pallas
 from androidrenderer_tpu.render.temporal import TemporalState
 from androidrenderer_tpu.scene.scene import SceneArrays
 
@@ -81,20 +88,32 @@ def render_frame(
         double_sided=scene.tri_double_sided,
         tri_valid=tri_mask,
     )
-    bins = bin_triangles(
-        setup, tiles_y, config.tiles_x, config.tile_height, config.tile_width,
-        cap=config.max_tris_per_tile, tile_row_offset=tile_row_offset,
-    )
-
     # --- depth prepass + visibility buffer ----------------------------------------
-    depth = rasterize_depth(
-        setup, bins, h, w, config.tile_height, config.tile_width,
-        row_offset=row_offset,
+    # The Pallas kernel is the production path; band rendering (multi-chip screen
+    # sharding) and the CPU test path use the XLA reduction rasterizer.
+    use_pallas = (
+        config.raster_backend == RasterBackend.PALLAS
+        and band_height is None
+        and (jax.default_backend() == "tpu" or config.pallas_interpret)
     )
-    vis = rasterize_visibility(
-        setup, bins, depth, config.tile_height, config.tile_width,
-        row_offset=row_offset,
-    )
+    if use_pallas:
+        depth, vis = rasterize_pallas(
+            setup, h, w, num_slabs=config.raster_num_slabs,
+            interpret=config.pallas_interpret,
+        )
+    else:
+        bins = bin_triangles(
+            setup, tiles_y, config.tiles_x, config.tile_height, config.tile_width,
+            cap=config.max_tris_per_tile, tile_row_offset=tile_row_offset,
+        )
+        depth = rasterize_depth(
+            setup, bins, h, w, config.tile_height, config.tile_width,
+            row_offset=row_offset,
+        )
+        vis = rasterize_visibility(
+            setup, bins, depth, config.tile_height, config.tile_width,
+            row_offset=row_offset,
+        )
 
     # --- gbuffer resolve ------------------------------------------------------------
     gbuf = resolve_gbuffer(scene, setup, vis, depth, row_offset=row_offset)
@@ -123,6 +142,7 @@ def render_frame(
         shadow_maps = shadow_ops.render_shadow_cascades(
             scene.positions, scene.tri_indices, scene.tri_valid, cascades,
             config.shadow_cascade_resolution,
+            use_pallas=use_pallas, pallas_interpret=config.pallas_interpret,
         )
         l = -scene.sun_direction / jnp.linalg.norm(scene.sun_direction)
         ndotl = jnp.clip(
@@ -135,8 +155,63 @@ def render_frame(
             gbuf.world_position, view_distance, ndotl, cascades, shadow_maps,
             params.shadow_bias,
         )
+    elif config.shadow_mode == ShadowMode.RT and band_height is None:
+        # Ray-traced sun shadows (directional_light.cpp:372-422).
+        shadow = rt_effects.rt_sun_shadows(
+            scene.bvh, gbuf.world_position, gbuf.normal, gbuf.valid,
+            scene.sun_direction, scene.sun_angular_size, temporal.frame_index,
+        )
     else:
         shadow = None
+
+    # --- AO (ambient_occlusion_phase.cpp: Off / CACAO-like SSAO / RTAO) ---------------
+    if config.ao_mode == AOMode.RT and band_height is None:
+        ao = rt_effects.rtao(
+            scene.bvh, gbuf.world_position, gbuf.normal, gbuf.valid,
+            config.rtao_num_samples, params.rtao_max_distance, temporal.frame_index,
+        )
+    elif config.ao_mode == AOMode.SSAO:
+        ao = lighting.ssao(gbuf, jnp.asarray(view.position), view.z_near)
+    else:
+        ao = None
+
+    # --- GI: LPV (pre/post-render slices, gi/light_propagation_volume.cpp) -----------
+    if config.gi_mode == GIMode.LPV and band_height is None:
+        def _gi_raster(setup_, hh, ww):
+            if use_pallas and ww % 128 == 0:
+                return rasterize_pallas(
+                    setup_, hh, ww, num_slabs=2, interpret=config.pallas_interpret
+                )
+            th, tw = min(32, hh), min(128, ww)
+            bins_ = bin_triangles(
+                setup_, hh // th, ww // tw, th, tw, cap=config.max_tris_per_tile
+            )
+            d_ = rasterize_depth(setup_, bins_, hh, ww, th, tw)
+            v_ = rasterize_visibility(setup_, bins_, d_, th, tw)
+            return d_, v_
+
+        inv_view = jnp.asarray(view.inverse_view)
+        cam_forward = -inv_view[:3, 2]
+        volumes = lpv_ops.build_lpv(
+            scene, jnp.asarray(view.position), cam_forward, _gi_raster,
+            config.lpv_num_cascades, config.lpv_resolution, config.lpv_cell_size,
+            config.lpv_rsm_resolution, config.lpv_num_propagation_steps,
+            config.lpv_behind_camera_percent,
+        )
+        gi = lpv_ops.apply_lpv(
+            volumes, gbuf.world_position, gbuf.normal, gbuf.base_color, gbuf.valid,
+            params.lpv_exposure * params.sun_exposure,
+        )
+    elif config.gi_mode == GIMode.RT and band_height is None:
+        # Per-pixel one-bounce RTGI (gi/rtgi.cpp:69-139).
+        irr = rt_effects.rtgi(
+            scene.bvh, scene, gbuf.world_position, gbuf.normal, gbuf.valid,
+            jnp.asarray(view.inverse_view), p00, p11, temporal.frame_index,
+            params.rtgi_exposure, params.sun_exposure,
+        )
+        gi = irr * gbuf.base_color
+    else:
+        gi = None
 
     # --- lighting ---------------------------------------------------------------------
     direct = lighting.sun_lighting(
@@ -147,14 +222,40 @@ def render_frame(
         shadow,
         params.sun_exposure,
     )
-    lit = lighting.compose_lit_scene(gbuf, direct, gi=None, ao=None, sky=sky_img)
+    lit = lighting.compose_lit_scene(gbuf, direct, gi=gi, ao=None, sky=sky_img)
 
-    # --- post: bloom + tonemap ----------------------------------------------------------
-    image = post.to_uint8(post.composite(lit, None, params.bloom_strength))
+    # --- anti-aliasing: TAA accumulation (the IUpscaler-shaped native path) -----------
+    if config.aa_mode == AAMode.TAA and band_height is None:
+        mv = taa_ops.motion_vectors(
+            gbuf.world_position, gbuf.valid,
+            jnp.asarray(view.last_view_proj), jnp.asarray(view.unjittered_view_proj),
+        )
+        lit, new_history = taa_ops.taa_resolve(
+            lit, temporal.taa_history, temporal.taa_valid, mv
+        )
+        taa_state = dict(taa_history=new_history, taa_valid=jnp.array(True))
+    else:
+        taa_state = {}
+
+    # --- post: bloom chain + upscale + tonemap composite (UiPhase) ---------------------
+    # Band (sharded) rendering outputs at render-res; cross-band ops (upscale, bloom,
+    # TAA) run full-frame only — the sharded caller composites bands itself.
+    if band_height is None:
+        display = taa_ops.upscale_bilinear(
+            lit, config.output_height, config.output_width
+        )
+    else:
+        display = lit
+    if config.bloom and band_height is None:
+        bloom_tex = bloom_ops.bloom_chain(display, config.bloom_num_mips)
+    else:
+        bloom_tex = None
+    image = post.to_uint8(post.composite(display, bloom_tex, params.bloom_strength))
 
     next_temporal = temporal._replace(
         prev_depth=depth,
         frame_index=temporal.frame_index + 1,
+        **taa_state,
     )
     outputs = FrameOutputs(image=image, hdr=lit, depth=depth, visibility=vis, gbuffer=gbuf)
     return outputs, next_temporal

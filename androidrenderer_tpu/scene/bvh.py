@@ -1,0 +1,144 @@
+"""BVH build — the RaytracingScene / BLAS-TLAS analog (raytracing_scene.cpp:50-170,
+blas_build_queue.hpp:14-25).
+
+TPU-native redesign: instead of driver-built acceleration structures, a flat
+**preorder skip-link BVH** over all world-space triangles (the instance-expanded
+scene is one big BLAS — the reference's TLAS-over-BLAS split exists to support
+per-frame instance motion, which the baked scene doesn't need yet):
+
+- Leaves hold up to LEAF_SIZE triangles, ordered by Morton code of the centroid
+  (LBVH-style spatial sort).
+- Nodes are stored in PREORDER: the "hit" successor of an internal node is simply
+  ``index + 1``; each node also stores a "miss" successor (the preorder index after
+  its subtree). Traversal state is ONE integer per ray — a branch-free lockstep loop
+  that vectorizes over millions of rays (ops/rt/traverse.py).
+
+Built host-side in vectorized numpy (a native C++ builder is the planned upgrade for
+streaming scenes).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+LEAF_SIZE = 4
+
+
+class BVHArrays(NamedTuple):
+    node_min: np.ndarray  # (M, 3) f32
+    node_max: np.ndarray  # (M, 3) f32
+    node_miss: np.ndarray  # (M,) i32 — preorder index after this node's subtree
+    node_first: np.ndarray  # (M,) i32 — first slot in tri_order for leaves, -1 internal
+    node_count: np.ndarray  # (M,) i32 — triangle count for leaves, 0 internal
+    tri_order: np.ndarray  # (L*LEAF_SIZE,) i32 triangle ids, -1 padded
+
+
+def _morton3(x: np.ndarray) -> np.ndarray:
+    """Interleave 10-bit coords -> 30-bit Morton codes. x: (N, 3) in [0, 1)."""
+    q = np.clip((x * 1024.0).astype(np.uint32), 0, 1023).astype(np.uint64)
+
+    def spread(v):
+        v = (v | (v << np.uint64(16))) & np.uint64(0x030000FF)
+        v = (v | (v << np.uint64(8))) & np.uint64(0x0300F00F)
+        v = (v | (v << np.uint64(4))) & np.uint64(0x030C30C3)
+        v = (v | (v << np.uint64(2))) & np.uint64(0x09249249)
+        return v
+
+    return spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1)) | (
+        spread(q[:, 2]) << np.uint64(2)
+    )
+
+
+def build_bvh(
+    positions: np.ndarray,  # (V, 3)
+    tri_indices: np.ndarray,  # (N, 3)
+    tri_valid: np.ndarray | None = None,  # (N,) bool
+) -> BVHArrays:
+    """Morton-ordered implicit-balanced BVH flattened to preorder skip-link arrays."""
+    positions = np.asarray(positions, np.float32)
+    tri_indices = np.asarray(tri_indices, np.int32)
+    n_all = tri_indices.shape[0]
+    if tri_valid is None:
+        tri_valid = np.ones(n_all, bool)
+    ids = np.nonzero(np.asarray(tri_valid))[0].astype(np.int32)
+    n = len(ids)
+    if n == 0:
+        inf = np.full((1, 3), np.inf, np.float32)
+        return BVHArrays(inf, -inf, np.array([1], np.int32), np.array([-1], np.int32),
+                         np.array([0], np.int32), np.full(LEAF_SIZE, -1, np.int32))
+
+    v0 = positions[tri_indices[ids, 0]]
+    v1 = positions[tri_indices[ids, 1]]
+    v2 = positions[tri_indices[ids, 2]]
+    tmin = np.minimum(np.minimum(v0, v1), v2)
+    tmax = np.maximum(np.maximum(v0, v1), v2)
+    centroid = (tmin + tmax) * 0.5
+    lo = centroid.min(axis=0)
+    hi = centroid.max(axis=0)
+    norm = (centroid - lo) / np.maximum(hi - lo, 1e-9)
+    order = np.argsort(_morton3(norm), kind="stable")
+    ids = ids[order]
+    tmin, tmax = tmin[order], tmax[order]
+
+    # Pad to a full complete tree of leaves.
+    num_leaves = max(1, -(-n // LEAF_SIZE))
+    depth = int(np.ceil(np.log2(num_leaves))) if num_leaves > 1 else 0
+    p = 1 << depth  # leaves in the complete tree
+    tri_order = np.full(p * LEAF_SIZE, -1, np.int32)
+    tri_order[:n] = ids
+
+    # Leaf AABBs (padded leaves get inverted boxes that never intersect).
+    leaf_min = np.full((p, 3), np.inf, np.float32)
+    leaf_max = np.full((p, 3), -np.inf, np.float32)
+    g = np.arange(n) // LEAF_SIZE
+    np.minimum.at(leaf_min, g, tmin)
+    np.maximum.at(leaf_max, g, tmax)
+    leaf_count = np.zeros(p, np.int32)
+    np.add.at(leaf_count, g, 1)
+
+    # Internal levels bottom-up: levels[k] has p >> k nodes.
+    mins = [leaf_min]
+    maxs = [leaf_max]
+    while mins[-1].shape[0] > 1:
+        m = mins[-1].reshape(-1, 2, 3)
+        x = maxs[-1].reshape(-1, 2, 3)
+        mins.append(np.minimum(m[:, 0], m[:, 1]))
+        maxs.append(np.maximum(x[:, 0], x[:, 1]))
+    levels = len(mins)  # = depth + 1
+
+    # Preorder flatten: subtree of a node at level k (leaves = level 0) has
+    # 2^(k+1) - 1 nodes. Iterative emission.
+    m_total = 2 * p - 1
+    node_min = np.zeros((m_total, 3), np.float32)
+    node_max = np.zeros((m_total, 3), np.float32)
+    node_miss = np.zeros(m_total, np.int32)
+    node_first = np.full(m_total, -1, np.int32)
+    node_count = np.zeros(m_total, np.int32)
+
+    # Stack of (level, index_within_level, preorder_slot, miss_target).
+    stack = [(levels - 1, 0, 0, m_total)]
+    while stack:
+        lvl, idx, slot, miss = stack.pop()
+        node_min[slot] = mins[lvl][idx]
+        node_max[slot] = maxs[lvl][idx]
+        node_miss[slot] = miss
+        if lvl == 0:
+            node_first[slot] = idx * LEAF_SIZE
+            node_count[slot] = leaf_count[idx]
+        else:
+            left_size = (1 << lvl) - 1  # nodes in left subtree
+            left_slot = slot + 1
+            right_slot = slot + 1 + left_size
+            stack.append((lvl - 1, idx * 2 + 1, right_slot, miss))
+            stack.append((lvl - 1, idx * 2, left_slot, right_slot))
+
+    return BVHArrays(
+        node_min=node_min,
+        node_max=node_max,
+        node_miss=node_miss,
+        node_first=node_first,
+        node_count=node_count,
+        tri_order=tri_order,
+    )

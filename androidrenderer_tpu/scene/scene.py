@@ -25,7 +25,12 @@ from androidrenderer_tpu.scene.material_storage import (
     ALPHA_OPAQUE,
     MaterialStorage,
 )
-from androidrenderer_tpu.scene.mesh_storage import MeshStorage
+from androidrenderer_tpu.scene.mesh_storage import MAX_POINT_CLOUD_POINTS, MeshStorage
+from androidrenderer_tpu.scene.bvh import LEAF_SIZE, build_bvh
+from androidrenderer_tpu.ops.rt.traverse import DeviceBVH
+from androidrenderer_tpu.ops.rt import traverse as _traverse
+
+assert _traverse.LEAF_SIZE == LEAF_SIZE
 
 
 def _pad_rows(a: np.ndarray, n: int, fill=0) -> np.ndarray:
@@ -77,6 +82,8 @@ class SceneArrays(NamedTuple):
     # Emissive surface point cloud for GI injection (K, 9): pos, normal, radiance.
     emissive_points: jnp.ndarray
     emissive_point_count: jnp.ndarray  # () i32
+    # Acceleration structure (RaytracingScene analog) — preorder skip-link BVH.
+    bvh: DeviceBVH
 
 
 def texture_base_size(scene: "SceneArrays") -> int:
@@ -126,7 +133,7 @@ class RenderScene:
         self.sun_color = (np.asarray(color, np.float32) * intensity).astype(np.float32)
 
     # ------------------------------------------------------------------ build
-    def build(self, pad: int = 512) -> Tuple[SceneArrays, dict]:
+    def build(self, pad: int = 512, with_bvh: bool = True) -> Tuple[SceneArrays, dict]:
         """Bake to device arrays. Returns (scene_arrays, stats)."""
         all_pos, all_nrm, all_tan, all_uv, all_col = [], [], [], [], []
         all_tri, all_mat, all_prim, all_dbl, all_alpha = [], [], [], [], []
@@ -188,6 +195,74 @@ class RenderScene:
         tex_mips = self.materials.pack_textures()
         flat, offsets = _pack_mips_flat(tex_mips)
 
+        # Emissive surface point clouds for GI mesh lights (render_scene.cpp:257-310,
+        # mesh_storage.cpp:246-319): area-weighted samples on every emissive primitive.
+        emissive_samples = []
+        rng = np.random.default_rng(7)
+        for prim in self.primitives:
+            mat = self.materials.materials[prim.material_id]
+            if np.any(np.asarray(mat.emission_factor) > 0.0):
+                pts = self.meshes.sample_surface_points(prim.mesh_id, rng)
+                if pts.shape[0] == 0:
+                    continue
+                m = prim.transform.astype(np.float64)
+                wp = pts[:, :3] @ m[:3, :3].T + m[:3, 3]
+                nmat = np.linalg.inv(m[:3, :3]).T
+                wn = pts[:, 3:6] @ nmat.T
+                wn /= np.maximum(np.linalg.norm(wn, axis=1, keepdims=True), 1e-12)
+                rad = np.tile(mat.emission_factor, (pts.shape[0], 1))
+                emissive_samples.append(
+                    np.concatenate([wp, wn, rad], axis=1).astype(np.float32)
+                )
+        if emissive_samples:
+            epts = np.concatenate(emissive_samples)[:MAX_POINT_CLOUD_POINTS]
+            ecount = epts.shape[0]
+            epts = _pad_rows(epts, _round_up(max(ecount, 1), 256))
+        else:
+            epts = np.zeros((1, 9), np.float32)
+            ecount = 0
+
+        # BVH over the world-space triangles (RT path).
+        if with_bvh:
+            bvh_np = build_bvh(positions, tri_indices)
+        else:
+            from androidrenderer_tpu.scene.bvh import BVHArrays
+            inf = np.full((1, 3), np.inf, np.float32)
+            bvh_np = None
+        if bvh_np is not None:
+            slots = bvh_np.tri_order
+            safe = np.maximum(slots, 0)
+            t0 = positions[tri_indices[safe, 0]]
+            t1 = positions[tri_indices[safe, 1]]
+            t2 = positions[tri_indices[safe, 2]]
+            dead = (slots < 0)[:, None]
+            slot_v0 = np.where(dead, 0.0, t0).astype(np.float32)
+            slot_e1 = np.where(dead, 0.0, t1 - t0).astype(np.float32)
+            slot_e2 = np.where(dead, 0.0, t2 - t0).astype(np.float32)
+            device_bvh = DeviceBVH(
+                node_min=jnp.asarray(bvh_np.node_min),
+                node_max=jnp.asarray(bvh_np.node_max),
+                node_miss=jnp.asarray(bvh_np.node_miss),
+                node_first=jnp.asarray(bvh_np.node_first),
+                node_count=jnp.asarray(bvh_np.node_count),
+                slot_tri=jnp.asarray(slots),
+                slot_v0=jnp.asarray(slot_v0),
+                slot_e1=jnp.asarray(slot_e1),
+                slot_e2=jnp.asarray(slot_e2),
+            )
+        else:
+            z3 = jnp.zeros((1, 3), jnp.float32)
+            device_bvh = DeviceBVH(
+                node_min=jnp.full((1, 3), jnp.inf),
+                node_max=jnp.full((1, 3), -jnp.inf),
+                node_miss=jnp.ones((1,), jnp.int32),
+                node_first=jnp.full((1,), -1, jnp.int32),
+                node_count=jnp.zeros((1,), jnp.int32),
+                slot_tri=jnp.full((4,), -1, jnp.int32),
+                slot_v0=jnp.zeros((4, 3)), slot_e1=jnp.zeros((4, 3)),
+                slot_e2=jnp.zeros((4, 3)),
+            )
+
         scene = SceneArrays(
             positions=jnp.asarray(_pad_rows(positions, pv)),
             normals=jnp.asarray(_pad_rows(np.concatenate(all_nrm), pv)),
@@ -216,8 +291,9 @@ class RenderScene:
             sun_direction=jnp.asarray(self.sun_direction),
             sun_color=jnp.asarray(self.sun_color),
             sun_angular_size=jnp.float32(self.sun_angular_size),
-            emissive_points=jnp.zeros((1, 9), jnp.float32),
-            emissive_point_count=jnp.int32(0),
+            emissive_points=jnp.asarray(epts),
+            emissive_point_count=jnp.int32(ecount),
+            bvh=device_bvh,
         )
         stats = {
             "num_vertices": nv,

@@ -1,0 +1,144 @@
+"""Ray tracing tests: BVH structure, traversal vs brute force, end-to-end RT modes."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from androidrenderer_tpu.camera import Camera
+from androidrenderer_tpu.config import (
+    AOMode, GIMode, RenderConfig, RenderParams, ShadowMode,
+)
+from androidrenderer_tpu.ops.rt.traverse import DeviceBVH, occlusion, trace_rays
+from androidrenderer_tpu.render import initial_temporal_state, make_renderer
+from androidrenderer_tpu.scene.bvh import LEAF_SIZE, build_bvh
+from androidrenderer_tpu.scene.procedural import cornell_scene
+
+
+def random_tris(seed, n=64, spread=4.0):
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(-spread, spread, (n, 3))
+    tris = (centers[:, None, :] + rng.normal(0, 0.5, (n, 3, 3))).astype(np.float32)
+    verts = tris.reshape(-1, 3)
+    idx = np.arange(n * 3, dtype=np.int32).reshape(n, 3)
+    return verts, idx
+
+
+def device_bvh(verts, idx):
+    b = build_bvh(verts, idx)
+    slots = b.tri_order
+    safe = np.maximum(slots, 0)
+    t0 = verts[idx[safe, 0]]
+    t1 = verts[idx[safe, 1]]
+    t2 = verts[idx[safe, 2]]
+    dead = (slots < 0)[:, None]
+    return b, DeviceBVH(
+        node_min=jnp.asarray(b.node_min), node_max=jnp.asarray(b.node_max),
+        node_miss=jnp.asarray(b.node_miss), node_first=jnp.asarray(b.node_first),
+        node_count=jnp.asarray(b.node_count), slot_tri=jnp.asarray(slots),
+        slot_v0=jnp.asarray(np.where(dead, 0, t0)),
+        slot_e1=jnp.asarray(np.where(dead, 0, t1 - t0)),
+        slot_e2=jnp.asarray(np.where(dead, 0, t2 - t0)),
+    )
+
+
+def brute_force_hit(verts, idx, o, d, tmin=0.01, tmax=1e30):
+    best_t, best = tmax, -1
+    for t in range(idx.shape[0]):
+        v0, v1, v2 = verts[idx[t, 0]], verts[idx[t, 1]], verts[idx[t, 2]]
+        e1, e2 = v1 - v0, v2 - v0
+        p = np.cross(d, e2)
+        det = e1 @ p
+        if abs(det) < 1e-12:
+            continue
+        inv = 1.0 / det
+        tv = o - v0
+        u = (tv @ p) * inv
+        q = np.cross(tv, e1)
+        v = (d @ q) * inv
+        tt = (e2 @ q) * inv
+        if u >= 0 and v >= 0 and u + v <= 1 and tmin < tt < best_t:
+            best_t, best = tt, t
+    return best_t, best
+
+
+def test_bvh_contains_all_triangles():
+    verts, idx = random_tris(0, n=100)
+    b = build_bvh(verts, idx)
+    live = b.tri_order[b.tri_order >= 0]
+    assert sorted(live.tolist()) == list(range(100))
+    # Preorder miss links always point forward, past the subtree.
+    m = len(b.node_miss)
+    assert (b.node_miss > np.arange(m)).all()
+    assert (b.node_miss <= m).all()
+    # Leaf AABBs contain their triangles.
+    for slot_group in range(0, len(b.tri_order), LEAF_SIZE):
+        leaf_idx = None  # found via node_first
+    firsts = {f: i for i, f in enumerate(b.node_first) if f >= 0}
+    for f, node in firsts.items():
+        for k in range(LEAF_SIZE):
+            t = b.tri_order[f + k]
+            if t < 0:
+                continue
+            tv = verts[idx[t]]
+            assert (tv >= b.node_min[node] - 1e-4).all()
+            assert (tv <= b.node_max[node] + 1e-4).all()
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_traversal_matches_brute_force(seed):
+    verts, idx = random_tris(seed, n=80)
+    _, dbvh = device_bvh(verts, idx)
+    rng = np.random.default_rng(seed + 10)
+    origins = rng.uniform(-6, 6, (64, 3)).astype(np.float32)
+    dirs = rng.normal(size=(64, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+
+    hits = trace_rays(dbvh, jnp.asarray(origins), jnp.asarray(dirs), 0.01, 1e30)
+    t_got = np.asarray(hits.t)
+    slot_got = np.asarray(hits.slot)
+    tri_got = np.asarray(dbvh.slot_tri)[np.maximum(slot_got, 0)]
+    tri_got = np.where(slot_got >= 0, tri_got, -1)
+
+    for i in range(64):
+        t_ref, tri_ref = brute_force_hit(verts, idx, origins[i], dirs[i])
+        assert tri_got[i] == tri_ref, f"ray {i}: {tri_got[i]} vs {tri_ref}"
+        if tri_ref >= 0:
+            assert abs(t_got[i] - t_ref) < 1e-3
+
+
+def test_occlusion_any_hit():
+    # A single quad blocking +z rays.
+    verts = np.array(
+        [[-1, -1, 2], [1, -1, 2], [1, 1, 2], [-1, 1, 2]], dtype=np.float32
+    )
+    idx = np.array([[0, 1, 2], [0, 2, 3]], dtype=np.int32)
+    _, dbvh = device_bvh(verts, idx)
+    o = jnp.asarray(np.array([[0, 0, 0], [3, 3, 0]], np.float32))
+    d = jnp.asarray(np.array([[0, 0, 1], [0, 0, 1]], np.float32))
+    occ = np.asarray(occlusion(dbvh, o, d, 0.01, 10.0))
+    assert occ[0] and not occ[1]
+    # Beyond tmax: not occluded.
+    occ2 = np.asarray(occlusion(dbvh, o, d, 0.01, 1.0))
+    assert not occ2[0]
+
+
+def test_rt_modes_end_to_end():
+    W = H = 128
+    cfg = RenderConfig(
+        render_width=W, render_height=H, output_width=W, output_height=H,
+        shadow_mode=ShadowMode.RT, ao_mode=AOMode.RT, gi_mode=GIMode.RT,
+        rtao_num_samples=2, sky=False, bloom=False, max_tris_per_tile=1024,
+    )
+    scene, _ = cornell_scene().build()
+    cam = Camera(fov_degrees=75.0, aspect=1.0, render_resolution=(W, H))
+    cam.set_position([0.0, 0.0, 2.2])
+    cam.yaw = np.pi
+    out, _ = make_renderer(cfg)(
+        scene, cam.view_data(), RenderParams.default(), initial_temporal_state(H, W)
+    )
+    hdr = np.asarray(out.hdr)
+    assert np.isfinite(hdr).all()
+    # GI adds energy to unlit surfaces; scene is not black.
+    assert hdr.sum() > 0
+    valid = np.asarray(out.gbuffer.valid)
+    assert (hdr.sum(-1)[valid] > 0).mean() > 0.3

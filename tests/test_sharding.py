@@ -12,9 +12,11 @@ from androidrenderer_tpu.render import initial_temporal_state, make_renderer
 from androidrenderer_tpu.scene.procedural import cornell_scene
 
 W, H = 128, 256
+# Bloom/TAA are full-frame ops skipped in band (sharded) mode — the sharded caller
+# composites them; disable for the equality comparison.
 CFG = RenderConfig(
     render_width=W, render_height=H, output_width=W, output_height=H,
-    tile_height=8, tile_width=128, max_tris_per_tile=512,
+    tile_height=8, tile_width=128, max_tris_per_tile=512, bloom=False,
 )
 
 
