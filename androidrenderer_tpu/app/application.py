@@ -24,9 +24,12 @@ MOVE_SPEED = 2.0  # m/s (application.hpp:35-37)
 
 class Application:
     def __init__(self, config: RenderConfig, scene: RenderScene):
-        self.config = config
         self.scene_host = scene
         self.scene, self.scene_stats = scene.build()
+        # Skip the alpha-peel passes when the scene has no masked geometry.
+        if self.scene_stats.get("num_masked_triangles", 0) == 0 and config.alpha_masking:
+            config = config.replace(alpha_masking=False)
+        self.config = config
         self.camera = Camera(
             fov_degrees=config.fov_degrees,
             aspect=config.render_width / config.render_height,

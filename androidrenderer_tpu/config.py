@@ -88,6 +88,8 @@ class RenderConfig:
     aa_mode: AAMode = AAMode.OFF
     bloom: bool = True
     sky: bool = True
+    alpha_masking: bool = True  # alpha-tested (MASK-mode) geometry via depth peeling
+    alpha_peel_layers: int = 3
     raster_backend: RasterBackend = RasterBackend.PALLAS
     pallas_interpret: bool = False  # interpret-mode Pallas (hermetic CPU tests)
     raster_num_slabs: int = 4

@@ -1,0 +1,96 @@
+"""Alpha-masked rasterization via depth peeling.
+
+The reference compiles *_masked PSO variants whose fragment shaders sample base-color
+alpha and discard below the cutoff (material_pipelines.cpp:14-175,
+gltf_basic_pbr.slang alpha test). A visibility-buffer rasterizer decides coverage
+before shading, so alpha testing becomes iterative depth peeling: rasterize the
+masked subset, evaluate alpha at the winning fragments, and re-rasterize with a
+per-pixel z upper bound to peel failed layers until every pixel has either an
+alpha-passing fragment or none. 3 layers cover typical foliage.
+
+The masked set is usually small, so this uses the XLA raster; results merge with the
+opaque buffers by plain depth compare (max).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from androidrenderer_tpu.ops import texture as tex
+from androidrenderer_tpu.ops.raster.binning import bin_triangles
+from androidrenderer_tpu.ops.raster.interpolate import compute_barycentrics
+from androidrenderer_tpu.ops.raster.raster_xla import (
+    rasterize_depth,
+    rasterize_visibility,
+)
+from androidrenderer_tpu.ops.raster.setup import TriangleSetup
+from androidrenderer_tpu.scene.scene import SceneArrays, texture_base_size
+
+
+def _sample_alpha(scene: SceneArrays, setup: TriangleSetup, vis, row_offset=0):
+    """Base-color alpha x factor at the winning fragments (fixed coarse lod)."""
+    bary = compute_barycentrics(vis, setup, scene.tri_indices, row_offset)
+    lam = bary.lam[..., None]
+    uv = jnp.sum(scene.uvs[bary.vertex_ids] * lam, axis=-2)
+    tid = jnp.maximum(vis, 0)
+    mat = scene.tri_material[tid]
+    tex_id = scene.mat_texture_ids[mat][..., 0]
+    base_size = texture_base_size(scene)
+    lod = jnp.full(vis.shape, 1, jnp.int32)
+    s = tex.sample_bilinear(
+        scene.textures, scene.texture_level_offsets, base_size, tex_id, uv, lod
+    )
+    alpha = s[..., 3] * scene.mat_base_color[mat][..., 3]
+    cutoff = scene.mat_alpha[mat][..., 1]
+    return alpha, cutoff
+
+
+def rasterize_masked_peeled(
+    scene: SceneArrays,
+    setup_masked: TriangleSetup,  # setup with valid &= masked
+    base_depth: jnp.ndarray,  # (H, W) opaque depth
+    base_vis: jnp.ndarray,  # (H, W) opaque visibility
+    tile_h: int,
+    tile_w: int,
+    cap: int,
+    layers: int = 3,
+    row_offset=0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(depth, vis) merged opaque + alpha-tested masked geometry."""
+    height, width = base_depth.shape
+    tiles_y, tiles_x = height // tile_h, width // tile_w
+    bins = bin_triangles(
+        setup_masked, tiles_y, tiles_x, tile_h, tile_w, cap,
+        tile_row_offset=row_offset // tile_h if row_offset else 0,
+    )
+
+    z_limit = jnp.full((height, width), jnp.inf, jnp.float32)
+    out_depth = jnp.zeros_like(base_depth)
+    out_vis = jnp.full_like(base_vis, -1)
+    settled = jnp.zeros((height, width), bool)
+
+    for _ in range(layers):
+        d = rasterize_depth(
+            setup_masked, bins, height, width, tile_h, tile_w,
+            row_offset=row_offset, z_limit=z_limit,
+        )
+        v = rasterize_visibility(
+            setup_masked, bins, d, tile_h, tile_w, row_offset=row_offset,
+            z_limit=z_limit,
+        )
+        covered = v >= 0
+        alpha, cutoff = _sample_alpha(scene, setup_masked, v, row_offset)
+        passes = covered & (alpha >= cutoff)
+        take = passes & ~settled
+        out_depth = jnp.where(take, d, out_depth)
+        out_vis = jnp.where(take, v, out_vis)
+        settled = settled | passes | ~covered
+        z_limit = jnp.where(covered & ~passes, d, z_limit)
+
+    # Merge with opaque: masked fragment wins where nearer (reversed-Z max).
+    masked_wins = (out_vis >= 0) & (out_depth > base_depth)
+    depth = jnp.where(masked_wins, out_depth, base_depth)
+    vis = jnp.where(masked_wins, out_vis, base_vis)
+    return depth, vis

