@@ -28,6 +28,7 @@ class GIMode(enum.Enum):
     OFF = 0
     LPV = 1
     RT = 2
+    PROBES = 3  # DDGI-style irradiance probe cache (gi/irradiance_cache.cpp)
 
 
 class ShadowMode(enum.Enum):
@@ -110,6 +111,14 @@ class RenderConfig:
     lpv_rsm_resolution: int = 128
     lpv_num_propagation_steps: int = 32
     lpv_behind_camera_percent: float = 0.1
+
+    # Irradiance probe cache (irradiance_cache.cpp:15-19: 4 cascades, budgeted
+    # updates of 1024 probes/frame).
+    probe_cascades: int = 2
+    probe_grid: Tuple[int, int, int] = (16, 8, 16)
+    probe_spacing: float = 1.0
+    probe_budget: int = 512
+    probe_rays: int = 64
 
     # Bloom (bloomer.cpp:9: 6 mips).
     bloom_num_mips: int = 6

@@ -1,0 +1,259 @@
+"""Irradiance probe cache — the DDGI-style IrradianceCache (gi/irradiance_cache.cpp).
+
+Parity structure:
+- Probe grid cascades following the camera (cpp:90-218, 362-453) — here with toroidal
+  (wrap-around) addressing: a probe slot owns world cell ``cell mod grid``, so camera
+  scrolling never moves data, it only invalidates slots whose world cell changed.
+- Budgeted updates (1024 probes/frame cvar, scored by invalid-then-age, cpp:496-583).
+- Per-probe octahedral maps: irradiance (light cache) + depth mean/mean^2 for
+  Chebyshev visibility (probe_depth/light_cache updates, cpp:585-724).
+- Probe rays shaded like the RTGI bounce (sun diffuse + emission + sky miss).
+- Sampling: 8 surrounding probes with trilinear x wrap-normal x Chebyshev weights
+  (probe_sampling.slangi).
+
+The ray->texel convolution is a (texels x rays) matmul per updated probe — MXU work.
+All state lives in the TemporalState pytree (ProbeCascades).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from androidrenderer_tpu.ops import noise
+from androidrenderer_tpu.ops import sky as sky_ops
+from androidrenderer_tpu.ops.octahedral import dir_to_oct_uv, oct_texel_directions
+from androidrenderer_tpu.ops.rt.traverse import DeviceBVH, occlusion, trace_rays
+
+IRR_RES = 8  # irradiance octahedral resolution (reference light cache 13x13)
+DEPTH_RES = 12  # depth octahedral resolution (reference 12x12)
+HYSTERESIS = 0.9  # history kept per update
+DEPTH_SHARPNESS = 32.0
+
+
+class ProbeCascades(NamedTuple):
+    irradiance: jnp.ndarray  # (C, P, IRR_RES*IRR_RES, 3)
+    depth: jnp.ndarray  # (C, P, DEPTH_RES*DEPTH_RES, 2) mean / mean^2
+    cell: jnp.ndarray  # (C, P, 3) i32 world cell each slot currently represents
+    age: jnp.ndarray  # (C, P) i32 frames since last update (high = stale/invalid)
+
+
+def make_probe_state(num_cascades: int, grid: tuple, spacing_base: float) -> ProbeCascades:
+    p = grid[0] * grid[1] * grid[2]
+    return ProbeCascades(
+        irradiance=jnp.zeros((num_cascades, p, IRR_RES * IRR_RES, 3), jnp.float32),
+        depth=jnp.zeros((num_cascades, p, DEPTH_RES * DEPTH_RES, 2), jnp.float32),
+        cell=jnp.full((num_cascades, p, 3), 2**20, jnp.int32),
+        age=jnp.full((num_cascades, p), 10_000, jnp.int32),
+    )
+
+
+def _slot_coords(grid):
+    gx, gy, gz = grid
+    idx = np.arange(gx * gy * gz)
+    return jnp.asarray(
+        np.stack([idx % gx, (idx // gx) % gy, idx // (gx * gy)], axis=-1), jnp.int32
+    )  # (P, 3) slot grid coords
+
+
+def _desired_cells(camera_pos, grid, spacing):
+    """(P, 3) world cells the grid should cover, toroidally assigned to slots."""
+    gx, gy, gz = grid
+    g = jnp.asarray([gx, gy, gz], jnp.int32)
+    base = jnp.floor(camera_pos / spacing).astype(jnp.int32) - g // 2
+    slots = _slot_coords(grid)  # (P, 3)
+    # World cells covered: base + 0..g-1; slot owning a cell c is c mod g, so the
+    # cell assigned to slot s is the unique one in range with (cell mod g) == s.
+    offset = (slots - base % jnp.asarray([gx, gy, gz], jnp.int32)) % jnp.asarray(
+        [gx, gy, gz], jnp.int32
+    )
+    return base + offset
+
+
+def update_probes(
+    state: ProbeCascades,
+    bvh: DeviceBVH,
+    scene,
+    camera_position: jnp.ndarray,
+    grid: tuple,
+    spacing_base: float,
+    budget_per_cascade: int,
+    rays_per_probe: int,
+    frame_index,
+    sun_exposure,
+) -> ProbeCascades:
+    """Scroll cascades, pick the stalest probes, trace + convolve + blend."""
+    c = state.irradiance.shape[0]
+    p = state.irradiance.shape[1]
+    irr_dirs = oct_texel_directions(IRR_RES).reshape(-1, 3)  # (T, 3)
+    dep_dirs = oct_texel_directions(DEPTH_RES).reshape(-1, 3)
+
+    new_irr, new_dep, new_cell, new_age = [], [], [], []
+    for ci in range(c):
+        spacing = spacing_base * (2.0**ci)
+        desired = _desired_cells(camera_position, grid, spacing)  # (P, 3)
+        moved = jnp.any(desired != state.cell[ci], axis=-1)
+        age = jnp.where(moved, 10_000, state.age[ci] + 1)
+
+        # Budget: stalest first (invalid probes have huge age).
+        _, pick = jax.lax.top_k(age, budget_per_cascade)  # (B,)
+        probe_pos = (desired[pick].astype(jnp.float32) + 0.5) * spacing  # (B, 3)
+
+        # Spherical-fibonacci ray set, rotated per frame via a random axis flip.
+        i = jnp.arange(rays_per_probe, dtype=jnp.float32)
+        golden = 2.399963229728653
+        z = 1.0 - (2.0 * i + 1.0) / rays_per_probe
+        r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+        phi = i * golden + frame_index.astype(jnp.float32) * 1.618
+        dirs = jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)  # (R, 3)
+
+        b = budget_per_cascade
+        o = jnp.repeat(probe_pos, rays_per_probe, axis=0)  # (B*R, 3)
+        d = jnp.tile(dirs, (b, 1))
+        hits = trace_rays(bvh, o, d, 0.01, 1e30)
+
+        # Shade like the RTGI bounce.
+        slot = jnp.maximum(hits.slot, 0)
+        tri = jnp.maximum(bvh.slot_tri[slot], 0)
+        tri_idx = scene.tri_indices[tri]
+        uu = hits.u[:, None]
+        vv = hits.v[:, None]
+        hn = (
+            scene.normals[tri_idx[:, 0]] * (1 - uu - vv)
+            + scene.normals[tri_idx[:, 1]] * uu
+            + scene.normals[tri_idx[:, 2]] * vv
+        )
+        hn = hn / jnp.maximum(jnp.linalg.norm(hn, axis=-1, keepdims=True), 1e-9)
+        mat = scene.tri_material[tri]
+        albedo = scene.mat_base_color[mat][:, :3]
+        emission = scene.mat_emission[mat]
+        hp = o + d * hits.t[:, None]
+        to_sun = -scene.sun_direction / jnp.linalg.norm(scene.sun_direction)
+        ndotl = jnp.clip(jnp.sum(hn * to_sun, axis=-1), 0.0, 1.0)
+        occ = occlusion(bvh, hp + hn * 0.02, jnp.broadcast_to(to_sun, hp.shape),
+                        0.01, 1e30)
+        li = (
+            albedo / jnp.pi * scene.sun_color[None, :] * sun_exposure
+            * (ndotl * jnp.where(occ, 0.0, 1.0))[:, None]
+            + emission * sun_exposure
+        )
+        sky_l = sky_ops.sky_radiance(d, scene.sun_direction) * scene.sun_color[
+            None, :
+        ] * sun_exposure * 0.05
+        hit = hits.slot >= 0
+        radiance = jnp.where(hit[:, None], li, sky_l).reshape(b, rays_per_probe, 3)
+        dist = jnp.where(hit, hits.t, spacing * 4.0).reshape(b, rays_per_probe)
+        dist = jnp.minimum(dist, spacing * 4.0)
+
+        # Convolutions: texel x ray weight matmuls (MXU).
+        cosw = jnp.maximum(irr_dirs @ dirs.T, 0.0)  # (T, R)
+        irr_b = jnp.einsum("tr,brk->btk", cosw, radiance) / jnp.maximum(
+            jnp.sum(cosw, axis=1)[None, :, None], 1e-6
+        )  # (B, T, 3)
+        dw = jnp.maximum(dep_dirs @ dirs.T, 0.0) ** DEPTH_SHARPNESS  # (Td, R)
+        wsum = jnp.maximum(jnp.sum(dw, axis=1), 1e-6)
+        dmean = (dist @ dw.T) / wsum[None, :]  # (B, Td)
+        dmean2 = ((dist * dist) @ dw.T) / wsum[None, :]
+        dep_b = jnp.stack([dmean, dmean2], axis=-1)  # (B, Td, 2)
+
+        # Hysteresis blend; fresh (moved/invalid) probes take the new value outright.
+        fresh = (age[pick] > 5_000)[:, None, None]
+        old_irr = state.irradiance[ci][pick]
+        old_dep = state.depth[ci][pick]
+        irr_upd = jnp.where(fresh, irr_b, old_irr * HYSTERESIS + irr_b * (1 - HYSTERESIS))
+        dep_upd = jnp.where(fresh, dep_b, old_dep * HYSTERESIS + dep_b * (1 - HYSTERESIS))
+
+        new_irr.append(state.irradiance[ci].at[pick].set(irr_upd))
+        new_dep.append(state.depth[ci].at[pick].set(dep_upd))
+        new_cell.append(desired)
+        new_age.append(age.at[pick].set(0))
+
+    return ProbeCascades(
+        irradiance=jnp.stack(new_irr),
+        depth=jnp.stack(new_dep),
+        cell=jnp.stack(new_cell),
+        age=jnp.stack(new_age),
+    )
+
+
+def sample_probes(
+    state: ProbeCascades,
+    world_position: jnp.ndarray,  # (H, W, 3)
+    normal: jnp.ndarray,  # (H, W, 3)
+    valid: jnp.ndarray,  # (H, W)
+    camera_position: jnp.ndarray,
+    grid: tuple,
+    spacing_base: float,
+) -> jnp.ndarray:
+    """(H, W, 3) irradiance from the finest cascade containing each pixel."""
+    cnum = state.irradiance.shape[0]
+    gx, gy, gz = grid
+    g = jnp.asarray([gx, gy, gz], jnp.float32)
+    h, w, _ = world_position.shape
+
+    total = jnp.zeros((h, w, 3), jnp.float32)
+    chosen = jnp.zeros((h, w), bool)
+    for ci in range(cnum):
+        spacing = spacing_base * (2.0**ci)
+        base = jnp.floor(camera_position / spacing).astype(jnp.int32) - jnp.asarray(
+            [gx, gy, gz], jnp.int32
+        ) // 2
+        cellf = world_position / spacing - 0.5  # probe centers at (cell+0.5)*spacing
+        c0 = jnp.floor(cellf).astype(jnp.int32)
+        f = cellf - c0
+        inside = jnp.all(
+            (c0 >= base + 1) & (c0 + 1 <= base + jnp.asarray([gx, gy, gz]) - 2), axis=-1
+        )
+        use = inside & ~chosen & valid
+
+        irr = jnp.zeros((h, w, 3), jnp.float32)
+        wsum = jnp.zeros((h, w, 1), jnp.float32)
+        for dz in (0, 1):
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    cell = c0 + jnp.asarray([dx, dy, dz], jnp.int32)
+                    slot = (
+                        (cell[..., 0] % gx)
+                        + (cell[..., 1] % gy) * gx
+                        + (cell[..., 2] % gz) * gx * gy
+                    )
+                    probe_pos = (cell.astype(jnp.float32) + 0.5) * spacing
+                    to_probe = probe_pos - world_position
+                    dist = jnp.linalg.norm(to_probe, axis=-1, keepdims=True)
+                    dir_tp = to_probe / jnp.maximum(dist, 1e-6)
+                    # Trilinear weight.
+                    tw = (
+                        jnp.where(dx, f[..., 0], 1 - f[..., 0])
+                        * jnp.where(dy, f[..., 1], 1 - f[..., 1])
+                        * jnp.where(dz, f[..., 2], 1 - f[..., 2])
+                    )[..., None]
+                    # Backface (wrap-shading) weight.
+                    bw = (jnp.sum(dir_tp * normal, axis=-1, keepdims=True) + 1.0) * 0.5
+                    bw = bw * bw + 0.2
+                    # Chebyshev visibility from depth moments.
+                    duv = dir_to_oct_uv(-dir_tp)
+                    dt = jnp.clip(
+                        (duv * DEPTH_RES).astype(jnp.int32), 0, DEPTH_RES - 1
+                    )
+                    didx = dt[..., 1] * DEPTH_RES + dt[..., 0]
+                    moments = state.depth[ci][slot, didx]  # (H, W, 2)
+                    mean = moments[..., 0:1]
+                    var = jnp.maximum(moments[..., 1:2] - mean * mean, 1e-4)
+                    delta = jnp.maximum(dist - mean, 0.0)
+                    cheb = var / (var + delta * delta)
+                    vis = jnp.where(dist <= mean, 1.0, jnp.maximum(cheb, 0.05))
+                    # Irradiance texel toward the surface normal.
+                    iuv = dir_to_oct_uv(normal)
+                    it = jnp.clip((iuv * IRR_RES).astype(jnp.int32), 0, IRR_RES - 1)
+                    iidx = it[..., 1] * IRR_RES + it[..., 0]
+                    e = state.irradiance[ci][slot, iidx]  # (H, W, 3)
+                    wgt = tw * bw * vis
+                    irr = irr + e * wgt
+                    wsum = wsum + wgt
+        irr = irr / jnp.maximum(wsum, 1e-5)
+        total = jnp.where(use[..., None], irr, total)
+        chosen = chosen | use
+    return total

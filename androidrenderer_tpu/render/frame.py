@@ -24,6 +24,7 @@ from androidrenderer_tpu.config import (
 )
 from androidrenderer_tpu.ops import bloom as bloom_ops
 from androidrenderer_tpu.ops import lpv as lpv_ops
+from androidrenderer_tpu.ops import probes as probe_ops
 from androidrenderer_tpu.ops import culling, lighting, post, sky
 from androidrenderer_tpu.ops import taa as taa_ops
 from androidrenderer_tpu.ops.rt import effects as rt_effects
@@ -221,6 +222,19 @@ def render_frame(
             volumes, gbuf.world_position, gbuf.normal, gbuf.base_color, gbuf.valid,
             params.lpv_exposure * params.sun_exposure,
         )
+    elif config.gi_mode == GIMode.PROBES and band_height is None:
+        # DDGI-style budgeted probe cache (irradiance_cache.cpp:496-724).
+        probes = probe_ops.update_probes(
+            temporal.probes, scene.bvh, scene, jnp.asarray(view.position),
+            config.probe_grid, config.probe_spacing, config.probe_budget,
+            config.probe_rays, temporal.frame_index, params.sun_exposure,
+        )
+        irr = probe_ops.sample_probes(
+            probes, gbuf.world_position, gbuf.normal, gbuf.valid,
+            jnp.asarray(view.position), config.probe_grid, config.probe_spacing,
+        )
+        gi = irr * gbuf.base_color
+        temporal = temporal._replace(probes=probes)
     elif config.gi_mode == GIMode.RT and band_height is None:
         # Per-pixel one-bounce RTGI (gi/rtgi.cpp:69-139).
         irr = rt_effects.rtgi(

@@ -8,9 +8,11 @@ rides in one NamedTuple threaded through ``render_frame(...) -> (image, next_sta
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Tuple
 
 import jax.numpy as jnp
+
+from androidrenderer_tpu.ops.probes import ProbeCascades, make_probe_state
 
 
 class TemporalState(NamedTuple):
@@ -22,10 +24,14 @@ class TemporalState(NamedTuple):
     # by the LPV milestone; zeros otherwise.
     lpv_volume: jnp.ndarray
     lpv_center: jnp.ndarray  # (cascades, 3) snapped cascade centers
+    # DDGI-style irradiance probe cascades (ops/probes.py).
+    probes: ProbeCascades
 
 
 def initial_temporal_state(
-    height: int, width: int, lpv_cascades: int = 4, lpv_res: int = 32
+    height: int, width: int, lpv_cascades: int = 4, lpv_res: int = 32,
+    probe_cascades: int = 2, probe_grid: Tuple[int, int, int] = (16, 8, 16),
+    probe_spacing: float = 1.0,
 ) -> TemporalState:
     return TemporalState(
         taa_history=jnp.zeros((height, width, 3), jnp.float32),
@@ -34,4 +40,5 @@ def initial_temporal_state(
         frame_index=jnp.int32(0),
         lpv_volume=jnp.zeros((lpv_cascades, 12, lpv_res, lpv_res, lpv_res), jnp.float32),
         lpv_center=jnp.zeros((lpv_cascades, 3), jnp.float32),
+        probes=make_probe_state(probe_cascades, probe_grid, probe_spacing),
     )

@@ -33,6 +33,7 @@ def main() -> int:
         output_width=width, output_height=height,
         tile_height=32, tile_width=128,
         max_tris_per_tile=4096,
+        alpha_masking=False,  # the bench scene has no masked geometry
     )
 
     # detail=13 => 266,648 triangles (Sponza ~262k).
