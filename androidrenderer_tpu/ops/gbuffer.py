@@ -52,6 +52,39 @@ def _interp(attr, bary):
     return jnp.sum(attr[bary.vertex_ids] * bary.lam[..., None], axis=-2)
 
 
+ATTR_CHANNELS = 16  # uv(2) normal(3) tangent(4) color(3) position(3) pad(1)
+
+
+def pack_attribute_planes(scene: SceneArrays, setup: TriangleSetup) -> jnp.ndarray:
+    """(N, 3, A+1) per-triangle interpolation planes.
+
+    Any vertex attribute a interpolates as a(p) = (fa*x + fb*y + fc) / s(p) with
+    (fa, fb, fc) = sum_i edge_i * a_i (setup.py math). Precomputing these planes
+    turns the resolve's many per-pixel VERTEX gathers (3 per attribute — the dominant
+    cost: a 2M-row gather is ~45 ms on TPU regardless of width) into ONE wide
+    per-triangle gather. Channel A is the s-plane (sum of edge rows).
+    """
+    idx = scene.tri_indices
+    attrs = jnp.concatenate(
+        [
+            scene.uvs,
+            scene.normals,
+            scene.tangents,
+            scene.colors[:, :3],
+            scene.positions,
+            jnp.zeros((scene.positions.shape[0], 1), jnp.float32),
+        ],
+        axis=1,
+    )  # (V, A)
+    planes = (
+        setup.edge[:, 0, :, None] * attrs[idx[:, 0]][:, None, :]
+        + setup.edge[:, 1, :, None] * attrs[idx[:, 1]][:, None, :]
+        + setup.edge[:, 2, :, None] * attrs[idx[:, 2]][:, None, :]
+    )  # (N, 3, A)
+    s_plane = jnp.sum(setup.edge, axis=1)  # (N, 3)
+    return jnp.concatenate([planes, s_plane[:, :, None]], axis=2)  # (N, 3, A+1)
+
+
 def resolve_gbuffer(
     scene: SceneArrays,
     setup: TriangleSetup,
@@ -59,12 +92,33 @@ def resolve_gbuffer(
     depth: jnp.ndarray,  # (H, W) f32
     mip_bias: jnp.ndarray | float = 0.0,
     row_offset: jnp.ndarray | int = 0,
+    attr_planes: jnp.ndarray | None = None,  # pack_attribute_planes result (reused)
 ) -> GBuffer:
-    bary = compute_barycentrics(vis, setup, scene.tri_indices, row_offset)
+    height, width = vis.shape
+    valid = vis >= 0
     tid = jnp.maximum(vis, 0)
     mat_id = scene.tri_material[tid]  # (H, W)
 
-    uv, duvdx, duvdy = interpolate_with_derivatives(bary, scene.uvs)
+    if attr_planes is None:
+        attr_planes = pack_attribute_planes(scene, setup)
+    pl = attr_planes[tid]  # (H, W, 3, A+1) — the one big gather
+    px = jnp.arange(width, dtype=jnp.float32)[None, :, None]
+    py = (jnp.arange(height, dtype=jnp.float32) + row_offset)[:, None, None]
+    f = pl[..., 0, :] * px + pl[..., 1, :] * py + pl[..., 2, :]  # (H, W, A+1)
+    s = f[..., -1:]
+    inv_s = 1.0 / jnp.where(s == 0.0, 1.0, s)
+    a = f[..., :-1] * inv_s  # all interpolated attributes
+    uv = a[..., 0:2]
+    geo_n = _normalize(a[..., 2:5])
+    tan4 = a[..., 5:9]
+    vcolor = a[..., 9:12]
+    world_pos = a[..., 12:15]
+    # Analytic UV derivatives from the planes: da/dx = (fa*s - f*sa) / s^2.
+    sa = pl[..., 0, -1:]
+    sb = pl[..., 1, -1:]
+    duvdx = (pl[..., 0, 0:2] - uv * sa) * inv_s
+    duvdy = (pl[..., 1, 0:2] - uv * sb) * inv_s
+
     base_size = texture_base_size(scene)
     lod = tex.compute_lod(duvdx, duvdy, base_size, mip_bias)
 
@@ -74,17 +128,17 @@ def resolve_gbuffer(
         scene.textures, scene.texture_level_offsets, base_size, tex_ids[..., 0], uv, lod
     )
     base_rgb = srgb_to_linear(base_s[..., :3])
-    vcolor = _interp(scene.colors, bary)
     base_factor = scene.mat_base_color[mat_id]
     base_color = base_rgb * base_factor[..., :3] * vcolor[..., :3]
 
-    # Normal mapping (gltf_basic_pbr.slang TBN path). Normal textures are linear.
+    # Normal mapping (gltf_basic_pbr.slang TBN path); secondary textures sample
+    # bilinear at the floored lod (half the taps of trilinear).
+    mr_lod = jnp.floor(lod)
     nrm_s = tex.sample_trilinear(
-        scene.textures, scene.texture_level_offsets, base_size, tex_ids[..., 1], uv, lod
+        scene.textures, scene.texture_level_offsets, base_size, tex_ids[..., 1], uv,
+        mr_lod,
     )
     n_ts = nrm_s[..., :3] * 2.0 - 1.0
-    geo_n = _normalize(_interp(scene.normals, bary))
-    tan4 = _interp(scene.tangents, bary)
     t = tan4[..., :3]
     t_len2 = jnp.sum(t * t, axis=-1, keepdims=True)
     has_tangent = t_len2 > 1e-8
@@ -97,7 +151,6 @@ def resolve_gbuffer(
 
     # Metal/rough: glTF metallicRoughness texture (G = roughness, B = metalness) —
     # the same channels the reference's gbuffer data target carries.
-    mr_lod = jnp.floor(lod)
     mr_s = tex.sample_trilinear(
         scene.textures, scene.texture_level_offsets, base_size, tex_ids[..., 2], uv, mr_lod
     )
@@ -110,9 +163,7 @@ def resolve_gbuffer(
     )
     emission = srgb_to_linear(em_s[..., :3]) * scene.mat_emission[mat_id]
 
-    world_pos = _interp(scene.positions, bary)
-
-    mask = bary.valid[..., None]
+    mask = valid[..., None]
     zero = jnp.zeros_like(base_color)
     return GBuffer(
         base_color=jnp.where(mask, base_color, 0.0),
@@ -122,5 +173,5 @@ def resolve_gbuffer(
         emission=jnp.where(mask, emission, zero),
         world_position=jnp.where(mask, world_pos, 0.0),
         depth=depth,
-        valid=bary.valid,
+        valid=valid,
     )

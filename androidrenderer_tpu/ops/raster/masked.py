@@ -63,7 +63,7 @@ def rasterize_masked_peeled(
     tiles_y, tiles_x = height // tile_h, width // tile_w
     bins = bin_triangles(
         setup_masked, tiles_y, tiles_x, tile_h, tile_w, cap,
-        tile_row_offset=row_offset // tile_h if row_offset else 0,
+        tile_row_offset=row_offset // tile_h,
     )
 
     z_limit = jnp.full((height, width), jnp.inf, jnp.float32)

@@ -38,6 +38,8 @@ def _screen_sharded_spec(axis: str):
         image=img, hdr=img, depth=img, visibility=img,
         gbuffer=_GBuffer(*([img] * len(_GBuffer._fields))),
     )
+    from androidrenderer_tpu.ops.probes import ProbeCascades
+
     temp_spec = TemporalState(
         taa_history=img,
         taa_valid=P(),
@@ -45,6 +47,7 @@ def _screen_sharded_spec(axis: str):
         frame_index=P(),
         lpv_volume=P(),
         lpv_center=P(),
+        probes=ProbeCascades(*([P()] * len(ProbeCascades._fields))),
     )
     return out_spec, temp_spec
 
