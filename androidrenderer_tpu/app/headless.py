@@ -29,6 +29,9 @@ def main(argv=None) -> int:
     ap.add_argument("--platform", default=None, help="jax platform override (cpu)")
     ap.add_argument("--orbit", type=float, default=0.0,
                     help="yaw delta per frame (radians) for motion")
+    ap.add_argument("--visualize", default=None,
+                    help="debug view: depth|normals|ids|albedo|roughness|metalness|"
+                         "emission|position")
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -101,6 +104,13 @@ def main(argv=None) -> int:
         print(f"frame {i}: {app.last_frame_seconds * 1e3:.2f} ms")
         if args.orbit:
             app.rotate(0.0, args.orbit)
+
+    if args.visualize:
+        import numpy as _np
+
+        from androidrenderer_tpu.ops.visualize import visualize
+
+        img = _np.asarray(visualize(app._last_outputs, args.visualize))
 
     save_png(args.out, img)
     print(f"wrote {args.out}")

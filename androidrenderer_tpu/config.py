@@ -89,6 +89,8 @@ class RenderConfig:
     aa_mode: AAMode = AAMode.OFF
     bloom: bool = True
     sky: bool = True
+    occlusion_culling: bool = True  # two-phase HiZ occlusion (depth_culling_phase)
+    hiz_levels: int = 6
     alpha_masking: bool = True  # alpha-tested (MASK-mode) geometry via depth peeling
     alpha_peel_layers: int = 3
     raster_backend: RasterBackend = RasterBackend.PALLAS

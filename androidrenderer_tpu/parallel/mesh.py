@@ -48,6 +48,7 @@ def _screen_sharded_spec(axis: str):
         lpv_volume=P(),
         lpv_center=P(),
         probes=ProbeCascades(*([P()] * len(ProbeCascades._fields))),
+        prev_visible_prims=P(),
     )
     return out_spec, temp_spec
 

@@ -78,6 +78,9 @@ def render_frame(
         prim_mask, scene.tri_primitive, scene.tri_valid
     )
 
+    p00 = view.projection[0, 0]
+    p11 = view.projection[1, 1]
+
     # --- geometry: transform + setup + bin (the "GPU-driven" pipe) ----------------
     clip = transform_to_clip(scene.positions, jnp.asarray(view.view_proj))
     # Setup is computed against the FULL frame (AABBs live in global pixel space and
@@ -106,25 +109,55 @@ def render_frame(
         and band_height is None
         and (jax.default_backend() == "tpu" or config.pallas_interpret)
     )
-    if use_pallas:
-        depth, vis = rasterize_pallas(
-            setup_opaque, h, w, num_slabs=config.raster_num_slabs,
-            interpret=config.pallas_interpret,
-        )
-    else:
+    def _raster_full(su):
+        if use_pallas:
+            return rasterize_pallas(
+                su, h, w, num_slabs=config.raster_num_slabs,
+                interpret=config.pallas_interpret,
+            )
         bins = bin_triangles(
-            setup_opaque, tiles_y, config.tiles_x, config.tile_height,
-            config.tile_width,
+            su, tiles_y, config.tiles_x, config.tile_height, config.tile_width,
             cap=config.max_tris_per_tile, tile_row_offset=tile_row_offset,
         )
-        depth = rasterize_depth(
-            setup_opaque, bins, h, w, config.tile_height, config.tile_width,
+        d = rasterize_depth(
+            su, bins, h, w, config.tile_height, config.tile_width,
             row_offset=row_offset,
         )
-        vis = rasterize_visibility(
-            setup_opaque, bins, depth, config.tile_height, config.tile_width,
+        v = rasterize_visibility(
+            su, bins, d, config.tile_height, config.tile_width,
             row_offset=row_offset,
         )
+        return d, v
+
+    if config.occlusion_culling and band_height is None:
+        # Two-phase HiZ occlusion culling (depth_culling_phase.cpp:182-241):
+        # 1) draw last-frame-visible, 2) build the HiZ pyramid from that depth,
+        # 3) re-test everything, 4) draw the newly visible, merge (max — exact).
+        np_ = scene.prim_bounds.shape[0]
+        prev_vis = temporal.prev_visible_prims[:np_]
+        phase1 = prim_mask & prev_vis
+        tri_p1 = culling.primitive_mask_to_triangle_mask(
+            phase1, scene.tri_primitive, scene.tri_valid
+        )
+        depth, vis = _raster_full(setup_opaque._replace(valid=setup_opaque.valid & tri_p1))
+
+        hiz = culling.build_hiz_pyramid(depth, config.hiz_levels)
+        not_occluded = culling.occlusion_cull_spheres(
+            scene.prim_bounds, jnp.asarray(view.view), view.z_near, p00, p11, hiz,
+        )
+        visible_now = prim_mask & not_occluded
+        newly = visible_now & ~phase1
+        tri_new = culling.primitive_mask_to_triangle_mask(
+            newly, scene.tri_primitive, scene.tri_valid
+        )
+        d2, v2 = _raster_full(setup_opaque._replace(valid=setup_opaque.valid & tri_new))
+        vis = jnp.where(d2 > depth, v2, vis)
+        depth = jnp.maximum(depth, d2)
+        temporal = temporal._replace(
+            prev_visible_prims=temporal.prev_visible_prims.at[:np_].set(visible_now)
+        )
+    else:
+        depth, vis = _raster_full(setup_opaque)
 
     if config.alpha_masking:
         setup_m = setup._replace(valid=setup.valid & is_masked)
@@ -138,8 +171,6 @@ def render_frame(
     gbuf = resolve_gbuffer(scene, setup, vis, depth, row_offset=row_offset)
 
     # --- sky ------------------------------------------------------------------------
-    p00 = view.projection[0, 0]
-    p11 = view.projection[1, 1]
     if config.sky:
         sky_img = sky.sky_background(
             jnp.asarray(view.inverse_view), p00, p11,

@@ -26,12 +26,14 @@ class TemporalState(NamedTuple):
     lpv_center: jnp.ndarray  # (cascades, 3) snapped cascade centers
     # DDGI-style irradiance probe cascades (ops/probes.py).
     probes: ProbeCascades
+    # Last-frame primitive visibility (depth_culling_phase.hpp:44-59 analog).
+    prev_visible_prims: jnp.ndarray  # (max_primitives,) bool
 
 
 def initial_temporal_state(
     height: int, width: int, lpv_cascades: int = 4, lpv_res: int = 32,
     probe_cascades: int = 2, probe_grid: Tuple[int, int, int] = (16, 8, 16),
-    probe_spacing: float = 1.0,
+    probe_spacing: float = 1.0, max_primitives: int = 65536,
 ) -> TemporalState:
     return TemporalState(
         taa_history=jnp.zeros((height, width, 3), jnp.float32),
@@ -41,4 +43,5 @@ def initial_temporal_state(
         lpv_volume=jnp.zeros((lpv_cascades, 12, lpv_res, lpv_res, lpv_res), jnp.float32),
         lpv_center=jnp.zeros((lpv_cascades, 3), jnp.float32),
         probes=make_probe_state(probe_cascades, probe_grid, probe_spacing),
+        prev_visible_prims=jnp.ones((max_primitives,), bool),
     )

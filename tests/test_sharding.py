@@ -18,6 +18,7 @@ CFG = RenderConfig(
     render_width=W, render_height=H, output_width=W, output_height=H,
     tile_height=8, tile_width=128, max_tris_per_tile=512, bloom=False,
     alpha_masking=False,  # keeps the 8-band CPU compile fast; cornell has none
+    occlusion_culling=False,  # exact anyway; halves the test compile
 )
 
 
