@@ -140,9 +140,10 @@ def update_probes(
             * (ndotl * jnp.where(occ, 0.0, 1.0))[:, None]
             + emission * sun_exposure
         )
-        sky_l = sky_ops.sky_radiance(d, scene.sun_direction) * scene.sun_color[
-            None, :
-        ] * sun_exposure * 0.05
+        sky_lut = sky_ops.build_sky_view_lut(scene.sun_direction)
+        sky_l = sky_ops.sample_sky_lut(sky_lut, d, scene.sun_direction) * (
+            scene.sun_color[None, :] * sun_exposure * 0.05
+        )
         hit = hits.slot >= 0
         radiance = jnp.where(hit[:, None], li, sky_l).reshape(b, rays_per_probe, 3)
         dist = jnp.where(hit, hits.t, spacing * 4.0).reshape(b, rays_per_probe)

@@ -160,3 +160,188 @@ def sky_background(
     dirs = view_ray_directions(inverse_view, p00, p11, height, width, row_offset, full_height)
     lum = sky_radiance(dirs, sun_direction)
     return lum * sun_color[None, None, :] * exposure * 0.05
+
+
+# ---------------------------------------------------------------------------
+# LUT pipeline (procedural_sky.cpp:75-149): transmittance LUT (static, baked at
+# first use), per-frame sky-view LUT (in-jit march using the transmittance LUT),
+# and a cheap per-pixel LUT sample for backgrounds / RT misses.
+
+import numpy as _np
+
+_TRANSMITTANCE_LUT = None
+T_LUT_MU = 64  # sun zenith cosine axis
+T_LUT_H = 64  # altitude axis (0..atmosphere top)
+SKY_LUT_H = 128
+SKY_LUT_W = 256
+
+
+def transmittance_lut() -> jnp.ndarray:
+    """(T_LUT_H, T_LUT_MU, 3) transmittance toward the sun from altitude h at
+    zenith-cosine mu (256x64 LUT in the reference; static — atmosphere constants
+    only), baked in numpy on first use."""
+    global _TRANSMITTANCE_LUT
+    if _TRANSMITTANCE_LUT is None:
+        hs = _np.linspace(0.0, (ATMO_RADIUS_MM - GROUND_RADIUS_MM), T_LUT_H)
+        mus = _np.linspace(-0.2, 1.0, T_LUT_MU)
+        rs = _np.asarray(RAYLEIGH_SCATTER)
+        oz = _np.asarray(OZONE_ABSORB)
+        lut = _np.zeros((T_LUT_H, T_LUT_MU, 3), _np.float32)
+        steps = 48
+        for hi, h in enumerate(hs):
+            for mi, mu in enumerate(mus):
+                # March from (0, r0, 0) toward direction (sin, mu) to atmosphere top.
+                r0 = GROUND_RADIUS_MM + h
+                s = _np.sqrt(max(1.0 - mu * mu, 0.0))
+                o = _np.array([0.0, r0])
+                d = _np.array([s, mu])
+                b = o @ d
+                c = o @ o - ATMO_RADIUS_MM**2
+                t_exit = -b + _np.sqrt(max(b * b - c, 0.0))
+                od = _np.zeros(3)
+                dt = t_exit / steps
+                for k in range(steps):
+                    p = o + d * (k + 0.5) * dt
+                    hk = (_np.linalg.norm(p) - GROUND_RADIUS_MM) * 1e3  # km
+                    rho_r = _np.exp(-hk / 8.0)
+                    rho_m = _np.exp(-hk / 1.2)
+                    rho_o = max(0.0, 1.0 - abs(hk - 25.0) / 15.0)
+                    od += (rs * rho_r + (MIE_SCATTER + MIE_ABSORB) * rho_m
+                           + oz * rho_o) * dt
+                lut[hi, mi] = _np.exp(-od)
+        _TRANSMITTANCE_LUT = lut  # cache HOST numpy — caching a jnp array created
+        # inside a jit trace would leak a tracer out of the transform.
+    return jnp.asarray(_TRANSMITTANCE_LUT)
+
+
+def _sample_transmittance(t_lut: jnp.ndarray, h_mm, mu):
+    """Bilinear LUT fetch; h in Mm above ground, mu = cos zenith toward sun."""
+    hx = jnp.clip(h_mm / (ATMO_RADIUS_MM - GROUND_RADIUS_MM), 0.0, 1.0) * (T_LUT_H - 1)
+    mx = jnp.clip((mu + 0.2) / 1.2, 0.0, 1.0) * (T_LUT_MU - 1)
+    h0 = jnp.floor(hx).astype(jnp.int32)
+    m0 = jnp.floor(mx).astype(jnp.int32)
+    h1 = jnp.minimum(h0 + 1, T_LUT_H - 1)
+    m1 = jnp.minimum(m0 + 1, T_LUT_MU - 1)
+    fh = (hx - h0)[..., None]
+    fm = (mx - m0)[..., None]
+    a = t_lut[h0, m0] * (1 - fm) + t_lut[h0, m1] * fm
+    b = t_lut[h1, m0] * (1 - fm) + t_lut[h1, m1] * fm
+    return a * (1 - fh) + b * fh
+
+
+def build_sky_view_lut(
+    sun_direction: jnp.ndarray, altitude_km: float = 0.2, num_steps: int = 32
+) -> jnp.ndarray:
+    """(SKY_LUT_H, SKY_LUT_W, 3) per-frame sky-view LUT (200x200 in the reference).
+
+    Texel mapping: u = azimuth relative to the sun's azimuth / 2pi; v = non-linear
+    elevation warp (Hillaire): elevation = sign(x) * x^2 * pi/2, x = 2v - 1."""
+    t_lut = transmittance_lut()
+    to_sun = normalize(-sun_direction.astype(jnp.float32))
+    sun_az = jnp.arctan2(to_sun[2], to_sun[0])
+    sun_el = jnp.arcsin(jnp.clip(to_sun[1], -1.0, 1.0))
+
+    u = (jnp.arange(SKY_LUT_W, dtype=jnp.float32) + 0.5) / SKY_LUT_W
+    v = (jnp.arange(SKY_LUT_H, dtype=jnp.float32) + 0.5) / SKY_LUT_H
+    az = u[None, :] * (2.0 * jnp.pi) + sun_az
+    x = v[:, None] * 2.0 - 1.0
+    el = jnp.sign(x) * x * x * (jnp.pi / 2.0)
+    ce = jnp.cos(el)
+    dirs = jnp.stack(
+        [
+            jnp.broadcast_to(ce * jnp.cos(az), (SKY_LUT_H, SKY_LUT_W)),
+            jnp.broadcast_to(jnp.sin(el), (SKY_LUT_H, SKY_LUT_W)),
+            jnp.broadcast_to(ce * jnp.sin(az), (SKY_LUT_H, SKY_LUT_W)),
+        ],
+        axis=-1,
+    )
+
+    # Single-scatter march with LUT-accurate sun transmittance.
+    d = dirs
+    o = jnp.array([0.0, GROUND_RADIUS_MM + altitude_km * 1e-3, 0.0])
+    t_atmo = _ray_sphere_exit(o[None, None, :] + 0 * d, d, ATMO_RADIUS_MM)
+    b = jnp.sum(o * d, axis=-1)
+    c_g = o @ o - GROUND_RADIUS_MM**2
+    disc = b * b - c_g
+    t_ground = jnp.where(
+        (disc > 0) & (-b - jnp.sqrt(jnp.maximum(disc, 0.0)) > 0),
+        -b - jnp.sqrt(jnp.maximum(disc, 0.0)), jnp.inf,
+    )
+    t_max = jnp.minimum(t_atmo, t_ground)
+    cos_sun = jnp.sum(d * to_sun, axis=-1)
+    ph_r = _rayleigh_phase(cos_sun)[..., None]
+    ph_m = _mie_phase(cos_sun)[..., None]
+    dt = t_max / num_steps
+    lum = jnp.zeros((SKY_LUT_H, SKY_LUT_W, 3))
+    trans = jnp.ones((SKY_LUT_H, SKY_LUT_W, 3))
+    for i in range(num_steps):
+        t = (i + 0.5) * dt
+        p = o + d * t[..., None]
+        r = jnp.sqrt(jnp.sum(p * p, axis=-1))
+        h_km = (r - GROUND_RADIUS_MM) * 1e3
+        rho_r, rho_m, rho_o = _densities(h_km)
+        scat_r = RAYLEIGH_SCATTER * rho_r[..., None]
+        scat_m = MIE_SCATTER * rho_m[..., None]
+        ext = (scat_r + (MIE_SCATTER + MIE_ABSORB) * rho_m[..., None]
+               + OZONE_ABSORB * rho_o[..., None])
+        mu_s = jnp.sum(p * to_sun, axis=-1) / jnp.maximum(r, 1e-6)
+        sun_t = _sample_transmittance(t_lut, (r - GROUND_RADIUS_MM), mu_s)
+        in_scatter = (scat_r * ph_r + scat_m * ph_m) * sun_t
+        step_t = jnp.exp(-ext * dt[..., None])
+        lum = lum + trans * in_scatter * (1.0 - step_t) / jnp.maximum(ext, 1e-6)
+        trans = trans * step_t
+    return lum
+
+
+def sample_sky_lut(
+    lut: jnp.ndarray, directions: jnp.ndarray, sun_direction: jnp.ndarray
+) -> jnp.ndarray:
+    """(..., 3) radiance from the sky-view LUT for arbitrary unit directions."""
+    to_sun = normalize(-sun_direction.astype(jnp.float32))
+    sun_az = jnp.arctan2(to_sun[2], to_sun[0])
+    az = jnp.arctan2(directions[..., 2], directions[..., 0]) - sun_az
+    u = jnp.mod(az / (2.0 * jnp.pi), 1.0)
+    el = jnp.arcsin(jnp.clip(directions[..., 1], -1.0, 1.0))
+    x = jnp.sign(el) * jnp.sqrt(jnp.abs(el) / (jnp.pi / 2.0))
+    v = jnp.clip((x + 1.0) * 0.5, 0.0, 1.0)
+    fx = u * SKY_LUT_W - 0.5
+    fy = v * SKY_LUT_H - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    gx = (fx - x0)[..., None]
+    gy = (fy - y0)[..., None]
+    x0i = jnp.mod(x0.astype(jnp.int32), SKY_LUT_W)
+    x1i = jnp.mod(x0i + 1, SKY_LUT_W)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, SKY_LUT_H - 1)
+    y1i = jnp.minimum(y0i + 1, SKY_LUT_H - 1)
+    a = lut[y0i, x0i] * (1 - gx) + lut[y0i, x1i] * gx
+    b = lut[y1i, x0i] * (1 - gx) + lut[y1i, x1i] * gx
+    lum = a * (1 - gy) + b * gy
+    # Sun disc through transmittance (as the non-LUT path).
+    cos_sun = jnp.sum(directions * to_sun, axis=-1)
+    t_lut = transmittance_lut()
+    sun_t = _sample_transmittance(t_lut, jnp.zeros_like(cos_sun) + 2e-4, cos_sun)
+    disc = (cos_sun > 0.999957) & (directions[..., 1] > -0.05)
+    return lum + jnp.where(disc[..., None], sun_t * 1000.0, 0.0)
+
+
+def sky_background_lut(
+    inverse_view: jnp.ndarray,
+    p00,
+    p11,
+    sun_direction: jnp.ndarray,
+    sun_color: jnp.ndarray,
+    height: int,
+    width: int,
+    exposure=0.00031415927,
+    row_offset=0,
+    full_height: int | None = None,
+) -> jnp.ndarray:
+    """LUT-driven background: per-frame 128x256 LUT march + per-pixel bilinear."""
+    lut = build_sky_view_lut(sun_direction)
+    dirs = view_ray_directions(inverse_view, p00, p11, height, width, row_offset,
+                               full_height)
+    lum = sample_sky_lut(lut, dirs, sun_direction)
+    # The physically-integrated LUT is ~10x dimmer than the legacy closed-form
+    # approximation (which under-attenuated the sun ray); keep display brightness.
+    return lum * sun_color[None, None, :] * exposure * 0.5
