@@ -125,11 +125,11 @@ def rtgi(
     )
     bounce = jnp.where(front[:, None], sun_li + emission * sun_exposure, 0.0)
 
-    # Sky on miss (per-frame sky-view LUT; cheap bilinear per ray).
-    sky_lut = sky_ops.build_sky_view_lut(scene.sun_direction)
-    sky_l = sky_ops.sample_sky_lut(sky_lut, _flat(d), scene.sun_direction) * (
-        scene.sun_color[None, :] * sun_exposure * 0.05
-    )
+    # Sky on miss — analytic march (cheaper than LUT gathers at 2M rays; see
+    # ops/sky.py TPU cost note).
+    sky_l = sky_ops.sky_radiance(_flat(d), scene.sun_direction) * scene.sun_color[
+        None, :
+    ] * sun_exposure * 0.05
 
     radiance = jnp.where(hit_mask.reshape(-1)[:, None], bounce, sky_l)
     gi = radiance.reshape(h, w, 3) * (exposure / jnp.float32(0.00031415927))

@@ -325,6 +325,10 @@ def sample_sky_lut(
     return lum + jnp.where(disc[..., None], sun_t * 1000.0, 0.0)
 
 
+# NOTE (TPU cost model): at 2M px the 4 bilinear LUT gathers cost ~180 ms while the
+# 12-step analytic march is ~6 ms of pure VPU math — on TPU, compute beats memory.
+# The LUT path exists for structural parity and for low-ray-count consumers (probe
+# updates); full-screen consumers use sky_background / sky_radiance.
 def sky_background_lut(
     inverse_view: jnp.ndarray,
     p00,

@@ -172,7 +172,7 @@ def render_frame(
 
     # --- sky ------------------------------------------------------------------------
     if config.sky:
-        sky_img = sky.sky_background_lut(
+        sky_img = sky.sky_background(
             jnp.asarray(view.inverse_view), p00, p11,
             scene.sun_direction, scene.sun_color, h, w,
             exposure=params.sun_exposure,
