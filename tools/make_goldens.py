@@ -1,0 +1,70 @@
+"""Regenerate golden images for the SSIM regression tests (tests/test_goldens.py).
+
+Run on the CPU backend (deterministic across hosts):
+    python tools/make_goldens.py
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+from androidrenderer_tpu.camera import Camera
+from androidrenderer_tpu.config import GIMode, RenderConfig, RenderParams, ShadowMode
+from androidrenderer_tpu.render import initial_temporal_state, make_renderer
+from androidrenderer_tpu.scene.procedural import cornell_scene, courtyard_scene
+from androidrenderer_tpu.utils.image import save_png
+
+GOLDEN_DIR = Path(__file__).resolve().parent.parent / "tests" / "goldens"
+W = H = 128
+
+
+def render(scene_fn, cam_pos, cam_pitch_yaw, **cfg):
+    config = RenderConfig(
+        render_width=W, render_height=H, output_width=W, output_height=H,
+        max_tris_per_tile=1024, occlusion_culling=False, **cfg,
+    )
+    scene, _ = scene_fn().build()
+    cam = Camera(fov_degrees=75.0, aspect=1.0, render_resolution=(W, H))
+    cam.set_position(cam_pos)
+    cam.pitch, cam.yaw = cam_pitch_yaw
+    out, _ = make_renderer(config)(
+        scene, cam.view_data(), RenderParams.default(), initial_temporal_state(H, W)
+    )
+    return np.asarray(out.image)
+
+
+CASES = {
+    "cornell_direct": lambda: render(
+        cornell_scene, [0, 0, 2.2], (0.0, np.pi),
+        sky=False, bloom=False, shadow_cascade_resolution=256,
+    ),
+    "cornell_lpv": lambda: render(
+        cornell_scene, [0, 0, 2.2], (0.0, np.pi),
+        sky=False, bloom=False, shadow_cascade_resolution=256,
+        gi_mode=GIMode.LPV, lpv_num_cascades=2, lpv_resolution=16,
+        lpv_rsm_resolution=64, lpv_num_propagation_steps=8,
+    ),
+    "courtyard_csm": lambda: render(
+        courtyard_scene, [0, 1.7, 6.0], (-0.05, np.pi),
+        shadow_cascade_resolution=256,
+    ),
+}
+
+
+def main():
+    GOLDEN_DIR.mkdir(exist_ok=True)
+    for name, fn in CASES.items():
+        img = fn()
+        save_png(str(GOLDEN_DIR / f"{name}.png"), img)
+        print(f"wrote {name}.png mean={img.mean():.2f}")
+
+
+if __name__ == "__main__":
+    main()
