@@ -262,7 +262,12 @@ def rasterize_pallas(
     slab_h = height // num_slabs
 
     records = pack_records(setup)
-    tables, counts = bucket_by_slab(records, num_slabs, slab_h)
+    if num_slabs == 1:
+        # No bucketing needed: stream records directly (dead rows skip in-kernel).
+        tables = records[None]
+        counts = jnp.array([records.shape[0]], jnp.int32)
+    else:
+        tables, counts = bucket_by_slab(records, num_slabs, slab_h)
     n_cap = tables.shape[1]
     num_chunks = -(-n_cap // chunk)
     pad = num_chunks * chunk - n_cap

@@ -100,3 +100,31 @@ def test_end_to_end_shadow_under_box():
     # Box top is lit.
     box_top = (vis >= 0) & (gpos[..., 1] > 2.1)
     assert hdr[box_top].mean() > 0.5 * lum_out
+
+
+def test_canonical_frame_cascades_match_direct_raster():
+    # The Pallas path derives all cascade setups from ONE canonical-frame setup via
+    # affine coefficient transforms; it must match the direct per-cascade raster.
+    import jax.numpy as jnp
+
+    scene, _ = _shadow_scene().build()
+    cam = Camera(fov_degrees=75.0, aspect=1.0, render_resolution=(128, 128))
+    cam.set_position([0.0, 6.0, 6.0])
+    cam.pitch, cam.yaw = -0.8, np.pi
+    vd = cam.view_data()
+    c = S.fit_cascades(
+        jnp.asarray(vd.inverse_view), vd.projection[0, 0], vd.projection[1, 1],
+        scene.sun_direction, 4, 256, 0.05, 128.0, 0.95,
+    )
+    m_ref = np.asarray(S.render_shadow_cascades(
+        scene.positions, scene.tri_indices, scene.tri_valid, c, 256,
+        double_sided=scene.tri_double_sided,
+    ))
+    m_can = np.asarray(S.render_shadow_cascades(
+        scene.positions, scene.tri_indices, scene.tri_valid, c, 256,
+        use_pallas=True, pallas_interpret=True,
+        double_sided=scene.tri_double_sided,
+    ))
+    for i in range(4):
+        close = np.isclose(m_ref[i], m_can[i], rtol=1e-4, atol=1e-5)
+        assert close.mean() > 0.98, f"cascade {i}: {close.mean():.4f}"
