@@ -29,6 +29,24 @@ class Application:
         # Skip the alpha-peel passes when the scene has no masked geometry.
         if self.scene_stats.get("num_masked_triangles", 0) == 0 and config.alpha_masking:
             config = config.replace(alpha_masking=False)
+        # Static material-feature specialization (the reference's shader-variant
+        # system): compile out sampling paths the scene never uses.
+        mats = scene.materials.materials
+        from androidrenderer_tpu.scene.material_storage import (
+            FLAT_NORMAL_TEXTURE, WHITE_TEXTURE,
+        )
+        import numpy as _np
+        if not any(m.normal_texture != FLAT_NORMAL_TEXTURE for m in mats):
+            config = config.replace(use_normal_maps=False)
+        if not any(m.metal_rough_texture != WHITE_TEXTURE for m in mats):
+            config = config.replace(use_mr_textures=False)
+        if not any(
+            m.emission_texture != WHITE_TEXTURE or _np.any(_np.asarray(m.emission_factor) > 0)
+            for m in mats
+        ):
+            config = config.replace(use_emission=False)
+        if not any(m.base_color_texture != WHITE_TEXTURE for m in mats):
+            config = config.replace(use_base_textures=False)
         self.config = config
         self.camera = Camera(
             fov_degrees=config.fov_degrees,

@@ -89,6 +89,14 @@ class RenderConfig:
     aa_mode: AAMode = AAMode.OFF
     bloom: bool = True
     sky: bool = True
+    # Static material-feature specialization — the TPU analog of the reference's
+    # shader-variant defines (material_pipelines.cpp compiles ~20 uber-shader
+    # variants): scenes without normal maps / MR textures / emission skip those
+    # sampling paths entirely. Application auto-sets these from scene stats.
+    use_base_textures: bool = True
+    use_normal_maps: bool = True
+    use_mr_textures: bool = True
+    use_emission: bool = True
     occlusion_culling: bool = True  # two-phase HiZ occlusion (depth_culling_phase)
     hiz_levels: int = 6
     alpha_masking: bool = True  # alpha-tested (MASK-mode) geometry via depth peeling

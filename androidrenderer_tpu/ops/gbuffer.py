@@ -53,16 +53,22 @@ def _interp(attr, bary):
 
 
 ATTR_CHANNELS = 16  # uv(2) normal(3) tangent(4) color(3) position(3) pad(1)
+# Per-triangle CONSTANT channels appended after the interpolated ones + the s-plane:
+# base_factor(3) metal(1) rough(1) emission(3) tex_ids(4). Constants ride in the C
+# coefficient with A = B = 0 so the same per-pixel evaluation yields value * s,
+# divided back out by 1/s — i.e. they fall out of the interpolation for free.
+CONST_CHANNELS = 12
 
 
 def pack_attribute_planes(scene: SceneArrays, setup: TriangleSetup) -> jnp.ndarray:
-    """(N, 3, A+1) per-triangle interpolation planes.
+    """(N, 3, A+1+K) per-triangle interpolation planes + constants.
 
     Any vertex attribute a interpolates as a(p) = (fa*x + fb*y + fc) / s(p) with
     (fa, fb, fc) = sum_i edge_i * a_i (setup.py math). Precomputing these planes
     turns the resolve's many per-pixel VERTEX gathers (3 per attribute — the dominant
     cost: a 2M-row gather is ~45 ms on TPU regardless of width) into ONE wide
-    per-triangle gather. Channel A is the s-plane (sum of edge rows).
+    per-triangle gather. Channel A is the s-plane; per-triangle material constants
+    follow so material parameter lookups need no separate gathers either.
     """
     idx = scene.tri_indices
     attrs = jnp.concatenate(
@@ -82,7 +88,22 @@ def pack_attribute_planes(scene: SceneArrays, setup: TriangleSetup) -> jnp.ndarr
         + setup.edge[:, 2, :, None] * attrs[idx[:, 2]][:, None, :]
     )  # (N, 3, A)
     s_plane = jnp.sum(setup.edge, axis=1)  # (N, 3)
-    return jnp.concatenate([planes, s_plane[:, :, None]], axis=2)  # (N, 3, A+1)
+
+    m = scene.tri_material
+    consts = jnp.concatenate(
+        [
+            scene.mat_base_color[m][:, :3],
+            scene.mat_metal_rough[m],
+            scene.mat_emission[m],
+            scene.mat_texture_ids[m].astype(jnp.float32),
+        ],
+        axis=1,
+    )  # (N, 12)
+    # Multiply by the s-plane so the per-pixel divide by s(p) cancels exactly.
+    const_planes = consts[:, None, :] * s_plane[:, :, None]
+    return jnp.concatenate(
+        [planes, s_plane[:, :, None], const_planes], axis=2
+    )  # (N, 3, A+1+K)
 
 
 def resolve_gbuffer(
@@ -93,75 +114,96 @@ def resolve_gbuffer(
     mip_bias: jnp.ndarray | float = 0.0,
     row_offset: jnp.ndarray | int = 0,
     attr_planes: jnp.ndarray | None = None,  # pack_attribute_planes result (reused)
+    use_base_textures: bool = True,
+    use_normal_maps: bool = True,
+    use_mr_textures: bool = True,
+    use_emission: bool = True,
 ) -> GBuffer:
     height, width = vis.shape
     valid = vis >= 0
     tid = jnp.maximum(vis, 0)
-    mat_id = scene.tri_material[tid]  # (H, W)
 
     if attr_planes is None:
         attr_planes = pack_attribute_planes(scene, setup)
-    pl = attr_planes[tid]  # (H, W, 3, A+1) — the one big gather
+    pl = attr_planes[tid]  # (H, W, 3, A+1+K) — the one big gather
     px = jnp.arange(width, dtype=jnp.float32)[None, :, None]
     py = (jnp.arange(height, dtype=jnp.float32) + row_offset)[:, None, None]
-    f = pl[..., 0, :] * px + pl[..., 1, :] * py + pl[..., 2, :]  # (H, W, A+1)
-    s = f[..., -1:]
+    f = pl[..., 0, :] * px + pl[..., 1, :] * py + pl[..., 2, :]  # (H, W, A+1+K)
+    s = f[..., ATTR_CHANNELS : ATTR_CHANNELS + 1]
     inv_s = 1.0 / jnp.where(s == 0.0, 1.0, s)
-    a = f[..., :-1] * inv_s  # all interpolated attributes
+    a = f * inv_s  # interpolated attributes; constant channels recover exactly
     uv = a[..., 0:2]
     geo_n = _normalize(a[..., 2:5])
     tan4 = a[..., 5:9]
     vcolor = a[..., 9:12]
     world_pos = a[..., 12:15]
+    c0 = ATTR_CHANNELS + 1
+    base_factor = a[..., c0 : c0 + 3]
+    metal_f = a[..., c0 + 3 : c0 + 4]
+    rough_f = a[..., c0 + 4 : c0 + 5]
+    emission_f = a[..., c0 + 5 : c0 + 8]
+    tex_ids = jnp.round(a[..., c0 + 8 : c0 + 12]).astype(jnp.int32)
     # Analytic UV derivatives from the planes: da/dx = (fa*s - f*sa) / s^2.
-    sa = pl[..., 0, -1:]
-    sb = pl[..., 1, -1:]
+    sa = pl[..., 0, ATTR_CHANNELS : ATTR_CHANNELS + 1]
+    sb = pl[..., 1, ATTR_CHANNELS : ATTR_CHANNELS + 1]
     duvdx = (pl[..., 0, 0:2] - uv * sa) * inv_s
     duvdy = (pl[..., 1, 0:2] - uv * sb) * inv_s
 
     base_size = texture_base_size(scene)
     lod = tex.compute_lod(duvdx, duvdy, base_size, mip_bias)
-
-    tex_ids = scene.mat_texture_ids[mat_id]  # (H, W, 4)
-
-    base_s = tex.sample_trilinear(
-        scene.textures, scene.texture_level_offsets, base_size, tex_ids[..., 0], uv, lod
-    )
-    base_rgb = srgb_to_linear(base_s[..., :3])
-    base_factor = scene.mat_base_color[mat_id]
-    base_color = base_rgb * base_factor[..., :3] * vcolor[..., :3]
-
-    # Normal mapping (gltf_basic_pbr.slang TBN path); secondary textures sample
-    # bilinear at the floored lod (half the taps of trilinear).
     mr_lod = jnp.floor(lod)
-    nrm_s = tex.sample_trilinear(
-        scene.textures, scene.texture_level_offsets, base_size, tex_ids[..., 1], uv,
-        mr_lod,
-    )
-    n_ts = nrm_s[..., :3] * 2.0 - 1.0
-    t = tan4[..., :3]
-    t_len2 = jnp.sum(t * t, axis=-1, keepdims=True)
-    has_tangent = t_len2 > 1e-8
-    t = jnp.where(has_tangent, t / jnp.sqrt(jnp.maximum(t_len2, 1e-12)), 0.0)
-    b = jnp.cross(geo_n, t) * tan4[..., 3:4]
-    mapped_n = _normalize(
-        t * n_ts[..., 0:1] + b * n_ts[..., 1:2] + geo_n * n_ts[..., 2:3]
-    )
-    normal = jnp.where(has_tangent, mapped_n, geo_n)
+
+    if use_base_textures:
+        base_s = tex.sample_trilinear(
+            scene.textures, scene.texture_level_offsets, base_size, tex_ids[..., 0],
+            uv, lod,
+        )
+        base_rgb = srgb_to_linear(base_s[..., :3])
+    else:
+        base_rgb = 1.0
+    base_color = base_rgb * base_factor * vcolor
+
+    # Normal mapping (gltf_basic_pbr.slang TBN path) — compiled out for scenes
+    # without normal maps, like the reference's shader variants.
+    if use_normal_maps:
+        nrm_s = tex.sample_trilinear(
+            scene.textures, scene.texture_level_offsets, base_size, tex_ids[..., 1],
+            uv, mr_lod,
+        )
+        n_ts = nrm_s[..., :3] * 2.0 - 1.0
+        t = tan4[..., :3]
+        t_len2 = jnp.sum(t * t, axis=-1, keepdims=True)
+        has_tangent = t_len2 > 1e-8
+        t = jnp.where(has_tangent, t / jnp.sqrt(jnp.maximum(t_len2, 1e-12)), 0.0)
+        b = jnp.cross(geo_n, t) * tan4[..., 3:4]
+        mapped_n = _normalize(
+            t * n_ts[..., 0:1] + b * n_ts[..., 1:2] + geo_n * n_ts[..., 2:3]
+        )
+        normal = jnp.where(has_tangent, mapped_n, geo_n)
+    else:
+        normal = geo_n
 
     # Metal/rough: glTF metallicRoughness texture (G = roughness, B = metalness) —
     # the same channels the reference's gbuffer data target carries.
-    mr_s = tex.sample_trilinear(
-        scene.textures, scene.texture_level_offsets, base_size, tex_ids[..., 2], uv, mr_lod
-    )
-    mr_factor = scene.mat_metal_rough[mat_id]  # [metalness, roughness]
-    roughness = (mr_s[..., 1:2]) * mr_factor[..., 1:2]
-    metalness = (mr_s[..., 2:3]) * mr_factor[..., 0:1]
+    if use_mr_textures:
+        mr_s = tex.sample_trilinear(
+            scene.textures, scene.texture_level_offsets, base_size, tex_ids[..., 2],
+            uv, mr_lod,
+        )
+        roughness = (mr_s[..., 1:2]) * rough_f
+        metalness = (mr_s[..., 2:3]) * metal_f
+    else:
+        roughness = rough_f
+        metalness = metal_f
 
-    em_s = tex.sample_trilinear(
-        scene.textures, scene.texture_level_offsets, base_size, tex_ids[..., 3], uv, mr_lod
-    )
-    emission = srgb_to_linear(em_s[..., :3]) * scene.mat_emission[mat_id]
+    if use_emission:
+        em_s = tex.sample_trilinear(
+            scene.textures, scene.texture_level_offsets, base_size, tex_ids[..., 3],
+            uv, mr_lod,
+        )
+        emission = srgb_to_linear(em_s[..., :3]) * emission_f
+    else:
+        emission = jnp.zeros_like(base_color)
 
     mask = valid[..., None]
     zero = jnp.zeros_like(base_color)

@@ -168,7 +168,13 @@ def render_frame(
         )
 
     # --- gbuffer resolve ------------------------------------------------------------
-    gbuf = resolve_gbuffer(scene, setup, vis, depth, row_offset=row_offset)
+    gbuf = resolve_gbuffer(
+        scene, setup, vis, depth, row_offset=row_offset,
+        use_base_textures=config.use_base_textures,
+        use_normal_maps=config.use_normal_maps,
+        use_mr_textures=config.use_mr_textures,
+        use_emission=config.use_emission,
+    )
 
     # --- sky ------------------------------------------------------------------------
     if config.sky:
