@@ -17,10 +17,6 @@ import jax.numpy as jnp
 
 from androidrenderer_tpu.ops import texture as tex
 from androidrenderer_tpu.ops.post import srgb_to_linear
-from androidrenderer_tpu.ops.raster.interpolate import (
-    compute_barycentrics,
-    interpolate_with_derivatives,
-)
 from androidrenderer_tpu.ops.raster.setup import TriangleSetup
 from androidrenderer_tpu.scene.scene import SceneArrays, texture_base_size
 

@@ -23,7 +23,6 @@ addr rows [i32 x 4]: 0 window row (slab-local, in 8-px units), 1 window col (in
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

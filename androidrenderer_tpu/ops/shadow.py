@@ -19,7 +19,6 @@ put w = 1 so the shared rasterizer interpolates z = r/s linearly.
 
 from __future__ import annotations
 
-import math
 from typing import NamedTuple, Tuple
 
 import jax

@@ -13,7 +13,7 @@ but with zero barriers/graphs: data dependencies ARE the schedule. Temporal stat
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
