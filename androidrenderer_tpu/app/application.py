@@ -29,6 +29,8 @@ class Application:
         # Skip the alpha-peel passes when the scene has no masked geometry.
         if self.scene_stats.get("num_masked_triangles", 0) == 0 and config.alpha_masking:
             config = config.replace(alpha_masking=False)
+        if self.scene_stats.get("num_blend_triangles", 0) == 0 and config.translucency:
+            config = config.replace(translucency=False)
         # Static material-feature specialization (the reference's shader-variant
         # system): compile out sampling paths the scene never uses.
         mats = scene.materials.materials

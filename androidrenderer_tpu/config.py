@@ -101,6 +101,8 @@ class RenderConfig:
     hiz_levels: int = 6
     alpha_masking: bool = True  # alpha-tested (MASK-mode) geometry via depth peeling
     alpha_peel_layers: int = 3
+    translucency: bool = True  # BLEND-mode geometry: peeled + back-to-front composite
+    translucent_layers: int = 2
     raster_backend: RasterBackend = RasterBackend.PALLAS
     pallas_interpret: bool = False  # interpret-mode Pallas (hermetic CPU tests)
     raster_num_slabs: int = 4

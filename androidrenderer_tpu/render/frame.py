@@ -93,13 +93,16 @@ def render_frame(
         double_sided=scene.tri_double_sided,
         tri_valid=tri_mask,
     )
-    # Alpha-tested (masked) geometry rasterizes separately via depth peeling
-    # (ops/raster/masked.py) — the opaque pass excludes it.
-    is_masked = scene.tri_alpha_mode > 0
-    setup_opaque = (
-        setup._replace(valid=setup.valid & ~is_masked)
-        if config.alpha_masking else setup
-    )
+    # Alpha-tested (masked) and translucent (blend) geometry rasterize separately;
+    # the opaque pass excludes them (material_pipelines' masked/translucent variants).
+    is_masked = scene.tri_alpha_mode == 1
+    is_blend = scene.tri_alpha_mode == 2
+    drop = jnp.zeros_like(setup.valid)
+    if config.alpha_masking:
+        drop = drop | is_masked
+    if config.translucency:
+        drop = drop | is_blend
+    setup_opaque = setup._replace(valid=setup.valid & ~drop)
 
     # --- depth prepass + visibility buffer ----------------------------------------
     # The Pallas kernel is the production path; band rendering (multi-chip screen
@@ -292,7 +295,45 @@ def render_frame(
         shadow,
         params.sun_exposure,
     )
-    lit = lighting.compose_lit_scene(gbuf, direct, gi=gi, ao=None, sky=sky_img)
+    lit = lighting.compose_lit_scene(gbuf, direct, gi=gi, ao=ao, sky=sky_img)
+
+    # --- translucency: depth-peeled BLEND layers, back-to-front composite ------------
+    if config.translucency:
+        from androidrenderer_tpu.ops.raster.masked import _sample_alpha
+        from androidrenderer_tpu.ops.raster.raster_xla import (
+            rasterize_depth as _rd, rasterize_visibility as _rv,
+        )
+
+        setup_b = setup._replace(valid=setup.valid & is_blend)
+        bins_b = bin_triangles(
+            setup_b, tiles_y, config.tiles_x, config.tile_height, config.tile_width,
+            cap=config.max_tris_per_tile, tile_row_offset=tile_row_offset,
+        )
+        z_lim = jnp.full((h, w), jnp.inf, jnp.float32)
+        layers = []
+        for _ in range(config.translucent_layers):
+            d_t = _rd(setup_b, bins_b, h, w, config.tile_height, config.tile_width,
+                      row_offset=row_offset, z_limit=z_lim)
+            v_t = _rv(setup_b, bins_b, d_t, config.tile_height, config.tile_width,
+                      row_offset=row_offset, z_limit=z_lim)
+            gb_t = resolve_gbuffer(
+                scene, setup_b, v_t, d_t, row_offset=row_offset,
+                use_base_textures=config.use_base_textures,
+                use_normal_maps=config.use_normal_maps,
+                use_mr_textures=config.use_mr_textures,
+                use_emission=config.use_emission,
+            )
+            alpha_t, _ = _sample_alpha(scene, setup_b, v_t, row_offset)
+            color_t = lighting.sun_lighting(
+                gb_t, jnp.asarray(view.position), scene.sun_direction,
+                scene.sun_color, None, params.sun_exposure,
+            ) + gb_t.emission
+            layers.append((d_t, color_t, alpha_t[..., None], gb_t.valid))
+            z_lim = jnp.where(v_t >= 0, d_t, z_lim)
+        # Back-to-front over the opaque lit scene; only layers in front of opaque.
+        for d_t, color_t, alpha_t, ok_t in reversed(layers):
+            front = (ok_t & (d_t > depth))[..., None]
+            lit = jnp.where(front, lit * (1.0 - alpha_t) + color_t * alpha_t, lit)
 
     # --- anti-aliasing: TAA accumulation (the IUpscaler-shaped native path) -----------
     if config.aa_mode == AAMode.TAA and band_height is None:

@@ -306,7 +306,8 @@ class RenderScene:
             "num_primitives": npr,
             "num_materials": len(self.materials.materials),
             "num_textures": self.materials.num_textures,
-            "num_masked_triangles": int((np.concatenate(all_alpha) > 0).sum()),
+            "num_masked_triangles": int((np.concatenate(all_alpha) == 1).sum()),
+            "num_blend_triangles": int((np.concatenate(all_alpha) == 2).sum()),
         }
         return scene, stats
 

@@ -34,6 +34,7 @@ def main() -> int:
         tile_height=32, tile_width=128,
         max_tris_per_tile=4096,
         alpha_masking=False,  # the bench scene has no masked geometry
+        translucency=False,  # ... nor translucent
         # Static material specialization (the scene has base-color textures only).
         use_normal_maps=False, use_mr_textures=False, use_emission=False,
     )

@@ -14,6 +14,7 @@ CFG = RenderConfig(
     render_width=W, render_height=H, output_width=W, output_height=H,
     tile_height=32, tile_width=128, max_tris_per_tile=1024,
     occlusion_culling=False,  # covered by test_occlusion; halves compile time
+    translucency=False,
 )
 
 

@@ -19,6 +19,7 @@ CFG = RenderConfig(
     tile_height=8, tile_width=128, max_tris_per_tile=512, bloom=False,
     alpha_masking=False,  # keeps the 8-band CPU compile fast; cornell has none
     occlusion_culling=False,  # exact anyway; halves the test compile
+    translucency=False,
 )
 
 
