@@ -73,3 +73,66 @@ def disc_jitter(direction: jnp.ndarray, tan_radius, u1, u2) -> jnp.ndarray:
     phi = 2.0 * jnp.pi * u2
     d = direction + t * (r * jnp.cos(phi))[..., None] + bt * (r * jnp.sin(phi))[..., None]
     return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Blue noise (NoiseTexture parity): the reference ships 64-layer spatio-temporal
+# blue-noise assets (noise_texture.hpp:12-22). We GENERATE ours with the classic
+# void-and-cluster algorithm (Ulichney 1993) — wrap-around gaussian energy, rank
+# matrix -> uniform blue-noise threshold texture. Cached per (size, seed).
+
+_BLUE_CACHE = {}
+
+
+def blue_noise(size: int = 64, sigma: float = 1.9, seed: int = 0) -> np.ndarray:
+    """(size, size) f32 in [0, 1) with a blue (high-frequency) spectrum."""
+    key = (size, sigma, seed)
+    if key in _BLUE_CACHE:
+        return _BLUE_CACHE[key]
+    rng = np.random.default_rng(seed)
+    n = size * size
+
+    # Toroidal gaussian energy kernel, applied via FFT.
+    x = np.minimum(np.arange(size), size - np.arange(size)).astype(np.float64)
+    d2 = x[None, :] ** 2 + x[:, None] ** 2
+    kernel = np.exp(-d2 / (2.0 * sigma * sigma))
+    kf = np.fft.rfft2(kernel)
+
+    def energy(mask):
+        return np.fft.irfft2(np.fft.rfft2(mask) * kf, s=(size, size))
+
+    # Initial pattern: ~10% ones, relaxed so no tight clusters remain.
+    ones = n // 10
+    mask = np.zeros((size, size), np.float64)
+    idx = rng.choice(n, ones, replace=False)
+    mask.flat[idx] = 1.0
+    for _ in range(4 * ones):
+        e = energy(mask)
+        cluster = np.argmax(np.where(mask > 0.5, e, -np.inf))
+        mask.flat[cluster] = 0.0
+        e = energy(mask)
+        void = np.argmin(np.where(mask < 0.5, e, np.inf))
+        if void == cluster:
+            mask.flat[cluster] = 1.0
+            break
+        mask.flat[void] = 1.0
+
+    rank = np.zeros((size, size), np.int64)
+    # Phase 1: remove tightest clusters down to empty, ranking them.
+    work = mask.copy()
+    for r in range(ones - 1, -1, -1):
+        e = energy(work)
+        c = np.argmax(np.where(work > 0.5, e, -np.inf))
+        work.flat[c] = 0.0
+        rank.flat[c] = r
+    # Phase 2: fill largest voids up from the initial pattern.
+    work = mask.copy()
+    for r in range(ones, n):
+        e = energy(work)
+        v = np.argmin(np.where(work < 0.5, e, np.inf))
+        work.flat[v] = 1.0
+        rank.flat[v] = r
+
+    out = ((rank.astype(np.float64) + 0.5) / n).astype(np.float32)
+    _BLUE_CACHE[key] = out
+    return out
