@@ -282,6 +282,10 @@ def render_frame(
             jnp.asarray(view.inverse_view), p00, p11, temporal.frame_index,
             params.rtgi_exposure, params.sun_exposure,
         )
+        # Screen-space reconstruction of the 1-spp signal (rtgi overlay filter).
+        from androidrenderer_tpu.ops.denoise import atrous_filter
+
+        irr = atrous_filter(irr, depth, gbuf.normal, gbuf.valid)
         gi = irr * gbuf.base_color
     else:
         gi = None

@@ -49,3 +49,30 @@ def test_frame_interpolation_translating_pattern():
     center = np.argmax(np.convolve(col, np.ones(8), mode="same"))
     assert 44 <= center <= 52  # ~midway (40+4..48+4 window)
     assert np.isfinite(mid).all()
+
+
+def test_render_res_output_res_split():
+    # The IUpscaler contract: render at 128x128, output at 256x256 via TAA+bilinear.
+    import jax
+    from androidrenderer_tpu.camera import Camera
+    from androidrenderer_tpu.config import AAMode, RenderConfig, RenderParams, ShadowMode
+    from androidrenderer_tpu.render import initial_temporal_state, make_renderer
+    from androidrenderer_tpu.scene.procedural import cornell_scene
+
+    cfg = RenderConfig(
+        render_width=128, render_height=128, output_width=256, output_height=256,
+        shadow_mode=ShadowMode.OFF, sky=False, bloom=False, aa_mode=AAMode.TAA,
+        max_tris_per_tile=512, occlusion_culling=False, translucency=False,
+    )
+    scene, _ = cornell_scene().build()
+    cam = Camera(fov_degrees=75.0, aspect=1.0, render_resolution=(128, 128))
+    cam.set_position([0.0, 0.0, 2.2])
+    cam.yaw = np.pi
+    r = make_renderer(cfg)
+    t = initial_temporal_state(128, 128)
+    for _ in range(2):
+        out, t = r(scene, cam.view_data(), RenderParams.default(), t)
+    img = np.asarray(out.image)
+    assert img.shape == (256, 256, 3)
+    assert img.std() > 5.0
+    assert np.asarray(out.depth).shape == (128, 128)  # internal render res
