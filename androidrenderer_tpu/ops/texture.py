@@ -18,14 +18,16 @@ import jax.numpy as jnp
 
 
 def sample_bilinear(
-    textures: jnp.ndarray,  # (T, F, 4) u8 mip-packed flat pool
+    textures: jnp.ndarray,  # (T, F, 16) u8 tap-packed mip-flat pool (scene.py)
     level_offsets: jnp.ndarray,  # (L,) i32
     base_size: int,  # static: size of mip 0
     tex_ids: jnp.ndarray,  # (...,) i32
     uv: jnp.ndarray,  # (..., 2) f32, repeat-wrapped
     level: jnp.ndarray,  # (...,) i32 clamped mip level
 ) -> jnp.ndarray:
-    """Bilinear sample at an integer mip level. Returns (..., 4) f32 in [0, 1]."""
+    """Bilinear sample at an integer mip level — ONE gather: the pool's 16 channels
+    carry the 2x2 footprint's four RGBA texels (wrap-shifted copies per level).
+    Returns (..., 4) f32 in [0, 1]."""
     num_levels = level_offsets.shape[0]
     level = jnp.clip(level, 0, num_levels - 1)
     # size_l = base_size >> level
@@ -47,24 +49,20 @@ def sample_bilinear(
         # modulo with a traced divisor lowers to a costly soft-division on TPU.
         return i.astype(jnp.int32) & (size - 1)
 
-    x0i, x1i = wrap(x0), wrap(x0 + 1)
-    y0i, y1i = wrap(y0), wrap(y0 + 1)
+    x0i = wrap(x0)
+    y0i = wrap(y0)
 
     off = level_offsets[level]
     t, f, _ = textures.shape
-    flat = textures.reshape(t * f, 4)
+    flat = textures.reshape(t * f, 16)
     tex_base = tex_ids.astype(jnp.int32) * f
-
-    def fetch(yy, xx):
-        # Single-axis flat gather — the two-axis form textures[tex_ids, idx] lowers to
-        # a slow multi-index gather on TPU (measured ~40x slower).
-        idx = tex_base + off + yy * size + xx
-        return flat[idx].astype(jnp.float32) * (1.0 / 255.0)
-
-    c00 = fetch(y0i, x0i)
-    c01 = fetch(y0i, x1i)
-    c10 = fetch(y1i, x0i)
-    c11 = fetch(y1i, x1i)
+    # Single-axis flat gather — the two-axis form textures[tex_ids, idx] lowers to a
+    # slow multi-index gather on TPU (measured ~40x slower).
+    taps = flat[tex_base + off + y0i * size + x0i].astype(jnp.float32) * (1.0 / 255.0)
+    c00 = taps[..., 0:4]
+    c01 = taps[..., 4:8]
+    c10 = taps[..., 8:12]
+    c11 = taps[..., 12:16]
     top = c00 + (c01 - c00) * fx
     bot = c10 + (c11 - c10) * fx
     return top + (bot - top) * fy

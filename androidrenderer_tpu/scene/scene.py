@@ -313,13 +313,21 @@ class RenderScene:
 
 
 def _pack_mips_flat(mips: List[np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
-    """Pack a mip chain [(T, s, s, 4)...] into (T, sum s^2, 4) + level offsets.
+    """Pack a mip chain [(T, s, s, 4)...] into (T, sum s^2, 16) + level offsets.
 
-    One flat texel axis means per-pixel trilinear sampling is a single gather with a
-    computed index — no per-level branches (ops/texture.py).
+    One flat texel axis means per-pixel trilinear sampling needs no per-level
+    branches, and the 16 channels hold the 2x2 bilinear footprint's four RGBA texels
+    (wrap-shifted copies per level) — so a bilinear fetch is ONE gather
+    (a screen-sized random gather costs ~27 ms on TPU regardless of width).
     """
     t = mips[0].shape[0]
-    flats = [m.reshape(t, -1, 4) for m in mips]
+    flats = []
+    for m in mips:
+        x1 = np.roll(m, -1, axis=2)  # +x neighbor, repeat wrap
+        y1 = np.roll(m, -1, axis=1)
+        xy = np.roll(x1, -1, axis=1)
+        packed = np.concatenate([m, x1, y1, xy], axis=-1)  # (T, s, s, 16)
+        flats.append(packed.reshape(t, -1, 16))
     offsets = np.zeros(len(mips), dtype=np.int32)
     acc = 0
     for i, f in enumerate(flats):
