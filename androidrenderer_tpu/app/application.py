@@ -57,7 +57,11 @@ class Application:
             render_resolution=(config.render_width, config.render_height),
         )
         self._renderer = make_renderer(config)
-        self.temporal = initial_temporal_state(config.render_height, config.render_width)
+        self.temporal = initial_temporal_state(
+            config.render_height, config.render_width,
+            probe_cascades=config.probe_cascades, probe_grid=config.probe_grid,
+            probe_spacing=config.probe_spacing, max_primitives=config.max_primitives,
+        )
         self.params = RenderParams.default()
         self.frame_count = 0
         self.last_frame_seconds: Optional[float] = None

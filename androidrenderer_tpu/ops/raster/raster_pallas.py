@@ -163,10 +163,19 @@ def _raster_kernel(
                 ny = (ly1 // WIN_H) - (ly0 // WIN_H) + 1
 
                 # Per-edge reciprocals for span math (amortized over strips).
+                # Sign-preserving clamp: the bound direction below keys off the
+                # SIGN of A, so a near-zero negative A must clamp to -eps (a +eps
+                # replacement would flip the half-line and drop covered pixels).
                 eps = 1e-12
-                inv_a0 = 1.0 / jnp.where(jnp.abs(a0) < eps, eps, a0)
-                inv_a1 = 1.0 / jnp.where(jnp.abs(a1) < eps, eps, a1)
-                inv_a2 = 1.0 / jnp.where(jnp.abs(a2) < eps, eps, a2)
+
+                def _safe(a):
+                    return jnp.where(
+                        jnp.abs(a) < eps, jnp.where(a < 0.0, -eps, eps), a
+                    )
+
+                inv_a0 = 1.0 / _safe(a0)
+                inv_a1 = 1.0 / _safe(a1)
+                inv_a2 = 1.0 / _safe(a2)
                 lx0f = lx0.astype(jnp.float32)
                 lx1f = lx1.astype(jnp.float32)
 

@@ -43,10 +43,7 @@ def _screen_sharded_spec(axis: str):
     temp_spec = TemporalState(
         taa_history=img,
         taa_valid=P(),
-        prev_depth=img,
         frame_index=P(),
-        lpv_volume=P(),
-        lpv_center=P(),
         probes=ProbeCascades(*([P()] * len(ProbeCascades._fields))),
         prev_visible_prims=P(),
     )

@@ -368,7 +368,6 @@ def render_frame(
     image = post.to_uint8(post.composite(display, bloom_tex, params.bloom_strength))
 
     next_temporal = temporal._replace(
-        prev_depth=depth,
         frame_index=temporal.frame_index + 1,
         **taa_state,
     )

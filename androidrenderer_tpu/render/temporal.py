@@ -18,12 +18,7 @@ from androidrenderer_tpu.ops.probes import ProbeCascades, make_probe_state
 class TemporalState(NamedTuple):
     taa_history: jnp.ndarray  # (H, W, 3) f32 HDR accumulation
     taa_valid: jnp.ndarray  # () bool — history usable
-    prev_depth: jnp.ndarray  # (H, W) f32 — previous frame depth (HiZ source)
     frame_index: jnp.ndarray  # () i32
-    # LPV cascades: (cascades, 3 SH-color channels x 4 coeffs = 12, X, Y, Z) — filled
-    # by the LPV milestone; zeros otherwise.
-    lpv_volume: jnp.ndarray
-    lpv_center: jnp.ndarray  # (cascades, 3) snapped cascade centers
     # DDGI-style irradiance probe cascades (ops/probes.py).
     probes: ProbeCascades
     # Last-frame primitive visibility (depth_culling_phase.hpp:44-59 analog).
@@ -31,17 +26,14 @@ class TemporalState(NamedTuple):
 
 
 def initial_temporal_state(
-    height: int, width: int, lpv_cascades: int = 4, lpv_res: int = 32,
+    height: int, width: int,
     probe_cascades: int = 2, probe_grid: Tuple[int, int, int] = (16, 8, 16),
     probe_spacing: float = 1.0, max_primitives: int = 65536,
 ) -> TemporalState:
     return TemporalState(
         taa_history=jnp.zeros((height, width, 3), jnp.float32),
         taa_valid=jnp.array(False),
-        prev_depth=jnp.zeros((height, width), jnp.float32),
         frame_index=jnp.int32(0),
-        lpv_volume=jnp.zeros((lpv_cascades, 12, lpv_res, lpv_res, lpv_res), jnp.float32),
-        lpv_center=jnp.zeros((lpv_cascades, 3), jnp.float32),
         probes=make_probe_state(probe_cascades, probe_grid, probe_spacing),
         prev_visible_prims=jnp.ones((max_primitives,), bool),
     )

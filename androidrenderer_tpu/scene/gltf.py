@@ -211,10 +211,20 @@ def load_gltf_scene(
             double_sided=m.get("doubleSided", False),
         )
         mat_map.append(scene.materials.add_material(mat))
-    if not g.json.get("materials"):
-        mat_map.append(
-            scene.materials.add_material(Material(np.ones(4, np.float32)))
-        )
+
+    # Spec default material for primitives with no "material" property: white base
+    # color, metallic 1, roughness 1, opaque (glTF 2.0 §3.9.6) — NOT the file's
+    # material 0, which is an arbitrary authored material. Created lazily so scenes
+    # where every primitive is materialed don't grow an unused slot.
+    _default_mat: list = []
+
+    def default_mat() -> int:
+        if not _default_mat:
+            _default_mat.append(scene.materials.add_material(
+                Material(np.ones(4, np.float32), metalness_factor=1.0,
+                         roughness_factor=1.0)
+            ))
+        return _default_mat[0]
 
     # Meshes: one MeshStorage entry per glTF primitive.
     prim_meshes: List[List[tuple]] = []  # per gltf mesh: [(storage_id, material)]
@@ -249,7 +259,7 @@ def load_gltf_scene(
                         [col, np.ones((len(col), 1), np.float32)], axis=1
                     )
             sid = scene.meshes.add_mesh(pos, idx, nrm, tan, uv, col)
-            mat = mat_map[prim.get("material", 0)] if mat_map else 0
+            mat = mat_map[prim["material"]] if "material" in prim else default_mat()
             prims.append((sid, mat))
         prim_meshes.append(prims)
 

@@ -54,12 +54,13 @@ def _resample_to_square(img: np.ndarray, size: int) -> np.ndarray:
     ys = (np.arange(size) * h // size).clip(0, h - 1)
     xs = (np.arange(size) * w // size).clip(0, w - 1)
     out = img[ys][:, xs]
-    if c < 4:
-        pad = np.full((size, size, 4 - c), 255, dtype=np.uint8)
-        if c == 1:
-            out = np.repeat(out, 3, axis=-1)
-            pad = np.full((size, size, 1), 255, dtype=np.uint8)
-        out = np.concatenate([out, pad], axis=-1)
+    opaque = np.full((size, size, 1), 255, dtype=np.uint8)
+    if c == 1:  # grayscale
+        out = np.concatenate([np.repeat(out, 3, axis=-1), opaque], axis=-1)
+    elif c == 2:  # luminance + alpha: expand L to RGB, keep A as alpha
+        out = np.concatenate([np.repeat(out[..., :1], 3, axis=-1), out[..., 1:]], axis=-1)
+    elif c == 3:
+        out = np.concatenate([out, opaque], axis=-1)
     return out[:, :, :4]
 
 

@@ -56,7 +56,6 @@ def test_cornell_end_to_end(cornell):
     assert img.mean() < 250.0
     # Temporal state advanced.
     assert int(temporal2.frame_index) == 1
-    assert np.array_equal(np.asarray(temporal2.prev_depth), depth)
 
 
 def test_cornell_depth_ordering(cornell):
