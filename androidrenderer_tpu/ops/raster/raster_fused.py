@@ -2,39 +2,42 @@
 
 Round-1 measured two designs (see raster_pallas.py, raster_touch.py):
 
-- span-scalar kernel: correct, but pays 45-150 cycles per (triangle, 8x128-window)
-  visit on the dependent VMEM read-modify-write chain AND visits every window in the
-  triangle's span (~150 ms main raster, ~180 ms shadow cascades at bench scale).
-- touch-expansion kernel: the right kernel (batched coverage eval + short RMWs), but
-  its XLA-side ragged expansion costs ~580 ms (scatter/cumsum/gather soup).
+- span-scalar kernel: correct, but pays per-(triangle, 8x128-window) scalar-issued
+  RMW visits (~105 ms main raster, ~180 ms shadow cascades at bench scale).
+- touch-expansion kernel: the right kernel shape, but its XLA-side ragged expansion
+  costs ~580 ms (scatter/cumsum/gather soup at the ~27 ms/2M-row gather rate).
 
 This kernel fuses the expansion INTO the raster kernel so the irregular work never
-leaves the chip and there are no XLA gathers at all:
+leaves the chip and there are no XLA gathers at all. Measured (round 2, v5e,
+266k-triangle bench view at 1920x1088, chained timing): 54 ms vs 105 ms for the
+span kernel, bit-identical visibility.
 
-  grid = (num_slabs, num_chunks); each step streams a chunk of triangle records into
-  SMEM and, for the current slab:
+  grid = (num_slabs, num_chunks); each step streams a chunk of triangle records
+  into SMEM (flat layout — SMEM windows pad the minor dimension to 128 lanes, so a
+  (chunk, 24) block would waste 5x) and, for the current slab:
 
-  Phase A (scalar): for each triangle, walk its 8-px strips inside the slab, compute
-  the exact x-span per strip (same span math as raster_pallas), and append one packed
-  i32 per touched (strip, 128-px window) into an SMEM staging buffer:
-      packed = local_tri_id << 11 | strip_local << 4 | window_col
-  When the staging buffer fills mid-triangle it is drained (Phase B) and refilled —
-  no touch is ever dropped, any capacity works.
+  Phase A (scalar): walk each triangle's 32-px-tall window rows inside the slab.
+  Small triangles (1 row x <= 2 window columns — the vast majority at Sponza scale)
+  emit their bbox windows directly with no span math and no edge-coefficient reads.
+  Larger triangles compute the exact x-span per row (same math as raster_pallas).
+  Each touched (row, 128-px window) appends one packed i32 to an SMEM staging
+  buffer:  packed = local_tri_id << 9 | row_local << 4 | window_col.
+  When staging fills mid-triangle it is drained (Phase B) and refilled — no touch
+  is ever dropped, any capacity works.
 
-  Phase B (vector): drain the staged touches in order: per touch, broadcast the
-  triangle's 16 coefficients from the SMEM record chunk into (8, 128) coverage +
-  depth evaluation, then one short window RMW (load, compare, store). Batches of
-  KB touches are evaluated before their RMWs so the vector work pipelines while the
-  serialized RMW chain retires.
+  Phase B (vector): drain staged touches in order: per touch, broadcast the
+  triangle's 16 coefficients from the SMEM record chunk into (32, 128) coverage +
+  depth evaluation, then one window RMW. Batches of KB touches evaluate before
+  their RMWs retire so vector work overlaps the serialized RMW chain.
 
-Ascending (chunk, triangle, strip, window) emission order + in-order draining keeps
+Ascending (chunk, triangle, row, window) emission order + in-order draining keeps
 the tie-break identical to raster_xla: equal depth resolves to the highest id.
 
 Replaces the reference's hardware rasterizer for all passes (gbuffer visibility,
-depth prepass, CSM/RSM depth — scene_renderer.cpp:286-365 analog) — same contract as
-rasterize_pallas.
+depth prepass, CSM/RSM depth — scene_renderer.cpp:286-365 analog) — same contract
+as rasterize_pallas.
 
-Record layout (f32 x 24, SMEM):
+Record layout (f32 x 24, flat in SMEM):
   [0:9]   e0/e1/e2 (A, B, C)       [9:12]  inv_A (sign-preserving reciprocal)
   [12:15] q coeffs                 [15:18] r coeffs
   [18]    sid: +1 single-sided, -1 double-sided, 0 dead
@@ -52,25 +55,35 @@ from jax.experimental.pallas import tpu as pltpu
 
 from androidrenderer_tpu.ops.raster.setup import TriangleSetup
 
-WIN_H = 8
+WIN_H = 32
 WIN_W = 128
 REC = 24
 
 
-def pack_fused_records(setup: TriangleSetup) -> jnp.ndarray:
-    """(N, 24) f32 records (pure XLA, elementwise only — no gathers)."""
+def pack_fused_records(setup: TriangleSetup, affine_z: bool = False) -> jnp.ndarray:
+    """(N, 24) f32 records (pure XLA, elementwise only — no gathers).
+
+    ``affine_z``: for orthographic projections (shadow/RSM depth) every vertex has
+    w == 1, so q(x,y) = sum D_i = the constant twice-area (= q's C coefficient) and
+    z = r/qc is an affine PLANE. Slots 12:15 then carry the plane coefficients
+    r/qc directly and the kernel skips the per-touch divide."""
     n = setup.edge.shape[0]
     a = setup.edge[:, :, 0]
     eps = 1e-12
     inv_a = 1.0 / jnp.where(jnp.abs(a) < eps, jnp.where(a < 0, -eps, eps), a)
     sid = jnp.where(setup.double_sided, -1.0, 1.0)
     sid = jnp.where(setup.valid, sid, 0.0)
+    if affine_z:
+        qc = setup.q[:, 2:3]
+        zplane = setup.r / jnp.where(qc == 0.0, 1.0, qc)
+        mid = [zplane, jnp.zeros((n, 3), jnp.float32)]
+    else:
+        mid = [setup.q, setup.r]
     return jnp.concatenate(
         [
             setup.edge.reshape(n, 9),
             inv_a,
-            setup.q,
-            setup.r,
+            *mid,
             sid[:, None],
             setup.bbox,
             jnp.zeros((n, REC - 23), jnp.float32),
@@ -80,7 +93,8 @@ def pack_fused_records(setup: TriangleSetup) -> jnp.ndarray:
 
 
 def _fused_kernel(
-    recs_ref,  # (1, CHUNK, 24) f32 SMEM
+    count_ref,  # (1,) i32 scalar prefetch — live triangle count (valid-first order)
+    recs_ref,  # (1, 1, CHUNK*24) f32 SMEM, flat records
     depth_ref,  # (slab_h, W) f32 VMEM
     *rest,  # [vis_ref (slab_h, W) i32 VMEM,] stage_ref (STAGE,) i32, off_ref (1,) i32
     slab_h: int,
@@ -89,12 +103,14 @@ def _fused_kernel(
     stage_cap: int,
     kb: int,
     depth_only: bool,
+    affine_z: bool,
 ):
     if depth_only:
         vis_ref = None
         stage_ref, off_ref = rest
     else:
         vis_ref, stage_ref, off_ref = rest
+
     s = pl.program_id(0)
     c = pl.program_id(1)
 
@@ -105,13 +121,16 @@ def _fused_kernel(
             vis_ref[:, :] = jnp.full((slab_h, width), -1, jnp.int32)
         off_ref[0] = 0
 
-    strips_per_slab = slab_h // WIN_H
-    slab_row0 = s * strips_per_slab  # global strip index of the slab's first strip
+    rows_per_slab = slab_h // WIN_H
+    slab_row0 = s * rows_per_slab  # global window-row index of the slab's first row
     slab_y0 = (s * slab_h).astype(jnp.float32)
     chunk_base = c * chunk
 
     rowf = jax.lax.broadcasted_iota(jnp.int32, (WIN_H, WIN_W), 0).astype(jnp.float32)
     colf = jax.lax.broadcasted_iota(jnp.int32, (WIN_H, WIN_W), 1).astype(jnp.float32)
+
+    def rd(k, i):
+        return recs_ref[0, 0, k * REC + i]
 
     def drain(n):
         """Phase B: rasterize staged touches [0, n) in order."""
@@ -125,25 +144,19 @@ def _fused_kernel(
                 idx = base + j
                 live = idx < n
                 packed = jnp.where(live, stage_ref[jnp.minimum(idx, stage_cap - 1)], 0)
-                k = packed >> 11
-                row = (packed >> 4) & 127
+                k = packed >> 9
+                row = (packed >> 4) & 31
                 col = packed & 15
-                a0 = recs_ref[0, k, 0]
-                b0 = recs_ref[0, k, 1]
-                c0 = recs_ref[0, k, 2]
-                a1 = recs_ref[0, k, 3]
-                b1 = recs_ref[0, k, 4]
-                c1 = recs_ref[0, k, 5]
-                a2 = recs_ref[0, k, 6]
-                b2 = recs_ref[0, k, 7]
-                c2 = recs_ref[0, k, 8]
-                qa = recs_ref[0, k, 12]
-                qb = recs_ref[0, k, 13]
-                qc = recs_ref[0, k, 14]
-                ra = recs_ref[0, k, 15]
-                rb = recs_ref[0, k, 16]
-                rc = recs_ref[0, k, 17]
-                sid = recs_ref[0, k, 18]
+                a0 = rd(k, 0)
+                b0 = rd(k, 1)
+                c0 = rd(k, 2)
+                a1 = rd(k, 3)
+                b1 = rd(k, 4)
+                c1 = rd(k, 5)
+                a2 = rd(k, 6)
+                b2 = rd(k, 7)
+                c2 = rd(k, 8)
+                sid = rd(k, 18)
                 gx = colf + (col * WIN_W).astype(jnp.float32)
                 gy = rowf + (row * WIN_H).astype(jnp.float32) + slab_y0
                 d0 = a0 * gx + b0 * gy + c0
@@ -152,7 +165,11 @@ def _fused_kernel(
                 dmax = jnp.maximum(jnp.maximum(d0, d1), d2)
                 dmin = jnp.minimum(jnp.minimum(d0, d1), d2)
                 cov = (dmax <= 0.0) | ((dmin >= 0.0) & (sid < 0.0))
-                z = (ra * gx + rb * gy + rc) / (qa * gx + qb * gy + qc)
+                if affine_z:
+                    z = rd(k, 12) * gx + rd(k, 13) * gy + rd(k, 14)
+                else:
+                    qv = rd(k, 12) * gx + rd(k, 13) * gy + rd(k, 14)
+                    z = (rd(k, 15) * gx + rd(k, 16) * gy + rd(k, 17)) / qv
                 cov = cov & (z > 0.0) & (z <= 1.0)
                 zs.append(jnp.where(cov, z, 0.0))
                 meta.append((live, row, col, k))
@@ -184,89 +201,128 @@ def _fused_kernel(
 
         jax.lax.fori_loop(0, pl.cdiv(n, kb), batch, 0)
 
+    def emit(packed):
+        o = off_ref[0]
+        stage_ref[o] = packed
+        off_ref[0] = o + 1
+
+        @pl.when(o + 1 == stage_cap)
+        def _():
+            drain(stage_cap)
+            off_ref[0] = 0
+
     def tri_body(k, _):
-        sid = recs_ref[0, k, 18]
+        sid = rd(k, 18)
 
         @pl.when(sid != 0.0)
         def _():
-            by0 = recs_ref[0, k, 20]
-            by1 = recs_ref[0, k, 22]
-            sy0 = jnp.maximum(by0.astype(jnp.int32) // WIN_H, slab_row0)
-            sy1 = jnp.minimum(
-                by1.astype(jnp.int32) // WIN_H, slab_row0 + strips_per_slab - 1
+            by0 = rd(k, 20)
+            by1 = rd(k, 22)
+            ty0 = jnp.maximum(by0.astype(jnp.int32) // WIN_H, slab_row0)
+            ty1 = jnp.minimum(
+                by1.astype(jnp.int32) // WIN_H, slab_row0 + rows_per_slab - 1
             )
 
-            @pl.when(sy1 >= sy0)
+            @pl.when(ty1 >= ty0)
             def _():
-                a0 = recs_ref[0, k, 0]
-                b0 = recs_ref[0, k, 1]
-                c0 = recs_ref[0, k, 2]
-                a1 = recs_ref[0, k, 3]
-                b1 = recs_ref[0, k, 4]
-                c1 = recs_ref[0, k, 5]
-                a2 = recs_ref[0, k, 6]
-                b2 = recs_ref[0, k, 7]
-                c2 = recs_ref[0, k, 8]
-                ia0 = recs_ref[0, k, 9]
-                ia1 = recs_ref[0, k, 10]
-                ia2 = recs_ref[0, k, 11]
-                bx0 = recs_ref[0, k, 19]
-                bx1 = recs_ref[0, k, 21]
-                dbl = sid < 0.0
+                bx0 = rd(k, 19)
+                bx1 = rd(k, 21)
+                cx0 = bx0.astype(jnp.int32) // WIN_W
+                cx1 = bx1.astype(jnp.int32) // WIN_W
+                small = (ty1 == ty0) & (cx1 - cx0 <= 1)
 
-                def strip(iy, _):
-                    row = sy0 + iy  # global strip index
-                    ytf = (row * WIN_H).astype(jnp.float32)
-                    ybf = ytf + (WIN_H - 1)
+                # Fast path: bbox-window emission, no span math, no coeff reads.
+                @pl.when(small)
+                def _():
+                    base_packed = (k << 9) | ((ty0 - slab_row0) << 4) | cx0
+                    emit(base_packed)
 
-                    def bounds(aa, inv_aa, bb, cc):
-                        bt = -(bb * ytf + cc) * inv_aa
-                        bb_ = -(bb * ybf + cc) * inv_aa
-                        lo = jnp.where(aa < 0.0, jnp.minimum(bt, bb_), bx0)
-                        hi = jnp.where(aa > 0.0, jnp.maximum(bt, bb_), bx1)
-                        return lo, hi
+                    @pl.when(cx1 > cx0)
+                    def _():
+                        emit(base_packed + 1)
 
-                    lo0, hi0 = bounds(a0, ia0, b0, c0)
-                    lo1, hi1 = bounds(a1, ia1, b1, c1)
-                    lo2, hi2 = bounds(a2, ia2, b2, c2)
-                    span_lo = jnp.maximum(jnp.maximum(jnp.maximum(lo0, lo1), lo2), bx0)
-                    span_hi = jnp.minimum(jnp.minimum(jnp.minimum(hi0, hi1), hi2), bx1)
-                    span_lo = jnp.where(dbl, bx0, span_lo)
-                    span_hi = jnp.where(dbl, bx1, span_hi)
+                @pl.when(~small)
+                def _():
+                    a0 = rd(k, 0)
+                    b0 = rd(k, 1)
+                    c0 = rd(k, 2)
+                    a1 = rd(k, 3)
+                    b1 = rd(k, 4)
+                    c1 = rd(k, 5)
+                    a2 = rd(k, 6)
+                    b2 = rd(k, 7)
+                    c2 = rd(k, 8)
+                    ia0 = rd(k, 9)
+                    ia1 = rd(k, 10)
+                    ia2 = rd(k, 11)
+                    dbl = sid < 0.0
 
-                    wx0 = (
-                        jnp.clip(span_lo, 0.0, width - 1.0).astype(jnp.int32) // WIN_W
-                    )
-                    wx1 = (
-                        jnp.clip(span_hi, 0.0, width - 1.0).astype(jnp.int32) // WIN_W
-                    )
-                    nw = jnp.where(span_hi >= span_lo, wx1 - wx0 + 1, 0)
-                    base_packed = (k << 11) | ((row - slab_row0) << 4) | wx0
+                    def strip(iy, _):
+                        row = ty0 + iy
+                        ytf = (row * WIN_H).astype(jnp.float32)
+                        ybf = ytf + (WIN_H - 1)
 
-                    def win(iw, _):
-                        o = off_ref[0]
-                        stage_ref[o] = base_packed + iw
-                        off_ref[0] = o + 1
+                        def bounds(aa, inv_aa, bb, cc):
+                            bt = -(bb * ytf + cc) * inv_aa
+                            bb_ = -(bb * ybf + cc) * inv_aa
+                            lo = jnp.where(aa < 0.0, jnp.minimum(bt, bb_), bx0)
+                            hi = jnp.where(aa > 0.0, jnp.maximum(bt, bb_), bx1)
+                            return lo, hi
 
-                        @pl.when(o + 1 == stage_cap)
-                        def _():
-                            drain(stage_cap)
-                            off_ref[0] = 0
+                        lo0, hi0 = bounds(a0, ia0, b0, c0)
+                        lo1, hi1 = bounds(a1, ia1, b1, c1)
+                        lo2, hi2 = bounds(a2, ia2, b2, c2)
+                        span_lo = jnp.maximum(
+                            jnp.maximum(jnp.maximum(lo0, lo1), lo2), bx0
+                        )
+                        span_hi = jnp.minimum(
+                            jnp.minimum(jnp.minimum(hi0, hi1), hi2), bx1
+                        )
+                        span_lo = jnp.where(dbl, bx0, span_lo)
+                        span_hi = jnp.where(dbl, bx1, span_hi)
 
+                        wx0 = (
+                            jnp.clip(span_lo, 0.0, width - 1.0).astype(jnp.int32)
+                            // WIN_W
+                        )
+                        wx1 = (
+                            jnp.clip(span_hi, 0.0, width - 1.0).astype(jnp.int32)
+                            // WIN_W
+                        )
+                        nw = jnp.where(span_hi >= span_lo, wx1 - wx0 + 1, 0)
+                        base_packed = (k << 9) | ((row - slab_row0) << 4) | wx0
+
+                        def win(iw, _):
+                            emit(base_packed + iw)
+                            return 0
+
+                        jax.lax.fori_loop(0, nw, win, 0)
                         return 0
 
-                    jax.lax.fori_loop(0, nw, win, 0)
-                    return 0
-
-                jax.lax.fori_loop(0, sy1 - sy0 + 1, strip, 0)
+                    jax.lax.fori_loop(0, ty1 - ty0 + 1, strip, 0)
 
         return 0
 
-    jax.lax.fori_loop(0, chunk, tri_body, 0)
-    # End-of-chunk drain: the staging buffer must be empty before the record window
-    # advances (Phase B reads coefficients from the CURRENT chunk).
+    # Chunks wholly past the live count cost nothing (compaction + count prefetch).
+    n_here = jnp.clip(count_ref[0] - chunk_base, 0, chunk)
+    jax.lax.fori_loop(0, n_here, tri_body, 0)
+    # End-of-chunk drain: staging must be empty before the record window advances
+    # (Phase B reads coefficients from the CURRENT chunk).
     drain(off_ref[0])
     off_ref[0] = 0
+
+
+def auto_slabs(height: int, width: int, depth_only: bool = False) -> int:
+    """Smallest slab count satisfying the row-field and VMEM constraints."""
+    bytes_per_px = 4 if depth_only else 8
+    budget = 8 * 2**20  # framebuffer slab budget (VMEM is ~16 MB total)
+    s = 1
+    while True:
+        hp = -(-height // (s * WIN_H)) * (s * WIN_H)
+        slab_h = hp // s
+        if slab_h <= 32 * WIN_H and slab_h * width * bytes_per_px <= budget:
+            return s
+        s += 1
 
 
 def rasterize_fused(
@@ -275,31 +331,58 @@ def rasterize_fused(
     width: int,
     num_slabs: int = 2,
     chunk: int = 1024,
-    stage_cap: int = 4096,
+    stage_cap: int = 2048,
     kb: int = 8,
     depth_only: bool = False,
+    affine_z: bool = False,
+    compact: bool = False,
     interpret: bool = False,
 ):
     """(depth (H, W) f32, vis (H, W) i32) — or depth only.
 
-    Constraints: height % (num_slabs * 8) == 0; slab height <= 1024 (7-bit strip
-    field); width % 128 == 0 and <= 2048 (4-bit window-column field); chunk <= 2^20.
+    Heights that do not split into num_slabs x 32-px rows are padded internally and
+    sliced on return. Constraints: slab height <= 1024 (5-bit row field);
+    width % 128 == 0 and <= 2048 (4-bit window-column field); chunk <= 2^22.
+
+    ``affine_z``: orthographic fast path (see pack_fused_records).
+    ``compact``: sort valid records first (one XLA gather) so the kernel scans only
+    the live count — pays off when most triangles are culled (shadow cascades) AND
+    triangle ids are not consumed (ids change under compaction; require depth_only).
     """
-    if height % (num_slabs * WIN_H):
-        raise ValueError(f"height {height} must be a multiple of num_slabs*8")
     if width % WIN_W or width > 16 * WIN_W:
         raise ValueError(f"width {width} must be a multiple of 128 and <= 2048")
-    slab_h = height // num_slabs
-    if slab_h > 128 * WIN_H:
-        raise ValueError(f"slab height {slab_h} exceeds the 7-bit strip field")
+    hp = -(-height // (num_slabs * WIN_H)) * (num_slabs * WIN_H)
+    slab_h = hp // num_slabs
+    if slab_h > 32 * WIN_H:
+        raise ValueError(f"slab height {slab_h} exceeds the 5-bit row field")
+    if compact and not depth_only:
+        raise ValueError("compact reorders triangle ids; only valid with depth_only")
 
-    records = pack_fused_records(setup)
+    records = pack_fused_records(setup, affine_z=affine_z)
     n = records.shape[0]
+    if compact:
+        live = setup.valid
+        count = jnp.sum(live, dtype=jnp.int32)
+        pos = jnp.cumsum(live, dtype=jnp.int32) - 1
+        slot = jnp.where(live, pos, n - 1)
+        order = (
+            jnp.zeros((n,), jnp.int32)
+            .at[slot]
+            .set(jnp.arange(n, dtype=jnp.int32), mode="drop")
+        )
+        records = records[order]
+        records = records.at[:, 18].set(
+            jnp.where(jnp.arange(n) < count, records[:, 18], 0.0)
+        )
+    else:
+        count = jnp.int32(n)
     num_chunks = -(-n // chunk)
     pad = num_chunks * chunk - n
     if pad:
         records = jnp.pad(records, ((0, pad), (0, 0)))
-    records = records.reshape(num_chunks, chunk, REC)
+    # Flat SMEM layout: windows pad the minor dimension to 128 lanes, so expose one
+    # dense (chunk*24,) row instead of a (chunk, 24) block (which would cost 5x).
+    records = records.reshape(num_chunks, 1, chunk * REC)
 
     kernel = functools.partial(
         _fused_kernel,
@@ -309,23 +392,25 @@ def rasterize_fused(
         stage_cap=stage_cap,
         kb=kb,
         depth_only=depth_only,
+        affine_z=affine_z,
     )
-    out_shape = [jax.ShapeDtypeStruct((height, width), jnp.float32)]
+
+    out_shape = [jax.ShapeDtypeStruct((hp, width), jnp.float32)]
     out_specs = [
-        pl.BlockSpec((slab_h, width), lambda s, c: (s, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((slab_h, width), lambda s, c, *_: (s, 0), memory_space=pltpu.VMEM)
     ]
     if not depth_only:
-        out_shape.append(jax.ShapeDtypeStruct((height, width), jnp.int32))
+        out_shape.append(jax.ShapeDtypeStruct((hp, width), jnp.int32))
         out_specs.append(
-            pl.BlockSpec((slab_h, width), lambda s, c: (s, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((slab_h, width), lambda s, c, *_: (s, 0), memory_space=pltpu.VMEM)
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
+        num_scalar_prefetch=1,
         grid=(num_slabs, num_chunks),
         in_specs=[
             pl.BlockSpec(
-                (1, chunk, REC), lambda s, c: (c, 0, 0), memory_space=pltpu.SMEM
+                (1, 1, chunk * REC), lambda s, c, *_: (c, 0, 0), memory_space=pltpu.SMEM
             ),
         ],
         out_specs=out_specs,
@@ -340,7 +425,7 @@ def rasterize_fused(
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(records)
+    )(count[None], records)
     if depth_only:
-        return result[0]
-    return result[0], result[1]
+        return result[0][:height]
+    return result[0][:height], result[1][:height]

@@ -170,7 +170,7 @@ def render_shadow_cascades(
     meshes this is exact, and it doubles the span-narrowed kernel's throughput."""
     if double_sided is None:
         double_sided = jnp.ones(tri_indices.shape[0], dtype=bool)
-    from androidrenderer_tpu.ops.raster.raster_pallas import rasterize_pallas
+    from androidrenderer_tpu.ops.raster.raster_fused import auto_slabs, rasterize_fused
 
     def one_setup(mat):
         clip = transform_to_clip(positions, mat)
@@ -235,8 +235,14 @@ def render_shadow_cascades(
                 valid=setup_c.valid & on,
             )
             maps.append(
-                rasterize_pallas(
-                    setup_i, resolution, resolution, num_slabs=1, depth_only=True,
+                rasterize_fused(
+                    setup_i, resolution, resolution,
+                    num_slabs=auto_slabs(resolution, resolution, depth_only=True),
+                    depth_only=True,
+                    # Ortho: z is an affine plane — no per-touch divide. (compact=True
+                    # was measured NET-NEGATIVE here: the 4x 266k-row XLA gathers cost
+                    # more than the skipped kernel scans save.)
+                    affine_z=True,
                     interpret=pallas_interpret,
                 )
             )

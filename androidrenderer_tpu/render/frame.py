@@ -38,7 +38,7 @@ from androidrenderer_tpu.ops.raster import (
 )
 from androidrenderer_tpu.ops.raster.binning import bin_triangles
 from androidrenderer_tpu.ops.raster.masked import rasterize_masked_peeled
-from androidrenderer_tpu.ops.raster.raster_pallas import rasterize_pallas
+from androidrenderer_tpu.ops.raster.raster_fused import auto_slabs, rasterize_fused
 from androidrenderer_tpu.render.temporal import TemporalState
 from androidrenderer_tpu.scene.scene import SceneArrays
 
@@ -114,8 +114,8 @@ def render_frame(
     )
     def _raster_full(su):
         if use_pallas:
-            return rasterize_pallas(
-                su, h, w, num_slabs=config.raster_num_slabs,
+            return rasterize_fused(
+                su, h, w, num_slabs=auto_slabs(h, w),
                 interpret=config.pallas_interpret,
             )
         bins = bin_triangles(
@@ -239,8 +239,9 @@ def render_frame(
     if config.gi_mode == GIMode.LPV and band_height is None:
         def _gi_raster(setup_, hh, ww):
             if use_pallas and ww % 128 == 0:
-                return rasterize_pallas(
-                    setup_, hh, ww, num_slabs=2, interpret=config.pallas_interpret
+                return rasterize_fused(
+                    setup_, hh, ww, num_slabs=auto_slabs(hh, ww),
+                    interpret=config.pallas_interpret,
                 )
             th, tw = min(32, hh), min(128, ww)
             bins_ = bin_triangles(
