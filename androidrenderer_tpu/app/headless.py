@@ -31,7 +31,17 @@ def main(argv=None) -> int:
                     help="yaw delta per frame (radians) for motion")
     ap.add_argument("--visualize", default=None,
                     help="debug view: depth|normals|ids|albedo|roughness|metalness|"
-                         "emission|position")
+                         "emission|position|lpv-gv|lpv-radiance|vpl|probes")
+    # Live feature cvars (r.GI.Mode / r.AO / r.Shadow.SunShadowMode /
+    # r.AntiAliasing equivalents — each flips one static config field).
+    ap.add_argument("--gi", default="off", choices=["off", "lpv", "rt", "probes"])
+    ap.add_argument("--ao", default="off", choices=["off", "ssao", "rt"])
+    ap.add_argument("--shadow", default="csm", choices=["off", "csm", "rt"])
+    ap.add_argument("--aa", default="off", choices=["off", "taa", "vrsaa"])
+    ap.add_argument("--no-bloom", action="store_true")
+    ap.add_argument("--no-occlusion", action="store_true")
+    ap.add_argument("--render-scale", type=float, default=1.0,
+                    help="render-res = scale * output-res (upscaler contract)")
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -73,8 +83,26 @@ def main(argv=None) -> int:
         print(f"error: unknown scene '{name}'", file=sys.stderr)
         return 2
 
+    from androidrenderer_tpu.config import AAMode, AOMode, GIMode, ShadowMode
+
+    rw, rh = w, h
+    if args.aa == "vrsaa":
+        rw, rh = 2 * w, 2 * h  # VRSAA contract: geometry at 2x output res
+    elif args.render_scale != 1.0:
+        rw = max(128, int(round(w * args.render_scale / 128)) * 128)
+        rh = max(32, int(round(h * args.render_scale / 32)) * 32)
     cfg = RenderConfig(
-        render_width=w, render_height=h, output_width=w, output_height=h
+        render_width=rw, render_height=rh, output_width=w, output_height=h,
+        gi_mode={"off": GIMode.OFF, "lpv": GIMode.LPV, "rt": GIMode.RT,
+                 "probes": GIMode.PROBES}[args.gi],
+        ao_mode={"off": AOMode.OFF, "ssao": AOMode.SSAO, "rt": AOMode.RT}[args.ao],
+        shadow_mode={"off": ShadowMode.OFF, "csm": ShadowMode.CSM,
+                     "rt": ShadowMode.RT}[args.shadow],
+        aa_mode={"off": AAMode.OFF, "taa": AAMode.TAA,
+                 "vrsaa": AAMode.VRSAA}[args.aa],
+        bloom=not args.no_bloom,
+        occlusion_culling=not args.no_occlusion,
+        translucency=args.aa != "vrsaa",
     )
     app = Application(cfg, scene)
     print(f"scene: {app.scene_stats}")
@@ -108,9 +136,15 @@ def main(argv=None) -> int:
     if args.visualize:
         import numpy as _np
 
-        from androidrenderer_tpu.ops.visualize import visualize
+        from androidrenderer_tpu.ops.visualize import GI_MODES, visualize, visualize_gi
 
-        img = _np.asarray(visualize(app._last_outputs, args.visualize))
+        if args.visualize in GI_MODES:
+            img = _np.asarray(visualize_gi(
+                app.scene, app.camera.view_data(), app.config, app.temporal,
+                app._last_outputs, args.visualize,
+            ))
+        else:
+            img = _np.asarray(visualize(app._last_outputs, args.visualize))
 
     save_png(args.out, img)
     print(f"wrote {args.out}")

@@ -57,10 +57,13 @@ class RasterBackend(enum.Enum):
 
 class AAMode(enum.Enum):
     """r.AntiAliasing equivalent. Vendor upscalers (FSR3/DLSS/XeSS) are not portable to
-    TPU; the IUpscaler-shaped replacement is our own jittered TAA (upscaler.hpp:13-32)."""
+    TPU; the IUpscaler-shaped replacement is our own jittered TAA (upscaler.hpp:13-32).
+    VRSAA = contrast-adaptive supersampling (sampling_rate_calculator.cpp analog):
+    requires render resolution exactly 2x the output resolution."""
 
     OFF = 0
     TAA = 1
+    VRSAA = 2
 
 
 @dataclasses.dataclass(frozen=True)
@@ -139,6 +142,10 @@ class RenderConfig:
     rtao_num_samples: int = 4
     rtao_max_distance: float = 8.0
     rtgi_num_bounces: int = 1
+
+    # VRSAA (sampling_rate_calculator.cpp analog): static fine-quad budget as a
+    # fraction of output pixels; quads past the budget keep their coarse shade.
+    vrsaa_budget: float = 0.25
 
     # Raster engine tiling (TPU-specific; lane-friendly 8x128 multiples).
     tile_height: int = 32

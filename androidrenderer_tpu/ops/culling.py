@@ -96,15 +96,23 @@ def occlusion_cull_spheres(
     p11,
     hiz_levels: list[jnp.ndarray],
     radius_pad: float = 2.0,  # reference inflates by +2 (hi_z_culling.comp:150)
+    row_offset=0,  # band rendering: first screen row covered by hiz_levels[0]
+    full_height: int | None = None,  # full-frame height (defaults to hiz height)
 ) -> jnp.ndarray:
-    """(P,) bool — True = NOT occluded. Spheres crossing the near plane pass."""
+    """(P,) bool — True = NOT occluded. Spheres crossing the near plane pass.
+
+    Band mode (hiz covers rows [row_offset, row_offset + band)): spheres whose
+    projected AABB misses the band entirely are culled FOR THIS BAND — they have
+    no pixels here; the sharded caller ORs per-band visibility across devices for
+    the temporal visibility list (parallel/collectives.any_across)."""
     c = bounds[:, :3] @ view[:3, :3].T + view[:3, 3]
     r = bounds[:, 3] + radius_pad
     aabb, projectable = project_sphere_aabb(c, r, z_near, p00, p11)
 
     h0, w0 = hiz_levels[0].shape
+    fh = full_height if full_height is not None else h0
     width = (aabb[:, 2] - aabb[:, 0]) * w0
-    height = (aabb[:, 3] - aabb[:, 1]) * h0
+    height = (aabb[:, 3] - aabb[:, 1]) * fh
     level = jnp.floor(jnp.log2(jnp.maximum(jnp.maximum(width, height), 1.0)))
     level = jnp.clip(level, 0, len(hiz_levels) - 1).astype(jnp.int32)
 
@@ -117,7 +125,8 @@ def occlusion_cull_spheres(
     for li, lv in enumerate(hiz_levels):
         lh, lw = lv.shape
         x = jnp.clip((cu * lw).astype(jnp.int32), 0, lw - 1)
-        y = jnp.clip((cv * lh).astype(jnp.int32), 0, lh - 1)
+        yg = (cv * fh - row_offset) / (1 << li)  # band-local row at this level
+        y = jnp.clip(yg.astype(jnp.int32), 0, lh - 1)
         x1 = jnp.minimum(x + 1, lw - 1)
         y1 = jnp.minimum(y + 1, lh - 1)
         s = jnp.minimum(
@@ -131,7 +140,13 @@ def occlusion_cull_spheres(
     sphere_depth = jnp.clip(z_near / jnp.maximum(d - r, 1e-6), 0.0, 1.0)
     visible = sphere_depth >= pyramid_min
     # If un-projectable (crosses near plane), treat as visible.
-    return visible | ~projectable
+    visible = visible | ~projectable
+    if full_height is not None and full_height != h0:
+        in_band = ((aabb[:, 3] * fh) >= row_offset) & (
+            (aabb[:, 1] * fh) <= row_offset + h0
+        )
+        visible = visible & in_band
+    return visible
 
 
 def primitive_mask_to_triangle_mask(

@@ -18,7 +18,8 @@ import jax.numpy as jnp
 from androidrenderer_tpu.ops import texture as tex
 from androidrenderer_tpu.ops.post import srgb_to_linear
 from androidrenderer_tpu.ops.raster.setup import TriangleSetup
-from androidrenderer_tpu.scene.scene import SceneArrays, texture_base_size
+from androidrenderer_tpu.scene.material_storage import START_ALIGN
+from androidrenderer_tpu.scene.scene import SceneArrays
 
 
 class GBuffer(NamedTuple):
@@ -50,10 +51,12 @@ def _interp(attr, bary):
 
 ATTR_CHANNELS = 16  # uv(2) normal(3) tangent(4) color(3) position(3) pad(1)
 # Per-triangle CONSTANT channels appended after the interpolated ones + the s-plane:
-# base_factor(3) metal(1) rough(1) emission(3) tex_ids(4). Constants ride in the C
-# coefficient with A = B = 0 so the same per-pixel evaluation yields value * s,
-# divided back out by 1/s — i.e. they fall out of the interpolation for free.
-CONST_CHANNELS = 12
+# base_factor(3) metal(1) rough(1) emission(3) tex_start/1024(4) tex_log2b(4).
+# Constants ride in the C coefficient with A = B = 0 so the same per-pixel
+# evaluation yields value * s, divided back out by 1/s — i.e. they fall out of the
+# interpolation for free. Texture starts are START_ALIGN-aligned and carried
+# divided by START_ALIGN so the f32 multiply/divide round-trip stays round-exact.
+CONST_CHANNELS = 16
 
 
 def pack_attribute_planes(scene: SceneArrays, setup: TriangleSetup) -> jnp.ndarray:
@@ -86,15 +89,17 @@ def pack_attribute_planes(scene: SceneArrays, setup: TriangleSetup) -> jnp.ndarr
     s_plane = jnp.sum(setup.edge, axis=1)  # (N, 3)
 
     m = scene.tri_material
+    tex_ids = scene.mat_texture_ids[m]  # (N, 4)
     consts = jnp.concatenate(
         [
             scene.mat_base_color[m][:, :3],
             scene.mat_metal_rough[m],
             scene.mat_emission[m],
-            scene.mat_texture_ids[m].astype(jnp.float32),
+            (scene.tex_start[tex_ids] // START_ALIGN).astype(jnp.float32),
+            scene.tex_log2b[tex_ids].astype(jnp.float32),
         ],
         axis=1,
-    )  # (N, 12)
+    )  # (N, 16)
     # Multiply by the s-plane so the per-pixel divide by s(p) cancels exactly.
     const_planes = consts[:, None, :] * s_plane[:, :, None]
     return jnp.concatenate(
@@ -114,17 +119,25 @@ def resolve_gbuffer(
     use_normal_maps: bool = True,
     use_mr_textures: bool = True,
     use_emission: bool = True,
+    pixel_coords=None,  # optional ((...,) px f32, (...,) py f32) matching vis shape
 ) -> GBuffer:
-    height, width = vis.shape
+    """Shade the visibility buffer. ``vis`` may be any shape; by default pixel
+    coordinates come from the (H, W) grid + row_offset, or pass ``pixel_coords``
+    for scattered/strided shading (VRSAA fine samples, coarse quad grids)."""
     valid = vis >= 0
     tid = jnp.maximum(vis, 0)
 
     if attr_planes is None:
         attr_planes = pack_attribute_planes(scene, setup)
-    pl = attr_planes[tid]  # (H, W, 3, A+1+K) — the one big gather
-    px = jnp.arange(width, dtype=jnp.float32)[None, :, None]
-    py = (jnp.arange(height, dtype=jnp.float32) + row_offset)[:, None, None]
-    f = pl[..., 0, :] * px + pl[..., 1, :] * py + pl[..., 2, :]  # (H, W, A+1+K)
+    pl = attr_planes[tid]  # (..., 3, A+1+K) — the one big gather
+    if pixel_coords is None:
+        height, width = vis.shape
+        px = jnp.arange(width, dtype=jnp.float32)[None, :, None]
+        py = (jnp.arange(height, dtype=jnp.float32) + row_offset)[:, None, None]
+    else:
+        px = pixel_coords[0].astype(jnp.float32)[..., None]
+        py = pixel_coords[1].astype(jnp.float32)[..., None]
+    f = pl[..., 0, :] * px + pl[..., 1, :] * py + pl[..., 2, :]  # (..., A+1+K)
     s = f[..., ATTR_CHANNELS : ATTR_CHANNELS + 1]
     inv_s = 1.0 / jnp.where(s == 0.0, 1.0, s)
     a = f * inv_s  # interpolated attributes; constant channels recover exactly
@@ -138,22 +151,25 @@ def resolve_gbuffer(
     metal_f = a[..., c0 + 3 : c0 + 4]
     rough_f = a[..., c0 + 4 : c0 + 5]
     emission_f = a[..., c0 + 5 : c0 + 8]
-    tex_ids = jnp.round(a[..., c0 + 8 : c0 + 12]).astype(jnp.int32)
+    tex_start = jnp.round(a[..., c0 + 8 : c0 + 12]).astype(jnp.int32) * START_ALIGN
+    tex_log2b = jnp.round(a[..., c0 + 12 : c0 + 16]).astype(jnp.int32)
     # Analytic UV derivatives from the planes: da/dx = (fa*s - f*sa) / s^2.
     sa = pl[..., 0, ATTR_CHANNELS : ATTR_CHANNELS + 1]
     sb = pl[..., 1, ATTR_CHANNELS : ATTR_CHANNELS + 1]
     duvdx = (pl[..., 0, 0:2] - uv * sa) * inv_s
     duvdy = (pl[..., 1, 0:2] - uv * sb) * inv_s
 
-    base_size = texture_base_size(scene)
-    lod = tex.compute_lod(duvdx, duvdy, base_size, mip_bias)
-    mr_lod = jnp.floor(lod)
+    # Size-free LOD + per-slot base size (textures have native resolutions).
+    lod_uv = tex.compute_lod_uv(duvdx, duvdy, mip_bias)
+
+    def slot(k):
+        return tex_start[..., k], tex_log2b[..., k], (
+            lod_uv + tex_log2b[..., k].astype(jnp.float32)
+        )
 
     if use_base_textures:
-        base_s = tex.sample_trilinear(
-            scene.textures, scene.texture_level_offsets, base_size, tex_ids[..., 0],
-            uv, lod,
-        )
+        s0, b0, lod0 = slot(0)
+        base_s = tex.sample_trilinear(scene.textures, s0, b0, uv, lod0)
         base_rgb = srgb_to_linear(base_s[..., :3])
     else:
         base_rgb = 1.0
@@ -162,9 +178,9 @@ def resolve_gbuffer(
     # Normal mapping (gltf_basic_pbr.slang TBN path) — compiled out for scenes
     # without normal maps, like the reference's shader variants.
     if use_normal_maps:
+        s1, b1, lod1 = slot(1)
         nrm_s = tex.sample_trilinear(
-            scene.textures, scene.texture_level_offsets, base_size, tex_ids[..., 1],
-            uv, mr_lod,
+            scene.textures, s1, b1, uv, jnp.floor(lod1),
         )
         n_ts = nrm_s[..., :3] * 2.0 - 1.0
         t = tan4[..., :3]
@@ -182,10 +198,8 @@ def resolve_gbuffer(
     # Metal/rough: glTF metallicRoughness texture (G = roughness, B = metalness) —
     # the same channels the reference's gbuffer data target carries.
     if use_mr_textures:
-        mr_s = tex.sample_trilinear(
-            scene.textures, scene.texture_level_offsets, base_size, tex_ids[..., 2],
-            uv, mr_lod,
-        )
+        s2, b2, lod2 = slot(2)
+        mr_s = tex.sample_trilinear(scene.textures, s2, b2, uv, jnp.floor(lod2))
         roughness = (mr_s[..., 1:2]) * rough_f
         metalness = (mr_s[..., 2:3]) * metal_f
     else:
@@ -193,10 +207,8 @@ def resolve_gbuffer(
         metalness = metal_f
 
     if use_emission:
-        em_s = tex.sample_trilinear(
-            scene.textures, scene.texture_level_offsets, base_size, tex_ids[..., 3],
-            uv, mr_lod,
-        )
+        s3, b3, lod3 = slot(3)
+        em_s = tex.sample_trilinear(scene.textures, s3, b3, uv, jnp.floor(lod3))
         emission = srgb_to_linear(em_s[..., :3]) * emission_f
     else:
         emission = jnp.zeros_like(base_color)

@@ -73,18 +73,18 @@ def cascade_origins(
     return jnp.stack(mins), jnp.asarray(sizes, jnp.float32)
 
 
-def _rsm_ortho_matrix(
-    cascade_min: jnp.ndarray, extent, sun_direction: jnp.ndarray
-) -> jnp.ndarray:
-    """World -> light clip ortho covering the cascade volume (RSM camera)."""
+def _ortho_from_sphere(center: jnp.ndarray, radius, sun_direction: jnp.ndarray):
+    """World -> light clip ortho covering a bounding sphere (RSM camera).
+
+    All RSM views share the sun basis, so per-cascade matrices differ from any
+    canonical one only by scaled rows + translation — exactly the precondition of
+    shadow.derive_ortho_setup."""
     sun = sun_direction / jnp.linalg.norm(sun_direction)
     up = jnp.where(jnp.abs(sun[1]) < 0.99, jnp.array([0.0, 1.0, 0.0]),
                    jnp.array([1.0, 0.0, 0.0]))
     right = jnp.cross(up, sun)
     right = right / jnp.linalg.norm(right)
     lup = jnp.cross(sun, right)
-    center = cascade_min + 0.5 * extent
-    radius = 0.866026 * extent  # bounding sphere of the cube
     backup = radius + 1.0
     origin = center - sun * backup
     depth_range = 2.0 * backup
@@ -97,6 +97,42 @@ def _rsm_ortho_matrix(
         jnp.concatenate([rowz, (1.0 + jnp.dot(sun, origin) / depth_range)[None]]),
         jnp.array([0.0, 0.0, 0.0, 1.0]),
     ]).astype(jnp.float32)
+
+
+def _rsm_ortho_matrix(
+    cascade_min: jnp.ndarray, extent, sun_direction: jnp.ndarray
+) -> jnp.ndarray:
+    """World -> light clip ortho covering the cascade volume (RSM camera)."""
+    center = cascade_min + 0.5 * extent
+    radius = 0.866026 * extent  # bounding sphere of the cube
+    return _ortho_from_sphere(center, radius, sun_direction)
+
+
+def _resolve_rsm(scene, setup, vis, use_base_textures: bool = True):
+    """RSM deferred resolve: (albedo (R,R,3), normal, world_pos, valid).
+
+    Flux samples the material's base-color texture at a coarse mip like the
+    reference's RSM fragment stage (gltf_basic_pbr.slang:240-252)."""
+    bary = compute_barycentrics(vis, setup, scene.tri_indices)
+    lam = bary.lam[..., None]
+    nrm = jnp.sum(scene.normals[bary.vertex_ids] * lam, axis=-2)
+    nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-9)
+    wpos = jnp.sum(scene.positions[bary.vertex_ids] * lam, axis=-2)
+    mat_id = scene.tri_material[jnp.maximum(vis, 0)]
+    albedo = scene.mat_base_color[mat_id][..., :3]
+    if use_base_textures and scene.textures.shape[0] > 0:
+        from androidrenderer_tpu.ops import texture as tex
+
+        uv = jnp.sum(scene.uvs[bary.vertex_ids] * lam, axis=-2)
+        tex_id = scene.mat_texture_ids[mat_id][..., 0]
+        start = scene.tex_start[tex_id]
+        log2b = scene.tex_log2b[tex_id]
+        # RSM texels are meters wide: a coarse mip (~16^2) matches the footprint
+        # (the reference gets this from HW derivatives at 128^2).
+        level = jnp.maximum(log2b - 4, 0)
+        texel = tex.sample_bilinear(scene.textures, start, log2b, uv, level)
+        albedo = albedo * srgb_to_linear(texel[..., :3])
+    return albedo, nrm, wpos, bary.valid
 
 
 def render_rsm(
@@ -112,16 +148,7 @@ def render_rsm(
         double_sided=jnp.ones_like(scene.tri_double_sided), tri_valid=scene.tri_valid,
     )
     depth, vis = raster_fn(setup, resolution, resolution)
-    bary = compute_barycentrics(vis, setup, scene.tri_indices)
-    lam = bary.lam[..., None]
-    nrm = jnp.sum(scene.normals[bary.vertex_ids] * lam, axis=-2)
-    nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-9)
-    wpos = jnp.sum(scene.positions[bary.vertex_ids] * lam, axis=-2)
-    mat_id = scene.tri_material[jnp.maximum(vis, 0)]
-    albedo = scene.mat_base_color[mat_id][..., :3]
-    # Material base-color textures at a coarse mip would refine this; factor-only flux
-    # matches the RSM's low resolution well.
-    return albedo, nrm, wpos, bary.valid
+    return _resolve_rsm(scene, setup, vis)
 
 
 def extract_vpls(
@@ -177,21 +204,55 @@ def inject(
 
     lobe = sh.sh_cosine_lobe(vpl_normal)  # (K, 4)
     contrib = vpl_flux[:, :, None] * lobe[:, None, :]  # (K, 3, 4)
-    radiance = radiance.at[:, :, drop, cy, cx].add(
-        jnp.where(inb[:, None, None], contrib, 0.0).transpose(1, 2, 0), mode="drop"
-    )
+    # Flat ROW scatter-add: multi-dim advanced-index scatters (`.at[:, :, z, y, x]`)
+    # lower to the same catastrophic multi-index path as multi-dim gathers on this
+    # TPU (docs/ROADMAP.md) — flatten the volume to (R^3, 12) rows and scatter once.
+    r3 = resolution**3
+    flat_idx = jnp.where(inb, (drop * resolution + cy) * resolution + cx, r3)
+    rad_rows = radiance.reshape(12, r3).T  # (R^3, 12)
+    add_rows = jnp.where(inb[:, None], contrib.reshape(-1, 12), 0.0)
+    rad_rows = rad_rows.at[flat_idx].add(add_rows, mode="drop")
+    radiance = rad_rows.T.reshape(radiance.shape)
 
     # GV surfel occlusion, max-combined (gv uses raw RSM resolution in the reference;
     # VPL-level injection is the coarse equivalent).
     gv_cell = jnp.floor((vpl_pos - cascade_min) / cell_size).astype(jnp.int32)
     ginb = vpl_mask & jnp.all((gv_cell >= 0) & (gv_cell < resolution), axis=-1)
     gx, gy, gz = gv_cell[:, 0], gv_cell[:, 1], gv_cell[:, 2]
-    gdrop = jnp.where(ginb, gz, resolution)
     occ = jnp.abs(sh.sh_cosine_lobe(vpl_normal))  # (K, 4)
-    gv = gv.at[:, gdrop, gy, gx].max(
-        jnp.where(ginb[:, None], occ, 0.0).T, mode="drop"
-    )
+    gidx = jnp.where(ginb, (gz * resolution + gy) * resolution + gx, r3)
+    gv_rows = gv.reshape(4, r3).T  # (R^3, 4)
+    gv_rows = gv_rows.at[gidx].max(jnp.where(ginb[:, None], occ, 0.0), mode="drop")
+    gv = gv_rows.T.reshape(gv.shape)
     return radiance, gv
+
+
+def inject_gv_surfels(
+    gv: jnp.ndarray,  # (4, R, R, R) one cascade's geometry volume
+    pos: jnp.ndarray,  # (K, 3) surfel positions
+    normal: jnp.ndarray,  # (K, 3)
+    mask: jnp.ndarray,  # (K,)
+    cascade_min: jnp.ndarray,
+    cell_size,
+    resolution: int,
+) -> jnp.ndarray:
+    """Max-combine surfel occlusion lobes into the GV (gv_injection /
+    inject_scene_depth_into_gv — light_propagation_volume.cpp:932-968, 1065-1128).
+
+    Unlike the round-1 build (VPL surfels only), this takes ARBITRARY surfel sets:
+    build_lpv feeds it every RSM texel (sun-visible geometry at full RSM density)
+    plus downsampled scene-view depth surfels (camera-visible geometry the sun
+    never sees — the surfaces the VPL-only GV leaked light through)."""
+    r3 = resolution**3
+    cell = jnp.floor((pos - cascade_min) / cell_size).astype(jnp.int32)
+    inb = mask & jnp.all((cell >= 0) & (cell < resolution), axis=-1)
+    occ = jnp.abs(sh.sh_cosine_lobe(normal))  # (K, 4)
+    idx = jnp.where(
+        inb, (cell[:, 2] * resolution + cell[:, 1]) * resolution + cell[:, 0], r3
+    )
+    gv_rows = gv.reshape(4, r3).T
+    gv_rows = gv_rows.at[idx].max(jnp.where(inb[:, None], occ, 0.0), mode="drop")
+    return gv_rows.T.reshape(gv.shape)
 
 
 def propagate(
@@ -250,10 +311,17 @@ def propagate(
             )
             if occlusion:
                 ngv = jnp.roll(gv, shift, axis=axis - 1)  # gv dims are (C,4,R,R,R)
-                occ_eval = sh.sh_evaluate(-_DIRS[d_idx])  # (4,)
-                occ = 1.0 - jnp.clip(
-                    jnp.einsum("k,ckzyx->czyx", occ_eval, ngv), 0.0, 1.0
+                # Surfels block flux crossing them from EITHER side (a wall is a
+                # wall): evaluate the stored lobe toward both orientations and
+                # take the stronger. A single-signed evaluation lets flux pass
+                # free through back-facing surfels (dot < 0 clips to 0).
+                e_neg = sh.sh_evaluate(-_DIRS[d_idx])  # (4,)
+                e_pos = sh.sh_evaluate(_DIRS[d_idx])
+                amp = jnp.maximum(
+                    jnp.einsum("k,ckzyx->czyx", e_neg, ngv),
+                    jnp.einsum("k,ckzyx->czyx", e_pos, ngv),
                 )
+                occ = 1.0 - jnp.clip(amp, 0.0, 1.0)
                 occ = occ[:, None, None]  # (C,1,1,R,R,R)
             else:
                 occ = 1.0
@@ -298,36 +366,54 @@ def apply_lpv(
     ci = first_inside
 
     h, w, _ = world_position.shape
-    sel = jnp.take_along_axis(
-        cellf.reshape(c, h, w, 3), ci[None, ..., None], axis=0
-    )[0] - 0.5  # sample at cell centers
+    # Select the finest cascade's cell coords with unrolled selects (a
+    # take_along_axis over the cascade axis is a gather; C is tiny).
+    sel = cellf[0]
+    for k in range(1, c):
+        sel = jnp.where((ci == k)[..., None], cellf[k], sel)
+    sel = sel - 0.5  # sample at cell centers
     c0 = jnp.floor(sel)
     f = sel - c0
     c0i = jnp.clip(c0.astype(jnp.int32), 0, r - 2)
 
-    # Gather the 8 corners of the trilinear cell for all 12 coefficients.
+    # Corner-pack the volume so the trilinear fetch is ONE flat gather: row
+    # (c, z, y, x) carries all 8 cell corners x 12 SH coefficients (96 ch). Random
+    # screen-sized gathers cost ~27-45 ms each on this TPU regardless of width
+    # (docs/ROADMAP.md), so 8 separate corner gathers dominate the whole LPV pass;
+    # the packing itself is a few dense 6 MB shifts (~free).
     rad = volumes.radiance.transpose(0, 3, 4, 5, 1, 2).reshape(c, r, r, r, 12)
-
-    def corner(dx, dy, dz):
-        return rad[ci, c0i[..., 2] + dz, c0i[..., 1] + dy, c0i[..., 0] + dx]
+    corners = [
+        jnp.roll(rad, (-dz, -dy, -dx), axis=(1, 2, 3))
+        for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)
+    ]  # wrap rows land at z/y/x == r-1, never addressed (c0i <= r-2)
+    packed = jnp.concatenate(corners, axis=-1).reshape(c * r * r * r, 96)
+    idx = ((ci * r + c0i[..., 2]) * r + c0i[..., 1]) * r + c0i[..., 0]
+    taps = packed[idx]  # (H, W, 96)
 
     fx = f[..., 0:1]
     fy = f[..., 1:2]
     fz = f[..., 2:3]
-    v000, v100 = corner(0, 0, 0), corner(1, 0, 0)
-    v010, v110 = corner(0, 1, 0), corner(1, 1, 0)
-    v001, v101 = corner(0, 0, 1), corner(1, 0, 1)
-    v011, v111 = corner(0, 1, 1), corner(1, 1, 1)
-    v00 = v000 + (v100 - v000) * fx
-    v10 = v010 + (v110 - v010) * fx
-    v01 = v001 + (v101 - v001) * fx
-    v11 = v011 + (v111 - v011) * fx
+    def tap(i):
+        return taps[..., i * 12 : (i + 1) * 12]
+    # corner order above: i = dz*4 + dy*2 + dx
+    v00 = tap(0) + (tap(1) - tap(0)) * fx
+    v10 = tap(2) + (tap(3) - tap(2)) * fx
+    v01 = tap(4) + (tap(5) - tap(4)) * fx
+    v11 = tap(6) + (tap(7) - tap(6)) * fx
     v0 = v00 + (v10 - v00) * fy
     v1 = v01 + (v11 - v01) * fy
     shv = (v0 + (v1 - v0) * fz).reshape(h, w, 3, 4)
 
     lobe = sh.sh_cosine_lobe(-normal)  # (H, W, 4)
-    gi = jnp.maximum(jnp.einsum("hwgk,hwk->hwg", shv, lobe), 0.0)
+    # Broadcast FMA, not einsum: batched tiny matmuls at 2M px are a measured
+    # 100-300 ms trap on this TPU (docs/ROADMAP.md).
+    gi = (
+        shv[..., 0] * lobe[..., None, 0]
+        + shv[..., 1] * lobe[..., None, 1]
+        + shv[..., 2] * lobe[..., None, 2]
+        + shv[..., 3] * lobe[..., None, 3]
+    )
+    gi = jnp.maximum(gi, 0.0)
     gi = gi * base_color * (1.0 / jnp.pi) * exposure
     return jnp.where((valid & any_inside)[..., None], gi, 0.0)
 
@@ -343,6 +429,8 @@ def build_lpv(
     rsm_resolution: int,
     num_steps: int,
     behind_percent: float = 0.1,
+    scene_view_surfels=None,  # (pos (K,3), normal (K,3), valid (K,)) from the gbuffer
+    use_base_textures: bool = True,
 ) -> LPVVolumes:
     """Full LPV frame slice: cascades -> RSM -> VPLs -> inject -> propagate."""
     mins, cells = cascade_origins(
@@ -351,14 +439,49 @@ def build_lpv(
     )
     radiance = jnp.zeros((num_cascades, 3, 4, resolution, resolution, resolution))
     gv = jnp.zeros((num_cascades, 4, resolution, resolution, resolution))
+
+    # ONE canonical triangle setup in a union sun frame; per-cascade RSM setups
+    # derive by affine coefficient transforms (shadow.derive_ortho_setup) — this
+    # drops 3 of 4 gather-heavy setups AND culls each cascade's raster to the
+    # triangles inside its volume footprint (the reference's multiview RSM pass,
+    # light_propagation_volume.cpp:583-617, gets the same effect from HW culling).
+    from androidrenderer_tpu.ops.shadow import derive_ortho_setup
+
+    extents = cells * resolution
+    centers = mins + 0.5 * extents[:, None]
+    radii = 0.866026 * extents
+    cu = jnp.mean(centers, axis=0)
+    ru = jnp.max(jnp.linalg.norm(centers - cu, axis=1) + radii)
+    m_canon = _ortho_from_sphere(cu, ru, scene.sun_direction)
+    clip_c = transform_to_clip(scene.positions, m_canon)
+    setup_rsm = triangle_setup(
+        clip_c, scene.tri_indices, rsm_resolution, rsm_resolution,
+        double_sided=jnp.ones_like(scene.tri_double_sided), tri_valid=scene.tri_valid,
+    )
+
     for c in range(num_cascades):
-        extent = cells[c] * resolution
-        m = _rsm_ortho_matrix(mins[c], extent, scene.sun_direction)
-        albedo, nrm, wpos, val = render_rsm(scene, m, rsm_resolution, raster_fn)
+        m = _ortho_from_sphere(centers[c], radii[c], scene.sun_direction)
+        setup_i = derive_ortho_setup(setup_rsm, m_canon, m, rsm_resolution)
+        _, vis_c = raster_fn(setup_i, rsm_resolution, rsm_resolution)
+        albedo, nrm, wpos, val = _resolve_rsm(
+            scene, setup_i, vis_c, use_base_textures=use_base_textures
+        )
         p, n, flux, mask = extract_vpls(albedo, nrm, wpos, val, scene.sun_color)
         rc, gc = inject(
             radiance[c], gv[c], p, n, flux, mask, mins[c], cells[c], resolution
         )
+        # GV from RSM depth: EVERY sun-visible texel is an occluder surfel
+        # (gv_injection path, cpp:932-968) — much denser than the VPL subset.
+        gc = inject_gv_surfels(
+            gc, wpos.reshape(-1, 3), nrm.reshape(-1, 3), val.reshape(-1),
+            mins[c], cells[c], resolution,
+        )
+        # GV from scene-view depth: camera-visible geometry the sun never sees
+        # (inject_scene_depth_into_gv, cpp:1065-1128) — without it light leaks
+        # through sun-shadowed walls.
+        if scene_view_surfels is not None:
+            sp, sn, sv = scene_view_surfels
+            gc = inject_gv_surfels(gc, sp, sn, sv, mins[c], cells[c], resolution)
         # Emissive mesh-light point clouds (render_scene.cpp:257-310).
         ep = scene.emissive_points
         if ep.shape[0] > 1:

@@ -8,6 +8,7 @@ void-and-cluster blue-noise layer baked at import; TAA integrates either over ti
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -77,11 +78,23 @@ def disc_jitter(direction: jnp.ndarray, tan_radius, u1, u2) -> jnp.ndarray:
 
 # ---------------------------------------------------------------------------
 # Blue noise (NoiseTexture parity): the reference ships 64-layer spatio-temporal
-# blue-noise assets (noise_texture.hpp:12-22). We GENERATE ours with the classic
-# void-and-cluster algorithm (Ulichney 1993) — wrap-around gaussian energy, rank
-# matrix -> uniform blue-noise threshold texture. Cached per (size, seed).
+# blue-noise assets frame-indexed by ``pixel % 128`` (noise_texture.hpp:12-22,
+# scene_renderer.cpp:81-83). We GENERATE ours with the classic void-and-cluster
+# algorithm (Ulichney 1993) — toroidal gaussian energy maintained INCREMENTALLY
+# (truncated-kernel block updates instead of a full FFT per step), which makes a
+# full 64-layer 128^2 STBN stack generatable in ~1 min (tools/make_stbn.py bakes
+# it into an asset; runtime loads the asset and falls back to generation).
 
 _BLUE_CACHE = {}
+
+
+def _vac_energy_kernel(size: int, sigma: float):
+    """Truncated toroidal gaussian kernel + its offset grids."""
+    rad = min(size // 2, int(np.ceil(4.0 * sigma)))
+    off = np.arange(-rad, rad + 1)
+    d2 = off[None, :] ** 2 + off[:, None] ** 2
+    kernel = np.exp(-d2 / (2.0 * sigma * sigma))
+    return rad, off, kernel
 
 
 def blue_noise(size: int = 64, sigma: float = 1.9, seed: int = 0) -> np.ndarray:
@@ -91,48 +104,123 @@ def blue_noise(size: int = 64, sigma: float = 1.9, seed: int = 0) -> np.ndarray:
         return _BLUE_CACHE[key]
     rng = np.random.default_rng(seed)
     n = size * size
+    rad, off, kernel = _vac_energy_kernel(size, sigma)
 
-    # Toroidal gaussian energy kernel, applied via FFT.
-    x = np.minimum(np.arange(size), size - np.arange(size)).astype(np.float64)
-    d2 = x[None, :] ** 2 + x[:, None] ** 2
-    kernel = np.exp(-d2 / (2.0 * sigma * sigma))
-    kf = np.fft.rfft2(kernel)
+    energy = np.zeros((size, size), np.float64)
 
-    def energy(mask):
-        return np.fft.irfft2(np.fft.rfft2(mask) * kf, s=(size, size))
+    def toggle(flat_idx: int, sign: float, mask):
+        y, x = divmod(int(flat_idx), size)
+        ys = (y + off) % size
+        xs = (x + off) % size
+        energy[np.ix_(ys, xs)] += sign * kernel
+        mask.flat[flat_idx] = sign > 0
 
     # Initial pattern: ~10% ones, relaxed so no tight clusters remain.
     ones = n // 10
-    mask = np.zeros((size, size), np.float64)
-    idx = rng.choice(n, ones, replace=False)
-    mask.flat[idx] = 1.0
+    mask = np.zeros((size, size), bool)
+    for i in rng.choice(n, ones, replace=False):
+        toggle(i, +1.0, mask)
+    neg_inf = -np.inf
     for _ in range(4 * ones):
-        e = energy(mask)
-        cluster = np.argmax(np.where(mask > 0.5, e, -np.inf))
-        mask.flat[cluster] = 0.0
-        e = energy(mask)
-        void = np.argmin(np.where(mask < 0.5, e, np.inf))
+        cluster = int(np.argmax(np.where(mask, energy, neg_inf)))
+        toggle(cluster, -1.0, mask)
+        void = int(np.argmin(np.where(~mask, energy, np.inf)))
         if void == cluster:
-            mask.flat[cluster] = 1.0
+            toggle(cluster, +1.0, mask)
             break
-        mask.flat[void] = 1.0
+        toggle(void, +1.0, mask)
 
     rank = np.zeros((size, size), np.int64)
+    initial = mask.copy()
+    initial_energy = energy.copy()
     # Phase 1: remove tightest clusters down to empty, ranking them.
-    work = mask.copy()
     for r in range(ones - 1, -1, -1):
-        e = energy(work)
-        c = np.argmax(np.where(work > 0.5, e, -np.inf))
-        work.flat[c] = 0.0
+        c = int(np.argmax(np.where(mask, energy, neg_inf)))
+        toggle(c, -1.0, mask)
         rank.flat[c] = r
     # Phase 2: fill largest voids up from the initial pattern.
-    work = mask.copy()
+    mask = initial
+    energy[...] = initial_energy
     for r in range(ones, n):
-        e = energy(work)
-        v = np.argmin(np.where(work < 0.5, e, np.inf))
-        work.flat[v] = 1.0
+        v = int(np.argmin(np.where(~mask, energy, np.inf)))
+        toggle(v, +1.0, mask)
         rank.flat[v] = r
 
     out = ((rank.astype(np.float64) + 0.5) / n).astype(np.float32)
     _BLUE_CACHE[key] = out
     return out
+
+
+# --- STBN stack: (channels, layers, S, S) independent blue-noise slices ---------
+
+STBN_SIZE = 128
+STBN_LAYERS = 64
+_STBN_ASSET = "stbn_128_64.npz"
+_STBN_CACHE = {}
+
+
+def _stbn_asset_path() -> str:
+    import os
+
+    return os.path.join(os.path.dirname(__file__), "..", "assets", _STBN_ASSET)
+
+
+def stbn_stack(
+    channels: int = 2, layers: int = STBN_LAYERS, size: int = STBN_SIZE
+) -> np.ndarray:
+    """(channels, layers, size, size) f32 spatio-temporal blue noise.
+
+    Loads the baked asset (tools/make_stbn.py) when present; otherwise generates
+    (each slice is an independently-seeded void-and-cluster texture — blue in
+    space; temporal decorrelation comes from independent layers, which is what
+    the reference's frame-indexed layer array provides)."""
+    import os
+
+    key = (channels, layers, size)
+    if key in _STBN_CACHE:
+        return _STBN_CACHE[key]
+    path = _stbn_asset_path()
+    if os.path.exists(path):
+        with np.load(path) as z:
+            stack = z["stbn"].astype(np.float32) / np.float32(65535.0)
+        if stack.shape[0] >= channels and stack.shape[1] >= layers and stack.shape[2] == size:
+            out = stack[:channels, :layers]
+            _STBN_CACHE[key] = out
+            return out
+    out = np.stack(
+        [
+            np.stack(
+                [blue_noise(size, seed=c * 1000 + l) for l in range(layers)]
+            )
+            for c in range(channels)
+        ]
+    ).astype(np.float32)
+    _STBN_CACHE[key] = out
+    return out
+
+
+def stbn_uniforms(
+    height: int, width: int, frame_index, num: int, row_offset=0
+) -> jnp.ndarray:
+    """(H, W, num) blue-noise uniforms — the STBN replacement for pixel_uniforms.
+
+    Layer selection is ``frame % 64`` (scene_renderer.cpp:81-83; shaders index
+    ``pixel % 128``); screen tiling is dense rolls + tiles, no gathers. The layer
+    pick is a dynamic_slice over a (L, S, S) device constant. ``row_offset``
+    keeps band-sharded rendering bit-identical to the full frame.
+    """
+    stack = jnp.asarray(stbn_stack(channels=max(2, num)))  # (C, L, S, S)
+    s = STBN_SIZE
+    li = jnp.uint32(frame_index) % STBN_LAYERS
+    outs = []
+    for k in range(num):
+        # Distinct layer per channel (k-offset), same spatial slice.
+        lk = (li + jnp.uint32(k * 17)) % STBN_LAYERS
+        layer = jax.lax.dynamic_index_in_dim(stack[k % stack.shape[0]], lk, 0, False)
+        # Tile to cover (height + row_offset... ) rows starting at row_offset.
+        layer = jnp.roll(layer, -(row_offset % s), axis=0)
+        reps_y = -(-height // s)
+        reps_x = -(-width // s)
+        tiled = jnp.tile(layer, (reps_y, reps_x))[:height, :width]
+        outs.append(tiled)
+    return jnp.stack(outs, axis=-1)

@@ -26,22 +26,50 @@ from androidrenderer_tpu.ops.raster.raster_xla import (
     rasterize_visibility,
 )
 from androidrenderer_tpu.ops.raster.setup import TriangleSetup
-from androidrenderer_tpu.scene.scene import SceneArrays, texture_base_size
+from androidrenderer_tpu.scene.scene import SceneArrays
+
+
+def _triangle_lod_uv(scene: SceneArrays, setup: TriangleSetup) -> jnp.ndarray:
+    """(N,) size-free LOD per triangle, evaluated at the bbox center.
+
+    The reference samples alpha with hardware derivatives; a per-TRIANGLE
+    footprint (constant-per-triangle LOD) matches it to within one level at
+    typical foliage scales and costs only (N,)-wide math — no per-pixel
+    derivative gathers."""
+    idx = scene.tri_indices
+    uvs = scene.uvs
+    e = setup.edge  # (N, 3, 3)
+    # uv interpolation plane: f_k(p) = sum_i edge_i * uv_i[k], affine in pixels.
+    f = (
+        e[:, 0, :, None] * uvs[idx[:, 0]][:, None, :]
+        + e[:, 1, :, None] * uvs[idx[:, 1]][:, None, :]
+        + e[:, 2, :, None] * uvs[idx[:, 2]][:, None, :]
+    )  # (N, 3=coeff, 2=uv)
+    q = setup.q  # (N, 3)
+    cx = 0.5 * (setup.bbox[:, 0] + setup.bbox[:, 2])
+    cy = 0.5 * (setup.bbox[:, 1] + setup.bbox[:, 3])
+    fv = f[:, 0] * cx[:, None] + f[:, 1] * cy[:, None] + f[:, 2]  # (N, 2)
+    qv = q[:, 0] * cx + q[:, 1] * cy + q[:, 2]
+    inv_q = 1.0 / jnp.where(qv == 0.0, 1.0, qv)
+    uv_c = fv * inv_q[:, None]
+    duvdx = (f[:, 0] - uv_c * q[:, 0:1]) * inv_q[:, None]
+    duvdy = (f[:, 1] - uv_c * q[:, 1:2]) * inv_q[:, None]
+    return tex.compute_lod_uv(duvdx, duvdy)
 
 
 def _sample_alpha(scene: SceneArrays, setup: TriangleSetup, vis, row_offset=0):
-    """Base-color alpha x factor at the winning fragments (fixed coarse lod)."""
+    """Base-color alpha x factor at the winning fragments (computed LOD)."""
     bary = compute_barycentrics(vis, setup, scene.tri_indices, row_offset)
     lam = bary.lam[..., None]
     uv = jnp.sum(scene.uvs[bary.vertex_ids] * lam, axis=-2)
     tid = jnp.maximum(vis, 0)
     mat = scene.tri_material[tid]
     tex_id = scene.mat_texture_ids[mat][..., 0]
-    base_size = texture_base_size(scene)
-    lod = jnp.full(vis.shape, 1, jnp.int32)
-    s = tex.sample_bilinear(
-        scene.textures, scene.texture_level_offsets, base_size, tex_id, uv, lod
-    )
+    start = scene.tex_start[tex_id]
+    log2b = scene.tex_log2b[tex_id]
+    lod_tri = _triangle_lod_uv(scene, setup)[tid] + log2b.astype(jnp.float32)
+    lod = jnp.clip(jnp.round(lod_tri), 0, log2b).astype(jnp.int32)
+    s = tex.sample_bilinear(scene.textures, start, log2b, uv, lod)
     alpha = s[..., 3] * scene.mat_base_color[mat][..., 3]
     cutoff = scene.mat_alpha[mat][..., 1]
     return alpha, cutoff

@@ -104,6 +104,7 @@ def _fused_kernel(
     kb: int,
     depth_only: bool,
     affine_z: bool,
+    win_h: int,
 ):
     if depth_only:
         vis_ref = None
@@ -121,13 +122,13 @@ def _fused_kernel(
             vis_ref[:, :] = jnp.full((slab_h, width), -1, jnp.int32)
         off_ref[0] = 0
 
-    rows_per_slab = slab_h // WIN_H
+    rows_per_slab = slab_h // win_h
     slab_row0 = s * rows_per_slab  # global window-row index of the slab's first row
     slab_y0 = (s * slab_h).astype(jnp.float32)
     chunk_base = c * chunk
 
-    rowf = jax.lax.broadcasted_iota(jnp.int32, (WIN_H, WIN_W), 0).astype(jnp.float32)
-    colf = jax.lax.broadcasted_iota(jnp.int32, (WIN_H, WIN_W), 1).astype(jnp.float32)
+    rowf = jax.lax.broadcasted_iota(jnp.int32, (win_h, WIN_W), 0).astype(jnp.float32)
+    colf = jax.lax.broadcasted_iota(jnp.int32, (win_h, WIN_W), 1).astype(jnp.float32)
 
     def rd(k, i):
         return recs_ref[0, 0, k * REC + i]
@@ -158,7 +159,7 @@ def _fused_kernel(
                 c2 = rd(k, 8)
                 sid = rd(k, 18)
                 gx = colf + (col * WIN_W).astype(jnp.float32)
-                gy = rowf + (row * WIN_H).astype(jnp.float32) + slab_y0
+                gy = rowf + (row * win_h).astype(jnp.float32) + slab_y0
                 d0 = a0 * gx + b0 * gy + c0
                 d1 = a1 * gx + b1 * gy + c1
                 d2 = a2 * gx + b2 * gy + c2
@@ -179,21 +180,21 @@ def _fused_kernel(
 
                 @pl.when(live)
                 def _(j=j, row=row, col=col, k=k):
-                    y = pl.multiple_of(row * WIN_H, WIN_H)
+                    y = pl.multiple_of(row * win_h, win_h)
                     x = pl.multiple_of(col * WIN_W, WIN_W)
                     zk = zs[j]
-                    zw = depth_ref[pl.ds(y, WIN_H), pl.ds(x, WIN_W)]
+                    zw = depth_ref[pl.ds(y, win_h), pl.ds(x, WIN_W)]
                     if depth_only:
-                        depth_ref[pl.ds(y, WIN_H), pl.ds(x, WIN_W)] = jnp.maximum(
+                        depth_ref[pl.ds(y, win_h), pl.ds(x, WIN_W)] = jnp.maximum(
                             zw, zk
                         )
                     else:
                         upd = (zk >= zw) & (zk > 0.0)
-                        depth_ref[pl.ds(y, WIN_H), pl.ds(x, WIN_W)] = jnp.where(
+                        depth_ref[pl.ds(y, win_h), pl.ds(x, WIN_W)] = jnp.where(
                             upd, zk, zw
                         )
-                        vw = vis_ref[pl.ds(y, WIN_H), pl.ds(x, WIN_W)]
-                        vis_ref[pl.ds(y, WIN_H), pl.ds(x, WIN_W)] = jnp.where(
+                        vw = vis_ref[pl.ds(y, win_h), pl.ds(x, WIN_W)]
+                        vis_ref[pl.ds(y, win_h), pl.ds(x, WIN_W)] = jnp.where(
                             upd, chunk_base + k, vw
                         )
 
@@ -218,9 +219,9 @@ def _fused_kernel(
         def _():
             by0 = rd(k, 20)
             by1 = rd(k, 22)
-            ty0 = jnp.maximum(by0.astype(jnp.int32) // WIN_H, slab_row0)
+            ty0 = jnp.maximum(by0.astype(jnp.int32) // win_h, slab_row0)
             ty1 = jnp.minimum(
-                by1.astype(jnp.int32) // WIN_H, slab_row0 + rows_per_slab - 1
+                by1.astype(jnp.int32) // win_h, slab_row0 + rows_per_slab - 1
             )
 
             @pl.when(ty1 >= ty0)
@@ -259,8 +260,8 @@ def _fused_kernel(
 
                     def strip(iy, _):
                         row = ty0 + iy
-                        ytf = (row * WIN_H).astype(jnp.float32)
-                        ybf = ytf + (WIN_H - 1)
+                        ytf = (row * win_h).astype(jnp.float32)
+                        ybf = ytf + (win_h - 1)
 
                         def bounds(aa, inv_aa, bb, cc):
                             bt = -(bb * ytf + cc) * inv_aa
@@ -312,15 +313,17 @@ def _fused_kernel(
     off_ref[0] = 0
 
 
-def auto_slabs(height: int, width: int, depth_only: bool = False) -> int:
+def auto_slabs(
+    height: int, width: int, depth_only: bool = False, win_h: int = WIN_H
+) -> int:
     """Smallest slab count satisfying the row-field and VMEM constraints."""
     bytes_per_px = 4 if depth_only else 8
     budget = 8 * 2**20  # framebuffer slab budget (VMEM is ~16 MB total)
     s = 1
     while True:
-        hp = -(-height // (s * WIN_H)) * (s * WIN_H)
+        hp = -(-height // (s * win_h)) * (s * win_h)
         slab_h = hp // s
-        if slab_h <= 32 * WIN_H and slab_h * width * bytes_per_px <= budget:
+        if slab_h <= 32 * win_h and slab_h * width * bytes_per_px <= budget:
             return s
         s += 1
 
@@ -337,13 +340,17 @@ def rasterize_fused(
     affine_z: bool = False,
     compact: bool = False,
     interpret: bool = False,
+    win_h: int = WIN_H,
 ):
     """(depth (H, W) f32, vis (H, W) i32) — or depth only.
 
-    Heights that do not split into num_slabs x 32-px rows are padded internally and
-    sliced on return. Constraints: slab height <= 1024 (5-bit row field);
+    Heights that do not split into num_slabs x win_h-px rows are padded internally
+    and sliced on return. Constraints: slab height <= 32 * win_h (5-bit row field);
     width % 128 == 0 and <= 2048 (4-bit window-column field); chunk <= 2^22.
 
+    ``win_h``: RMW window height. 32 suits screen-scale targets; small targets
+    dense with subpixel triangles (RSM 128^2) want 8 — every touch costs a full
+    (win_h, 128) window RMW, so undersized triangles waste 4x at win_h=32.
     ``affine_z``: orthographic fast path (see pack_fused_records).
     ``compact``: sort valid records first (one XLA gather) so the kernel scans only
     the live count — pays off when most triangles are culled (shadow cascades) AND
@@ -351,9 +358,9 @@ def rasterize_fused(
     """
     if width % WIN_W or width > 16 * WIN_W:
         raise ValueError(f"width {width} must be a multiple of 128 and <= 2048")
-    hp = -(-height // (num_slabs * WIN_H)) * (num_slabs * WIN_H)
+    hp = -(-height // (num_slabs * win_h)) * (num_slabs * win_h)
     slab_h = hp // num_slabs
-    if slab_h > 32 * WIN_H:
+    if slab_h > 32 * win_h:
         raise ValueError(f"slab height {slab_h} exceeds the 5-bit row field")
     if compact and not depth_only:
         raise ValueError("compact reorders triangle ids; only valid with depth_only")
@@ -393,6 +400,7 @@ def rasterize_fused(
         kb=kb,
         depth_only=depth_only,
         affine_z=affine_z,
+        win_h=win_h,
     )
 
     out_shape = [jax.ShapeDtypeStruct((hp, width), jnp.float32)]
@@ -429,3 +437,92 @@ def rasterize_fused(
     if depth_only:
         return result[0][:height]
     return result[0][:height], result[1][:height]
+
+
+def rasterize_hybrid(
+    setup: TriangleSetup,
+    height: int,
+    width: int,
+    num_slabs: int = 2,
+    depth_only: bool = False,
+    affine_z: bool = False,
+    interpret: bool = False,
+    **fused_kwargs,
+):
+    """Hybrid splat + window raster — same contract/bit-exactness as
+    rasterize_fused, built for triangle-dense small targets (RSM/shadow views,
+    where most triangles footprint a single pixel but each costs the kernel a
+    full (32, 128)-window RMW):
+
+    - triangles whose integer bbox is ONE candidate pixel evaluate coverage/depth
+      at that pixel center in XLA and retire via flat scatter-max (a 266k-row
+      scatter costs ~3 ms vs ~60 ms of window RMWs at RSM scale);
+    - everything else goes through the fused Pallas kernel.
+
+    Exactness: pixel-center edge/z evaluation uses the identical formulas as the
+    kernel; ties (equal z) resolve to the highest triangle id in both halves and
+    across them."""
+    bbox = setup.bbox
+    x0i = bbox[:, 0].astype(jnp.int32)
+    y0i = bbox[:, 1].astype(jnp.int32)
+    x1i = bbox[:, 2].astype(jnp.int32)
+    y1i = bbox[:, 3].astype(jnp.int32)
+    single = setup.valid & (x0i == x1i) & (y0i == y1i)
+
+    px = x0i.astype(jnp.float32)
+    py = y0i.astype(jnp.float32)
+    e = setup.edge
+    d0 = e[:, 0, 0] * px + e[:, 0, 1] * py + e[:, 0, 2]
+    d1 = e[:, 1, 0] * px + e[:, 1, 1] * py + e[:, 1, 2]
+    d2 = e[:, 2, 0] * px + e[:, 2, 1] * py + e[:, 2, 2]
+    dmax = jnp.maximum(jnp.maximum(d0, d1), d2)
+    dmin = jnp.minimum(jnp.minimum(d0, d1), d2)
+    cov = (dmax <= 0.0) | ((dmin >= 0.0) & setup.double_sided)
+    if affine_z:
+        qc = setup.q[:, 2]
+        zp = setup.r / jnp.where(qc == 0.0, 1.0, qc)[:, None]
+        z = zp[:, 0] * px + zp[:, 1] * py + zp[:, 2]
+    else:
+        qv = setup.q[:, 0] * px + setup.q[:, 1] * py + setup.q[:, 2]
+        z = (setup.r[:, 0] * px + setup.r[:, 1] * py + setup.r[:, 2]) / qv
+    cov = cov & (z > 0.0) & (z <= 1.0) & single
+
+    n_px = height * width
+    idx = jnp.where(cov, y0i * width + x0i, n_px)
+    depth_splat = (
+        jnp.zeros((n_px,), jnp.float32)
+        .at[idx]
+        .max(jnp.where(cov, z, 0.0), mode="drop")
+    )
+
+    setup_big = setup._replace(valid=setup.valid & ~single)
+    if depth_only:
+        depth_big = rasterize_fused(
+            setup_big, height, width, num_slabs=num_slabs, depth_only=True,
+            affine_z=affine_z, interpret=interpret, **fused_kwargs,
+        )
+        return jnp.maximum(depth_big, depth_splat.reshape(height, width))
+
+    depth_big, vis_big = rasterize_fused(
+        setup_big, height, width, num_slabs=num_slabs,
+        affine_z=affine_z, interpret=interpret, **fused_kwargs,
+    )
+    depth = jnp.maximum(depth_big, depth_splat.reshape(height, width))
+    # Splat winners: the splat whose z equals the final per-pixel depth; equal-z
+    # splats resolve to the highest id (scatter-max), and splat-vs-kernel equal-z
+    # resolves to the highest id below.
+    dg = depth.reshape(-1)[jnp.minimum(idx, n_px - 1)]
+    win = cov & (z == dg)
+    tri_ids = jnp.arange(setup.valid.shape[0], dtype=jnp.int32)
+    vis_splat = (
+        jnp.full((n_px,), -1, jnp.int32)
+        .at[idx]
+        .max(jnp.where(win, tri_ids, -1), mode="drop")
+    ).reshape(height, width)
+    ds = depth_splat.reshape(height, width)
+    vis = jnp.where(
+        ds > depth_big,
+        vis_splat,
+        jnp.where(ds == depth_big, jnp.maximum(vis_splat, vis_big), vis_big),
+    )
+    return depth, vis

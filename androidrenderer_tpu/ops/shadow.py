@@ -151,6 +151,61 @@ def fit_cascades(
     )
 
 
+def derive_ortho_setup(setup_c, mc: jnp.ndarray, mi: jnp.ndarray, resolution: int):
+    """Derive a per-view triangle setup from a canonical ortho setup.
+
+    ``mc``/``mi`` are world->clip ortho matrices sharing the same rotation basis
+    (scaled rows); the pixel-space edge/bbox/z transforms are then affine, so one
+    canonical `triangle_setup` (gather-heavy) serves every view at the cost of a
+    few (N,)-wide FMAs. Triangles whose transformed bbox misses the target are
+    invalidated — per-view frustum culling for free."""
+    half = resolution * 0.5
+    ax = jnp.linalg.norm(mi[0, :3]) / jnp.linalg.norm(mc[0, :3])
+    ay = jnp.linalg.norm(mi[1, :3]) / jnp.linalg.norm(mc[1, :3])
+    az = jnp.linalg.norm(mi[2, :3]) / jnp.linalg.norm(mc[2, :3])
+    bx = mi[0, 3] - ax * mc[0, 3]
+    by = mi[1, 3] - ay * mc[1, 3]
+    bz = mi[2, 3] - az * mc[2, 3]
+    # ndc affine -> pixel affine: px_i = ax*px_c + cx.
+    cx = half * bx + (half - 0.5) * (1.0 - ax)
+    # y flips in clip_to_pixel_h (py = (w - y) * H/2 - 0.5): y_i = ay*y + by
+    # => py_i = ay*py_c + cy with cy = -half*by + (half - 0.5)*(1 - ay).
+    cy = -half * by + (half - 0.5) * (1.0 - ay)
+
+    e = setup_c.edge
+    a_div = e[:, :, 0] / ax
+    b_div = e[:, :, 1] / ay
+    c_new = e[:, :, 2] - a_div * cx - b_div * cy
+    edge_i = jnp.stack([a_div, b_div, c_new], axis=-1)
+    q_i = jnp.sum(edge_i, axis=1)  # ortho: W == 1 for every vertex
+    # r transforms like an affine pixel function, then z_i = az*z_c + bz.
+    r = setup_c.r
+    ra = r[:, 0] / ax
+    rb = r[:, 1] / ay
+    rc_ = r[:, 2] - ra * cx - rb * cy
+    r_t = jnp.stack([ra, rb, rc_], axis=-1)
+    r_i = az * r_t + bz * q_i
+    # bbox transform (ax, ay > 0).
+    b0 = setup_c.bbox
+    x0 = jnp.clip(ax * b0[:, 0] + cx, 0.0, resolution - 1.0)
+    y0 = jnp.clip(ay * b0[:, 1] + cy, 0.0, resolution - 1.0)
+    x1 = jnp.clip(ax * b0[:, 2] + cx, 0.0, resolution - 1.0)
+    y1 = jnp.clip(ay * b0[:, 3] + cy, 0.0, resolution - 1.0)
+    on = (
+        (ax * b0[:, 2] + cx >= 0.0)
+        & (ax * b0[:, 0] + cx <= resolution - 1.0)
+        & (ay * b0[:, 3] + cy >= 0.0)
+        & (ay * b0[:, 1] + cy <= resolution - 1.0)
+    )
+    return setup_c._replace(
+        edge=edge_i.astype(jnp.float32),
+        q=q_i.astype(jnp.float32),
+        r=r_i.astype(jnp.float32),
+        bbox=jnp.stack([x0, y0, x1, y1], axis=-1).astype(jnp.float32),
+        valid=setup_c.valid & on,
+    )
+
+
 def render_shadow_cascades(
     positions: jnp.ndarray,  # (V, 3) world
     tri_indices: jnp.ndarray,  # (N, 3)
@@ -170,7 +225,9 @@ def render_shadow_cascades(
     meshes this is exact, and it doubles the span-narrowed kernel's throughput."""
     if double_sided is None:
         double_sided = jnp.ones(tri_indices.shape[0], dtype=bool)
-    from androidrenderer_tpu.ops.raster.raster_fused import auto_slabs, rasterize_fused
+    from androidrenderer_tpu.ops.raster.raster_fused import (
+        auto_slabs, rasterize_fused,
+    )
 
     def one_setup(mat):
         clip = transform_to_clip(positions, mat)
@@ -186,62 +243,23 @@ def render_shadow_cascades(
         # measured 338 -> ~130 ms on the bench view).
         setup_c = one_setup(cascades.canonical)
         mc = cascades.canonical
-        half = resolution * 0.5
         maps = []
         for i in range(cascades.matrices.shape[0]):
-            mi = cascades.matrices[i]
-            ax = jnp.linalg.norm(mi[0, :3]) / jnp.linalg.norm(mc[0, :3])
-            ay = jnp.linalg.norm(mi[1, :3]) / jnp.linalg.norm(mc[1, :3])
-            az = jnp.linalg.norm(mi[2, :3]) / jnp.linalg.norm(mc[2, :3])
-            bx = mi[0, 3] - ax * mc[0, 3]
-            by = mi[1, 3] - ay * mc[1, 3]
-            bz = mi[2, 3] - az * mc[2, 3]
-            # ndc affine -> pixel affine: px_i = ax*px_c + cx.
-            cx = half * bx + (half - 0.5) * (1.0 - ax)
-            # y flips in clip_to_pixel_h (py = (w - y) * H/2 - 0.5): y_i = ay*y + by
-            # => py_i = ay*py_c + cy with cy = -half*by + (half - 0.5)*(1 - ay).
-            cy = -half * by + (half - 0.5) * (1.0 - ay)
-
-            e = setup_c.edge
-            a_div = e[:, :, 0] / ax
-            b_div = e[:, :, 1] / ay
-            c_new = e[:, :, 2] - a_div * cx - b_div * cy
-            edge_i = jnp.stack([a_div, b_div, c_new], axis=-1)
-            q_i = jnp.sum(edge_i, axis=1)  # ortho: W == 1 for every vertex
-            # r transforms like an affine pixel function, then z_i = az*z_c + bz.
-            r = setup_c.r
-            ra = r[:, 0] / ax
-            rb = r[:, 1] / ay
-            rc_ = r[:, 2] - ra * cx - rb * cy
-            r_t = jnp.stack([ra, rb, rc_], axis=-1)
-            r_i = az * r_t + bz * q_i
-            # bbox transform (ax, ay > 0).
-            b0 = setup_c.bbox
-            x0 = jnp.clip(ax * b0[:, 0] + cx, 0.0, resolution - 1.0)
-            y0 = jnp.clip(ay * b0[:, 1] + cy, 0.0, resolution - 1.0)
-            x1 = jnp.clip(ax * b0[:, 2] + cx, 0.0, resolution - 1.0)
-            y1 = jnp.clip(ay * b0[:, 3] + cy, 0.0, resolution - 1.0)
-            on = (
-                (ax * b0[:, 2] + cx >= 0.0)
-                & (ax * b0[:, 0] + cx <= resolution - 1.0)
-                & (ay * b0[:, 3] + cy >= 0.0)
-                & (ay * b0[:, 1] + cy <= resolution - 1.0)
-            )
-            setup_i = setup_c._replace(
-                edge=edge_i.astype(jnp.float32),
-                q=q_i.astype(jnp.float32),
-                r=r_i.astype(jnp.float32),
-                bbox=jnp.stack([x0, y0, x1, y1], axis=-1).astype(jnp.float32),
-                valid=setup_c.valid & on,
+            setup_i = derive_ortho_setup(
+                setup_c, mc, cascades.matrices[i], resolution
             )
             maps.append(
                 rasterize_fused(
                     setup_i, resolution, resolution,
                     num_slabs=auto_slabs(resolution, resolution, depth_only=True),
                     depth_only=True,
-                    # Ortho: z is an affine plane — no per-touch divide. (compact=True
-                    # was measured NET-NEGATIVE here: the 4x 266k-row XLA gathers cost
-                    # more than the skipped kernel scans save.)
+                    # Ortho: z is an affine plane — no per-touch divide. Measured
+                    # NET-NEGATIVE alternatives (round 2, v5e): compact=True (4x
+                    # 266k-row XLA gathers cost more than the skipped scans),
+                    # win_h=8 (base frame 278 -> 430 ms: per-touch cost is RMW
+                    # LATENCY, not vector width, and narrow windows multiply
+                    # touches), XLA scatter-splat hybrid (a 266k-row scatter-max
+                    # is ~25 ms by itself).
                     affine_z=True,
                     interpret=pallas_interpret,
                 )

@@ -38,22 +38,32 @@ def motion_vectors(
 
 
 def _bilinear_sample(img: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
-    """Sample (H, W, C) at (H, W, 2) uv (clamped)."""
-    h, w, _ = img.shape
+    """Sample (H, W, C) at (H, W, 2) uv (clamped).
+
+    Tap-packed: the 2x2 footprint is packed into one row (shifted copies, dense
+    ~free ops) so the fetch is ONE flat gather — separate corner gathers cost
+    ~17-45 ms each at screen size on this TPU (docs/ROADMAP.md)."""
+    h, w, ch = img.shape
     x = jnp.clip(uv[..., 0] * w - 0.5, 0.0, w - 1.0)
     y = jnp.clip(uv[..., 1] * h - 0.5, 0.0, h - 1.0)
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     fx = (x - x0)[..., None]
     fy = (y - y0)[..., None]
+    # x0 <= w-1 by the clamp above; the packed row at the last column/row
+    # duplicates the edge texel, preserving clamp-to-edge semantics.
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
-    x1i = jnp.minimum(x0i + 1, w - 1)
-    y1i = jnp.minimum(y0i + 1, h - 1)
-    c00 = img[y0i, x0i]
-    c01 = img[y0i, x1i]
-    c10 = img[y1i, x0i]
-    c11 = img[y1i, x1i]
+
+    right = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+    down = jnp.concatenate([img[1:], img[-1:]], axis=0)
+    down_right = jnp.concatenate([right[1:], right[-1:]], axis=0)
+    packed = jnp.concatenate([img, right, down, down_right], axis=-1)
+    taps = packed.reshape(h * w, 4 * ch)[y0i * w + x0i]
+    c00 = taps[..., 0 * ch : 1 * ch]
+    c01 = taps[..., 1 * ch : 2 * ch]
+    c10 = taps[..., 2 * ch : 3 * ch]
+    c11 = taps[..., 3 * ch : 4 * ch]
     top = c00 + (c01 - c00) * fx
     bot = c10 + (c11 - c10) * fx
     return top + (bot - top) * fy
@@ -77,22 +87,33 @@ def _neighborhood_minmax(img: jnp.ndarray):
 
 def taa_resolve(
     current: jnp.ndarray,  # (H, W, 3) this frame's lit scene (jittered render)
-    history: jnp.ndarray,  # (H, W, 3) accumulated history
+    history: jnp.ndarray,  # (H_full, W, 3) accumulated history (FULL frame)
     history_valid: jnp.ndarray,  # () bool
     mv: jnp.ndarray,  # (H, W, 2) uv motion
     blend: float = 0.1,
+    row_offset=0,  # band rendering: first screen row of `current`
+    current_halo: jnp.ndarray | None = None,  # (H+2, W, 3) edge-halo'd current
 ):
-    """(resolved, new_history) — exponential accumulation with neighborhood clamp."""
+    """(resolved, new_history) — exponential accumulation with neighborhood clamp.
+
+    Band mode (parallel/mesh.py): ``current`` is one band, ``history`` is the
+    all_gathered full frame (reprojection reads cross-band rows), ``current_halo``
+    supplies the 3x3 clamp's neighbor rows, and uv coordinates are global."""
     h, w, _ = current.shape
+    h_full = history.shape[0]
     px = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
-    py = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+    py = (jnp.arange(h, dtype=jnp.float32) + 0.5 + row_offset) / h_full
     uv = jnp.stack(
         [jnp.broadcast_to(px[None, :], (h, w)), jnp.broadcast_to(py[:, None], (h, w))],
         axis=-1,
     )
     prev_uv = uv - mv
     hist = _bilinear_sample(history, prev_uv)
-    mn, mx = _neighborhood_minmax(current)
+    if current_halo is not None:
+        mn, mx = _neighborhood_minmax(current_halo)
+        mn, mx = mn[1:-1], mx[1:-1]
+    else:
+        mn, mx = _neighborhood_minmax(current)
     hist = jnp.clip(hist, mn, mx)
     # Off-screen reprojection falls back to current.
     on_screen = (

@@ -1,15 +1,22 @@
-"""Texture array sampling — the TPU replacement for bindless sampled images.
+"""Texture pool sampling — the TPU replacement for bindless sampled images.
 
 The reference binds a bindless texture array and samples with HW trilinear filtering +
 a global mip bias (texture_descriptor_pool.hpp:16-46, view_data.hpp
-material_texture_mip_bias). Here the pool is a mip-packed flat array
-(T, sum(s_l^2), 4) u8 (scene.py:_pack_mips_flat): a texel at (tex, level, y, x) lives at
-flat index ``level_offset[level] + y * size_l + x``, so trilinear filtering is 8 gathers
-with computed indices and no branching on level.
+material_texture_mip_bias). Here the pool is ONE flat mip-packed texel array
+(R, 16) u8 holding every texture at its native power-of-two resolution
+(material_storage.pack_texture_pool): texel (t, level, y, x) lives at flat row
+``start_t + (4*b^2 - 4*s^2)/3 + y*s + x`` (b = texture base size, s = b >> level),
+and the 16 channels carry the 2x2 wrap-footprint's four RGBA texels, so bilinear
+filtering is ONE gather with computed indices and no branching on level or size.
+
+Per-sample metadata is (start, log2b) — integers small enough to ride the gbuffer's
+attribute-plane constants (start is 1024-row aligned and carried /1024 so the f32
+plane round-trip stays exact).
 
 Mip selection is analytic from the visibility buffer: uv(p) = f(p)/s(p) with f, s
 affine in pixel coords, so duv/dpixel is closed-form per pixel — equivalent to the
-hardware's quad derivatives but exact.
+hardware's quad derivatives but exact. ``compute_lod_uv`` returns the size-free
+part; add log2b per texture slot.
 """
 
 from __future__ import annotations
@@ -18,21 +25,21 @@ import jax.numpy as jnp
 
 
 def sample_bilinear(
-    textures: jnp.ndarray,  # (T, F, 16) u8 tap-packed mip-flat pool (scene.py)
-    level_offsets: jnp.ndarray,  # (L,) i32
-    base_size: int,  # static: size of mip 0
-    tex_ids: jnp.ndarray,  # (...,) i32
+    pool: jnp.ndarray,  # (R, 16) u8 flat tap-packed texel pool
+    start: jnp.ndarray,  # (...,) i32 per-sample texture start row
+    log2b: jnp.ndarray,  # (...,) i32 per-sample log2(base size)
     uv: jnp.ndarray,  # (..., 2) f32, repeat-wrapped
-    level: jnp.ndarray,  # (...,) i32 clamped mip level
+    level: jnp.ndarray,  # (...,) i32 mip level (clamped per texture)
 ) -> jnp.ndarray:
-    """Bilinear sample at an integer mip level — ONE gather: the pool's 16 channels
-    carry the 2x2 footprint's four RGBA texels (wrap-shifted copies per level).
-    Returns (..., 4) f32 in [0, 1]."""
-    num_levels = level_offsets.shape[0]
-    level = jnp.clip(level, 0, num_levels - 1)
-    # size_l = base_size >> level
-    size = jnp.right_shift(jnp.int32(base_size), level.astype(jnp.int32))
+    """Bilinear sample at an integer mip level — ONE gather. (..., 4) f32 [0,1]."""
+    log2b = log2b.astype(jnp.int32)
+    level = jnp.clip(level.astype(jnp.int32), 0, log2b)
+    b = jnp.left_shift(jnp.int32(1), log2b)
+    size = jnp.right_shift(b, level)
     sizef = size.astype(jnp.float32)
+    # Mip offset within the texture: sum of coarser... finer levels above:
+    # (4*b^2 - 4*s^2) / 3 (exact integer; divisor is a constant, not traced).
+    mip_off = ((b * b - size * size) * 4) // 3
 
     # Repeat wrap, texel centers at (i + 0.5) / size.
     u = uv[..., 0] - jnp.floor(uv[..., 0])
@@ -52,13 +59,9 @@ def sample_bilinear(
     x0i = wrap(x0)
     y0i = wrap(y0)
 
-    off = level_offsets[level]
-    t, f, _ = textures.shape
-    flat = textures.reshape(t * f, 16)
-    tex_base = tex_ids.astype(jnp.int32) * f
-    # Single-axis flat gather — the two-axis form textures[tex_ids, idx] lowers to a
-    # slow multi-index gather on TPU (measured ~40x slower).
-    taps = flat[tex_base + off + y0i * size + x0i].astype(jnp.float32) * (1.0 / 255.0)
+    # Single-axis flat gather — multi-index forms lower to a slow multi-index
+    # gather on TPU (measured ~40x slower).
+    taps = pool[start + mip_off + y0i * size + x0i].astype(jnp.float32) * (1.0 / 255.0)
     c00 = taps[..., 0:4]
     c01 = taps[..., 4:8]
     c10 = taps[..., 8:12]
@@ -69,32 +72,31 @@ def sample_bilinear(
 
 
 def sample_trilinear(
-    textures: jnp.ndarray,
-    level_offsets: jnp.ndarray,
-    base_size: int,
-    tex_ids: jnp.ndarray,
+    pool: jnp.ndarray,
+    start: jnp.ndarray,
+    log2b: jnp.ndarray,
     uv: jnp.ndarray,
     lod: jnp.ndarray,  # (...,) f32 fractional level of detail
 ) -> jnp.ndarray:
-    num_levels = level_offsets.shape[0]
-    lod = jnp.clip(lod, 0.0, float(num_levels - 1))
-    l0 = jnp.floor(lod).astype(jnp.int32)
-    l1 = jnp.minimum(l0 + 1, num_levels - 1)
-    f = (lod - l0.astype(jnp.float32))[..., None]
-    a = sample_bilinear(textures, level_offsets, base_size, tex_ids, uv, l0)
-    b = sample_bilinear(textures, level_offsets, base_size, tex_ids, uv, l1)
+    lodc = jnp.clip(lod, 0.0, log2b.astype(jnp.float32))
+    l0 = jnp.floor(lodc).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, log2b.astype(jnp.int32))
+    f = (lodc - l0.astype(jnp.float32))[..., None]
+    a = sample_bilinear(pool, start, log2b, uv, l0)
+    b = sample_bilinear(pool, start, log2b, uv, l1)
     return a + (b - a) * f
 
 
-def compute_lod(
+def compute_lod_uv(
     duv_dx: jnp.ndarray,  # (..., 2) analytic UV derivative wrt pixel x
     duv_dy: jnp.ndarray,  # (..., 2)
-    base_size: int,
     mip_bias: jnp.ndarray | float = 0.0,
 ) -> jnp.ndarray:
-    """Hardware-style LOD: log2 of the max screen-space texel footprint."""
-    s = float(base_size)
-    fx = jnp.sum((duv_dx * s) ** 2, axis=-1)
-    fy = jnp.sum((duv_dy * s) ** 2, axis=-1)
-    rho2 = jnp.maximum(jnp.maximum(fx, fy), 1e-12)
+    """Size-free LOD: log2 of the max screen-space footprint in UV units.
+
+    Per-texture LOD = compute_lod_uv(...) + log2(base size) — the additive split
+    lets mixed-resolution texture slots share one derivative computation."""
+    fx = jnp.sum(duv_dx * duv_dx, axis=-1)
+    fy = jnp.sum(duv_dy * duv_dy, axis=-1)
+    rho2 = jnp.maximum(jnp.maximum(fx, fy), 1e-24)
     return 0.5 * jnp.log2(rho2) + mip_bias

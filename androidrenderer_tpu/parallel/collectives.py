@@ -1,0 +1,47 @@
+"""Cross-band collectives for sharded rendering — the ICI traffic of the frame.
+
+Everything here runs inside the shard_map of parallel/mesh.py. The design goal is
+bit-identical output vs the single-device frame: halo exchanges reproduce the exact
+row neighborhoods the full-frame operators see (wrap for roll-based taps, edge for
+pad-based ones), and full-frame-global passes (TAA history fetch, bloom/upscale)
+all_gather their inputs and run replicated.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def row_halo(x: jnp.ndarray, halo: int, axis_name: str, wrap: bool) -> jnp.ndarray:
+    """Extend a row-sharded (h, w, ...) band with ``halo`` rows from each neighbor.
+
+    ``wrap=True`` reproduces jnp.roll semantics across the full frame (device 0's
+    top halo comes from the last device); ``wrap=False`` reproduces edge-pad
+    semantics (outermost devices replicate their own boundary row)."""
+    n = jax.lax.axis_size(axis_name)
+    if n == 1:
+        if wrap:
+            return jnp.concatenate([x[-halo:], x, x[:halo]], axis=0)
+        return jnp.concatenate(
+            [jnp.repeat(x[:1], halo, 0), x, jnp.repeat(x[-1:], halo, 0)], axis=0
+        )
+    fwd = [(i, (i + 1) % n) for i in range(n)]  # data moves to the next band
+    bwd = [((i + 1) % n, i) for i in range(n)]
+    top = jax.lax.ppermute(x[-halo:], axis_name, fwd)  # previous band's bottom rows
+    bot = jax.lax.ppermute(x[:halo], axis_name, bwd)  # next band's top rows
+    if not wrap:
+        idx = jax.lax.axis_index(axis_name)
+        top = jnp.where(idx == 0, jnp.repeat(x[:1], halo, 0), top)
+        bot = jnp.where(idx == n - 1, jnp.repeat(x[-1:], halo, 0), bot)
+    return jnp.concatenate([top, x, bot], axis=0)
+
+
+def gather_rows(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """all_gather a row-sharded band into the full-frame array (over ICI)."""
+    return jax.lax.all_gather(x, axis_name, axis=0, tiled=True)
+
+
+def any_across(mask: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """Elementwise OR of a boolean array across the mesh axis (psum over ICI)."""
+    return jax.lax.psum(mask.astype(jnp.int32), axis_name) > 0

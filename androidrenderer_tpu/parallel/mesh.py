@@ -67,13 +67,17 @@ def render_frame_sharded(
             f"render_height {config.render_height} must divide into {n} bands of "
             f"whole {config.tile_height}-px tiles"
         )
+    if config.output_height % n != 0:
+        raise ValueError(
+            f"output_height {config.output_height} must divide into {n} bands"
+        )
     band_h = config.render_height // n
 
     def band_fn(scene_, view_, params_, temporal_):
         row0 = jax.lax.axis_index(axis) * band_h
         return render_frame(
             scene_, view_, params_, temporal_, config,
-            band_height=band_h, row_offset=row0,
+            band_height=band_h, row_offset=row0, axis_name=axis,
         )
 
     out_spec, temp_spec = _screen_sharded_spec(axis)

@@ -38,7 +38,9 @@ from androidrenderer_tpu.ops.raster import (
 )
 from androidrenderer_tpu.ops.raster.binning import bin_triangles
 from androidrenderer_tpu.ops.raster.masked import rasterize_masked_peeled
-from androidrenderer_tpu.ops.raster.raster_fused import auto_slabs, rasterize_fused
+from androidrenderer_tpu.ops.raster.raster_fused import (
+    auto_slabs, rasterize_fused, rasterize_hybrid,
+)
 from androidrenderer_tpu.render.temporal import TemporalState
 from androidrenderer_tpu.scene.scene import SceneArrays
 
@@ -59,15 +61,25 @@ def render_frame(
     config: RenderConfig,
     band_height: int | None = None,
     row_offset: jnp.ndarray | int = 0,
+    axis_name: str | None = None,
 ):
     """Pure frame function: returns (FrameOutputs, next TemporalState).
 
     ``band_height``/``row_offset`` render a horizontal screen band — the multi-chip
-    screen-sharding entry (parallel/mesh.py); defaults render the full frame."""
+    screen-sharding entry (parallel/mesh.py). With ``axis_name`` set (called inside
+    that shard_map) the FULL pipeline runs sharded: cross-band neighborhoods come
+    from ppermute row halos (SSAO, TAA clamp), full-frame passes (TAA history
+    fetch, bloom, upscale) all_gather over ICI, and the temporal visibility list
+    is OR-reduced across bands. Without it, band rendering is the legacy
+    raster+shade-only path."""
     h = band_height or config.render_height
     w = config.render_width
     tiles_y = h // config.tile_height
     tile_row_offset = row_offset // config.tile_height if band_height else 0
+    # Band rendering with collectives available => every feature runs.
+    full_features = band_height is None or axis_name is not None
+    if axis_name is not None:
+        from androidrenderer_tpu.parallel import collectives as coll
 
     # --- culling (depth_culling_phase.cpp analog) --------------------------------
     prim_mask = culling.frustum_cull_spheres(
@@ -132,7 +144,7 @@ def render_frame(
         )
         return d, v
 
-    if config.occlusion_culling and band_height is None:
+    if config.occlusion_culling and full_features:
         # Two-phase HiZ occlusion culling (depth_culling_phase.cpp:182-241):
         # 1) draw last-frame-visible, 2) build the HiZ pyramid from that depth,
         # 3) re-test everything, 4) draw the newly visible, merge (max — exact).
@@ -144,9 +156,17 @@ def render_frame(
         )
         depth, vis = _raster_full(setup_opaque._replace(valid=setup_opaque.valid & tri_p1))
 
-        hiz = culling.build_hiz_pyramid(depth, config.hiz_levels)
+        # Band mode builds the pyramid from band rows only — levels limited by
+        # band divisibility; spheres are tested against this band's rows.
+        n_levels = config.hiz_levels
+        hh = h
+        while n_levels > 1 and (hh % (1 << (n_levels - 1)) or w % (1 << (n_levels - 1))):
+            n_levels -= 1
+        hiz = culling.build_hiz_pyramid(depth, n_levels)
         not_occluded = culling.occlusion_cull_spheres(
             scene.prim_bounds, jnp.asarray(view.view), view.z_near, p00, p11, hiz,
+            row_offset=row_offset,
+            full_height=config.render_height if band_height else None,
         )
         visible_now = prim_mask & not_occluded
         newly = visible_now & ~phase1
@@ -156,6 +176,9 @@ def render_frame(
         d2, v2 = _raster_full(setup_opaque._replace(valid=setup_opaque.valid & tri_new))
         vis = jnp.where(d2 > depth, v2, vis)
         depth = jnp.maximum(depth, d2)
+        if axis_name is not None:
+            # Temporal visibility = union over bands (replicated next frame).
+            visible_now = coll.any_across(visible_now, axis_name)
         temporal = temporal._replace(
             prev_visible_prims=temporal.prev_visible_prims.at[:np_].set(visible_now)
         )
@@ -171,13 +194,46 @@ def render_frame(
         )
 
     # --- gbuffer resolve ------------------------------------------------------------
-    gbuf = resolve_gbuffer(
-        scene, setup, vis, depth, row_offset=row_offset,
+    flags = dict(
         use_base_textures=config.use_base_textures,
         use_normal_maps=config.use_normal_maps,
         use_mr_textures=config.use_mr_textures,
         use_emission=config.use_emission,
     )
+    vrsaa = config.aa_mode == AAMode.VRSAA
+    if vrsaa:
+        # VRSAA (sampling_rate_calculator.cpp analog, ops/vrsaa.py): geometry
+        # rasterized at 2x output res; shading runs on quad top-left samples
+        # (native rate); a fine pass below re-shades contrast quads' extra
+        # samples. All screen passes from here run on the coarse grid.
+        if config.translucency:
+            raise ValueError("VRSAA + translucency unsupported (peel at 2x res)")
+        if (config.render_width != 2 * config.output_width
+                or config.render_height != 2 * config.output_height):
+            raise ValueError("VRSAA needs render resolution == 2x output resolution")
+        from androidrenderer_tpu.ops import vrsaa as vrsaa_ops
+        from androidrenderer_tpu.ops.gbuffer import pack_attribute_planes
+
+        vis_ss, depth_ss = vis, depth
+        row_offset_ss = row_offset
+        h, w = h // 2, w // 2
+        row_offset = row_offset_ss // 2
+        vis = vis_ss[::2, ::2]
+        depth = depth_ss[::2, ::2]
+        attr_planes = pack_attribute_planes(scene, setup)
+        px_g = jnp.broadcast_to(
+            (jnp.arange(w, dtype=jnp.float32) * 2.0)[None, :], (h, w)
+        )
+        py_g = (jnp.arange(h, dtype=jnp.float32) * 2.0)[:, None] + row_offset_ss
+        py_g = jnp.broadcast_to(py_g, (h, w))
+        gbuf = resolve_gbuffer(
+            scene, setup, vis, depth, attr_planes=attr_planes,
+            pixel_coords=(px_g, py_g), **flags,
+        )
+    else:
+        gbuf = resolve_gbuffer(
+            scene, setup, vis, depth, row_offset=row_offset, **flags,
+        )
 
     # --- sky ------------------------------------------------------------------------
     if config.sky:
@@ -185,7 +241,8 @@ def render_frame(
             jnp.asarray(view.inverse_view), p00, p11,
             scene.sun_direction, scene.sun_color, h, w,
             exposure=params.sun_exposure,
-            row_offset=row_offset, full_height=config.render_height,
+            row_offset=row_offset,
+            full_height=config.render_height // (2 if vrsaa else 1),
         )
     else:
         sky_img = jnp.zeros((h, w, 3), jnp.float32)
@@ -215,30 +272,46 @@ def render_frame(
             gbuf.world_position, view_distance, ndotl, cascades, shadow_maps,
             params.shadow_bias,
         )
-    elif config.shadow_mode == ShadowMode.RT and band_height is None:
+    elif config.shadow_mode == ShadowMode.RT and full_features:
         # Ray-traced sun shadows (directional_light.cpp:372-422).
         shadow = rt_effects.rt_sun_shadows(
             scene.bvh, gbuf.world_position, gbuf.normal, gbuf.valid,
             scene.sun_direction, scene.sun_angular_size, temporal.frame_index,
+            row_offset=row_offset,
         )
     else:
         shadow = None
 
     # --- AO (ambient_occlusion_phase.cpp: Off / CACAO-like SSAO / RTAO) ---------------
-    if config.ao_mode == AOMode.RT and band_height is None:
+    if config.ao_mode == AOMode.RT and full_features:
         ao = rt_effects.rtao(
             scene.bvh, gbuf.world_position, gbuf.normal, gbuf.valid,
             config.rtao_num_samples, params.rtao_max_distance, temporal.frame_index,
+            row_offset=row_offset,
         )
     elif config.ao_mode == AOMode.SSAO:
-        ao = lighting.ssao(gbuf, jnp.asarray(view.position), view.z_near)
+        if axis_name is not None:
+            # SSAO taps reach +-9 rows; halo-extend the inputs so band rendering
+            # reproduces the full-frame roll (wrap) neighborhoods exactly.
+            halo = 9
+            gb_h = gbuf._replace(
+                world_position=coll.row_halo(gbuf.world_position, halo, axis_name, wrap=True),
+                normal=coll.row_halo(gbuf.normal, halo, axis_name, wrap=True),
+                valid=coll.row_halo(gbuf.valid, halo, axis_name, wrap=True),
+            )
+            ao = lighting.ssao(gb_h, jnp.asarray(view.position), view.z_near)[halo:-halo]
+        else:
+            ao = lighting.ssao(gbuf, jnp.asarray(view.position), view.z_near)
     else:
         ao = None
 
     # --- GI: LPV (pre/post-render slices, gi/light_propagation_volume.cpp) -----------
-    if config.gi_mode == GIMode.LPV and band_height is None:
+    if config.gi_mode == GIMode.LPV and full_features:
         def _gi_raster(setup_, hh, ww):
             if use_pallas and ww % 128 == 0:
+                # (win_h=8 and an XLA scatter-splat hybrid were both measured
+                # net-negative here — per-touch cost is RMW latency, not vector
+                # width; see shadow.py note.)
                 return rasterize_fused(
                     setup_, hh, ww, num_slabs=auto_slabs(hh, ww),
                     interpret=config.pallas_interpret,
@@ -253,17 +326,30 @@ def render_frame(
 
         inv_view = jnp.asarray(view.inverse_view)
         cam_forward = -inv_view[:3, 2]
+        # Scene-view depth surfels for the geometry volume (every 8th pixel; the
+        # GV is 32^3 per cascade so this is still ~10x denser than its cells).
+        sv = (
+            gbuf.world_position[::8, ::8].reshape(-1, 3),
+            gbuf.normal[::8, ::8].reshape(-1, 3),
+            gbuf.valid[::8, ::8].reshape(-1),
+        )
+        if axis_name is not None:
+            # The GV build must see the SAME surfel set on every device (LPV is
+            # replicated); gather the ~1 MB subsampled set over ICI. Max-combine
+            # injection is order-independent, so band order is fine.
+            sv = tuple(coll.gather_rows(x, axis_name) for x in sv)
         volumes = lpv_ops.build_lpv(
             scene, jnp.asarray(view.position), cam_forward, _gi_raster,
             config.lpv_num_cascades, config.lpv_resolution, config.lpv_cell_size,
             config.lpv_rsm_resolution, config.lpv_num_propagation_steps,
             config.lpv_behind_camera_percent,
+            scene_view_surfels=sv, use_base_textures=config.use_base_textures,
         )
         gi = lpv_ops.apply_lpv(
             volumes, gbuf.world_position, gbuf.normal, gbuf.base_color, gbuf.valid,
             params.lpv_exposure * params.sun_exposure,
         )
-    elif config.gi_mode == GIMode.PROBES and band_height is None:
+    elif config.gi_mode == GIMode.PROBES and full_features:
         # DDGI-style budgeted probe cache (irradiance_cache.cpp:496-724).
         probes = probe_ops.update_probes(
             temporal.probes, scene.bvh, scene, jnp.asarray(view.position),
@@ -276,12 +362,13 @@ def render_frame(
         )
         gi = irr * gbuf.base_color
         temporal = temporal._replace(probes=probes)
-    elif config.gi_mode == GIMode.RT and band_height is None:
-        # Per-pixel one-bounce RTGI (gi/rtgi.cpp:69-139).
+    elif config.gi_mode == GIMode.RT and full_features:
+        # Per-pixel RTGI (gi/rtgi.cpp:69-139; bounce count = r.GI.RT.Bounces).
         irr = rt_effects.rtgi(
             scene.bvh, scene, gbuf.world_position, gbuf.normal, gbuf.valid,
             jnp.asarray(view.inverse_view), p00, p11, temporal.frame_index,
             params.rtgi_exposure, params.sun_exposure,
+            num_bounces=config.rtgi_num_bounces, row_offset=row_offset,
         )
         # Screen-space reconstruction of the 1-spp signal (rtgi overlay filter).
         from androidrenderer_tpu.ops.denoise import atrous_filter
@@ -340,33 +427,115 @@ def render_frame(
             front = (ok_t & (d_t > depth))[..., None]
             lit = jnp.where(front, lit * (1.0 - alpha_t) + color_t * alpha_t, lit)
 
+    # --- VRSAA fine pass: re-shade contrast quads' 3 extra samples --------------------
+    if vrsaa:
+        fine = vrsaa_ops.detect_fine_quads(vis_ss, depth_ss)
+        fine = fine | vrsaa_ops.luminance_contrast(lit)
+        budget = max(1, int(config.vrsaa_budget * h * w))
+        qy, qx, live = vrsaa_ops.fine_worklist(fine, budget)
+        w_ss = 2 * w
+        offs = ((0, 1), (1, 0), (1, 1))
+        pys = jnp.stack([qy * 2 + dy for dy, dx in offs], axis=1)  # (B, 3) local
+        pxs = jnp.stack([qx * 2 + dx for dy, dx in offs], axis=1)
+        flat_idx = pys * w_ss + pxs
+        vis_f = vis_ss.reshape(-1)[flat_idx]
+        depth_f = depth_ss.reshape(-1)[flat_idx]
+        gbuf_f = resolve_gbuffer(
+            scene, setup, vis_f, depth_f, attr_planes=attr_planes,
+            pixel_coords=(
+                pxs.astype(jnp.float32),
+                pys.astype(jnp.float32) + row_offset_ss,
+            ),
+            **flags,
+        )
+
+        def quad_fetch(img):  # coarse (h, w, C) values at the quads -> (B, 1, C)
+            return img.reshape(h * w, -1)[
+                jnp.minimum(qy * w + qx, h * w - 1)
+            ][:, None, :]
+
+        if config.shadow_mode == ShadowMode.CSM:
+            ndotl_f = jnp.clip(
+                jnp.sum(gbuf_f.normal * l[None, None, :], axis=-1, keepdims=True),
+                0.0, 1.0,
+            )
+            vd_f = jnp.where(depth_f > 0.0, view.z_near / jnp.maximum(depth_f, 1e-12), 0.0)
+            shadow_f = shadow_ops.sample_csm(
+                gbuf_f.world_position, vd_f, ndotl_f, cascades, shadow_maps,
+                params.shadow_bias,
+            )
+        elif shadow is not None:  # RT shadows: coarse quad value
+            shadow_f = quad_fetch(shadow)
+        else:
+            shadow_f = None
+        # Low-frequency channels (GI, AO, sky) come from the quad's coarse shade —
+        # exactly what coarse-rate VRS does for them in the reference.
+        gi_f = quad_fetch(gi) if gi is not None else None
+        ao_f = quad_fetch(ao) if ao is not None else None
+        sky_f = quad_fetch(sky_img)
+        direct_f = lighting.sun_lighting(
+            gbuf_f, jnp.asarray(view.position), scene.sun_direction,
+            scene.sun_color, shadow_f, params.sun_exposure,
+        )
+        lit_f = lighting.compose_lit_scene(gbuf_f, direct_f, gi=gi_f, ao=ao_f, sky=sky_f)
+        lit = vrsaa_ops.resolve_quads(lit, lit_f, qy, qx, live)
+
     # --- anti-aliasing: TAA accumulation (the IUpscaler-shaped native path) -----------
-    if config.aa_mode == AAMode.TAA and band_height is None:
+    if config.aa_mode == AAMode.TAA and full_features:
         mv = taa_ops.motion_vectors(
             gbuf.world_position, gbuf.valid,
             jnp.asarray(view.last_view_proj), jnp.asarray(view.unjittered_view_proj),
         )
+        if axis_name is not None:
+            # History reprojection reads cross-band rows: fetch the full history
+            # over ICI; the 3x3 clamp needs one neighbor row from each side.
+            history_full = coll.gather_rows(temporal.taa_history, axis_name)
+            lit_halo = coll.row_halo(lit, 1, axis_name, wrap=False)
+        else:
+            history_full = temporal.taa_history
+            lit_halo = None
         lit, new_history = taa_ops.taa_resolve(
-            lit, temporal.taa_history, temporal.taa_valid, mv
+            lit, history_full, temporal.taa_valid, mv,
+            row_offset=row_offset, current_halo=lit_halo,
         )
         taa_state = dict(taa_history=new_history, taa_valid=jnp.array(True))
     else:
         taa_state = {}
 
     # --- post: bloom chain + upscale + tonemap composite (UiPhase) ---------------------
-    # Band (sharded) rendering outputs at render-res; cross-band ops (upscale, bloom,
-    # TAA) run full-frame only — the sharded caller composites bands itself.
     if band_height is None:
         display = taa_ops.upscale_bilinear(
             lit, config.output_height, config.output_width
         )
+        bloom_tex = (
+            bloom_ops.bloom_chain(display, config.bloom_num_mips)
+            if config.bloom else None
+        )
+        image = post.to_uint8(post.composite(display, bloom_tex, params.bloom_strength))
+    elif axis_name is not None:
+        # Cross-band post: all_gather the lit scene once, run upscale + bloom
+        # replicated (bloom's 6-mip chain reads far outside the band; replicating
+        # ~10 ms of dense mip work beats a 6-level halo-exchange ladder), and keep
+        # this device's output-space band.
+        lit_full = coll.gather_rows(lit, axis_name)
+        display_full = taa_ops.upscale_bilinear(
+            lit_full, config.output_height, config.output_width
+        )
+        bloom_tex = (
+            bloom_ops.bloom_chain(display_full, config.bloom_num_mips)
+            if config.bloom else None
+        )
+        image_full = post.to_uint8(
+            post.composite(display_full, bloom_tex, params.bloom_strength)
+        )
+        n_bands = jax.lax.axis_size(axis_name)
+        out_band = config.output_height // n_bands
+        image = jax.lax.dynamic_slice_in_dim(
+            image_full, jax.lax.axis_index(axis_name) * out_band, out_band, 0
+        )
     else:
-        display = lit
-    if config.bloom and band_height is None:
-        bloom_tex = bloom_ops.bloom_chain(display, config.bloom_num_mips)
-    else:
-        bloom_tex = None
-    image = post.to_uint8(post.composite(display, bloom_tex, params.bloom_strength))
+        # Legacy band path (no collectives): render-res band, no cross-band post.
+        image = post.to_uint8(post.composite(lit, None, params.bloom_strength))
 
     next_temporal = temporal._replace(
         frame_index=temporal.frame_index + 1,

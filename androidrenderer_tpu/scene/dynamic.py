@@ -1,0 +1,184 @@
+"""Dynamic scenes — per-frame primitive transforms with BVH refit.
+
+The reference updates primitives per frame through scatter uploads and rebuilds
+the TLAS when dirty (render_scene.cpp:90-106, scatter_upload_buffer.hpp:16-33,
+raytracing_scene.cpp:50-170). The TPU-native equivalent is a pure jitted update:
+
+    scene2 = update_primitive_transforms(scene, dyn, transforms)   # inside jit
+
+re-derives every transform-dependent device array from baked OBJECT-space data —
+world vertices/normals/tangents (per-vertex FMAs against per-primitive matrices),
+primitive bounding spheres (conservative Frobenius scale bound), and the RT BVH
+via a REFIT: the skip-link BVH's topology (an implicitly-balanced complete tree
+over Morton-ordered leaves) is static, so only node AABBs and the slot triangle
+data recompute — bottom-up level reductions scattered into the baked preorder
+slots (bvh.complete_tree_level_slots).
+
+Refit keeps traversal CORRECT under any motion; tree QUALITY degrades if
+primitives travel far from their built positions (boxes inflate). Rebuild from
+the host (RenderScene.build) when the scene has deformed beyond recognition —
+exactly the reference's refit-vs-rebuild tradeoff.
+
+Limitations: emissive GI point clouds stay at their baked positions (moving
+emissive meshes need a host rebuild), and Morton leaf order is from build time.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from androidrenderer_tpu.ops.rt.traverse import DeviceBVH
+from androidrenderer_tpu.scene.bvh import LEAF_SIZE
+from androidrenderer_tpu.scene.scene import SceneArrays
+
+
+class DynamicSceneData(NamedTuple):
+    """Object-space source data for in-jit transform updates (pytree)."""
+
+    base_positions: jnp.ndarray  # (V, 3) object space
+    base_normals: jnp.ndarray  # (V, 3)
+    base_tangents: jnp.ndarray  # (V, 4)
+    vertex_prim: jnp.ndarray  # (V,) i32 primitive owning each vertex
+    base_bounds: jnp.ndarray  # (P, 4) object-space sphere [center, radius]
+    level_slots: List[jnp.ndarray]  # preorder slots per BVH level (static topo)
+
+
+def update_primitive_transforms(
+    scene: SceneArrays,
+    dyn: DynamicSceneData,
+    transforms: jnp.ndarray,  # (P, 4, 4) model -> world per primitive
+) -> SceneArrays:
+    """Pure update: new SceneArrays with every transform-dependent array rebuilt."""
+    vp = dyn.vertex_prim
+    m = transforms[vp]  # (V, 4, 4) — one 16-wide gather per vertex
+
+    def xform(base, rows):  # broadcast FMAs (batched tiny matmuls are a TPU trap)
+        return (
+            rows[:, :, 0] * base[:, 0:1]
+            + rows[:, :, 1] * base[:, 1:2]
+            + rows[:, :, 2] * base[:, 2:3]
+        )
+
+    positions = xform(dyn.base_positions, m[:, :3, :3]) + m[:, :3, 3]
+
+    # Normal matrix = inverse-transpose of the upper 3x3, per PRIMITIVE.
+    r = transforms[:, :3, :3]
+    nmat = jnp.transpose(jnp.linalg.inv(r), (0, 2, 1))  # (P, 3, 3)
+    nm = nmat[vp]
+    normals = xform(dyn.base_normals, nm)
+    normals = normals / jnp.maximum(
+        jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-12
+    )
+    tan_xyz = xform(dyn.base_tangents[:, :3], m[:, :3, :3])
+    tl = jnp.linalg.norm(tan_xyz, axis=-1, keepdims=True)
+    tan_xyz = jnp.where(tl > 1e-12, tan_xyz / jnp.maximum(tl, 1e-12), tan_xyz)
+    tangents = jnp.concatenate([tan_xyz, dyn.base_tangents[:, 3:4]], axis=-1)
+
+    # Bounding spheres: exact center transform + conservative Frobenius-norm
+    # radius scale (sigma_max <= ||R||_F; a bigger sphere is never wrongly culled).
+    c = dyn.base_bounds[:, :3]
+    wc = (
+        r[:, :, 0] * c[:, 0:1] + r[:, :, 1] * c[:, 1:2] + r[:, :, 2] * c[:, 2:3]
+        + transforms[:, :3, 3]
+    )
+    scale = jnp.sqrt(jnp.sum(r * r, axis=(1, 2)))
+    prim_bounds = jnp.concatenate(
+        [wc, (dyn.base_bounds[:, 3] * scale)[:, None]], axis=-1
+    )
+    np_ = scene.prim_bounds.shape[0]
+    prim_bounds = scene.prim_bounds.at[: prim_bounds.shape[0]].set(
+        prim_bounds[:np_]
+    )
+
+    bvh = refit_bvh(scene.bvh, positions, scene.tri_indices, dyn.level_slots)
+    return scene._replace(
+        positions=positions,
+        normals=normals,
+        tangents=tangents,
+        prim_bounds=prim_bounds,
+        bvh=bvh,
+    )
+
+
+def refit_bvh(
+    bvh: DeviceBVH,
+    positions: jnp.ndarray,
+    tri_indices: jnp.ndarray,
+    level_slots: List[jnp.ndarray],
+) -> DeviceBVH:
+    """Recompute node AABBs + slot triangle data for moved vertices (topology,
+    miss links, and leaf assignments are static — raytracing_scene refit)."""
+    slots = bvh.slot_tri
+    safe = jnp.maximum(slots, 0)
+    idx = tri_indices[safe]
+    t0 = positions[idx[:, 0]]
+    t1 = positions[idx[:, 1]]
+    t2 = positions[idx[:, 2]]
+    dead = (slots < 0)[:, None]
+    slot_v0 = jnp.where(dead, 0.0, t0)
+    slot_e1 = jnp.where(dead, 0.0, t1 - t0)
+    slot_e2 = jnp.where(dead, 0.0, t2 - t0)
+
+    tmin = jnp.where(dead, jnp.inf, jnp.minimum(jnp.minimum(t0, t1), t2))
+    tmax = jnp.where(dead, -jnp.inf, jnp.maximum(jnp.maximum(t0, t1), t2))
+    p = slots.shape[0] // LEAF_SIZE
+    mins = [tmin.reshape(p, LEAF_SIZE, 3).min(axis=1)]
+    maxs = [tmax.reshape(p, LEAF_SIZE, 3).max(axis=1)]
+    while mins[-1].shape[0] > 1:
+        m = mins[-1].reshape(-1, 2, 3)
+        x = maxs[-1].reshape(-1, 2, 3)
+        mins.append(jnp.minimum(m[:, 0], m[:, 1]))
+        maxs.append(jnp.maximum(x[:, 0], x[:, 1]))
+
+    node_min = bvh.node_min
+    node_max = bvh.node_max
+    for lvl, s in enumerate(level_slots):
+        node_min = node_min.at[s].set(mins[lvl])
+        node_max = node_max.at[s].set(maxs[lvl])
+    return bvh._replace(
+        node_min=node_min, node_max=node_max,
+        slot_v0=slot_v0, slot_e1=slot_e1, slot_e2=slot_e2,
+    )
+
+
+def make_dynamic_data(render_scene, scene: SceneArrays) -> DynamicSceneData:
+    """Bake the object-space source arrays for a built RenderScene."""
+    all_pos, all_nrm, all_tan, vp = [], [], [], []
+    bounds = []
+    for pid, prim in enumerate(render_scene.primitives):
+        mesh = render_scene.meshes.meshes[prim.mesh_id]
+        s, e = mesh.first_vertex, mesh.first_vertex + mesh.num_vertices
+        all_pos.append(render_scene.meshes.positions[s:e])
+        all_nrm.append(render_scene.meshes.normals[s:e])
+        all_tan.append(render_scene.meshes.tangents[s:e])
+        vp.append(np.full(mesh.num_vertices, pid, np.int32))
+        bounds.append(mesh.bounds_sphere)
+    pos = np.concatenate(all_pos)
+    v = scene.positions.shape[0]
+
+    def pad(a, fill=0.0):
+        out = np.full((v, *a.shape[1:]), fill, a.dtype)
+        out[: a.shape[0]] = a
+        return jnp.asarray(out)
+
+    from androidrenderer_tpu.scene.bvh import complete_tree_level_slots
+
+    p = int(scene.bvh.slot_tri.shape[0]) // LEAF_SIZE
+    return DynamicSceneData(
+        base_positions=pad(pos.astype(np.float32)),
+        base_normals=pad(np.concatenate(all_nrm).astype(np.float32)),
+        base_tangents=pad(np.concatenate(all_tan).astype(np.float32)),
+        vertex_prim=pad(np.concatenate(vp)),
+        base_bounds=jnp.asarray(np.stack(bounds).astype(np.float32)),
+        level_slots=[jnp.asarray(s) for s in complete_tree_level_slots(p)],
+    )
+
+
+def initial_transforms(render_scene) -> jnp.ndarray:
+    """(P, 4, 4) the transforms the scene was built with."""
+    return jnp.asarray(
+        np.stack([p.transform for p in render_scene.primitives]).astype(np.float32)
+    )

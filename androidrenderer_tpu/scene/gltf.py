@@ -4,9 +4,9 @@ Pure python + numpy (+ PIL for image decode): parses the GLB container or .gltf 
 walks the node hierarchy accumulating world matrices (gltf_model.cpp:96-139), imports
 meshes (POSITION / NORMAL / TANGENT / TEXCOORD_0 / COLOR_0 + indices,
 gltf_model.cpp:289-329), materials with alpha modes / double-sided / emissive
-detection (cpp:173-287), and textures (KTX2 is not supported — the reference uses
-libktx; PNG/JPEG decode via PIL, cpp:398+). Produces a RenderScene whose build() bakes
-the device arrays.
+detection (cpp:173-287), and textures (PNG/JPEG via PIL + KTX2 via scene/ktx2.py,
+incl. KHR_texture_basisu bindings — texture_loader.hpp:23-70, cpp:398+). Produces a
+RenderScene whose build() bakes the device arrays.
 """
 
 from __future__ import annotations
@@ -127,6 +127,11 @@ class GltfFile:
                 from urllib.parse import unquote
 
                 raw = (self.base_dir / unquote(uri)).read_bytes()
+        # KTX2 (KHR_texture_basisu / toktx-baked assets — texture_loader.hpp:23-70).
+        from androidrenderer_tpu.scene.ktx2 import MAGIC as _KTX2_MAGIC, load_ktx2
+
+        if raw[:12] == _KTX2_MAGIC:
+            return load_ktx2(raw)[0]
         pil = Image.open(io.BytesIO(raw)).convert("RGBA")
         return np.asarray(pil, dtype=np.uint8)
 
@@ -152,14 +157,17 @@ def _node_matrix(node: dict) -> np.ndarray:
 
 def load_gltf_scene(
     path: str,
-    texture_size: int = 256,
+    max_texture_size: int = 1024,
     sun_direction=(0.35, -1.0, 0.25),
     sun_intensity: float = 110_000.0,
 ) -> RenderScene:
-    """Parse a .glb/.gltf into a RenderScene (meshes, materials, textures, nodes)."""
+    """Parse a .glb/.gltf into a RenderScene (meshes, materials, textures, nodes).
+
+    Textures keep their native resolution up to ``max_texture_size`` (the pool
+    stores per-texture sizes — scene/material_storage.py)."""
     g = GltfFile(path)
     scene = RenderScene()
-    scene.materials.texture_size = texture_size
+    scene.materials.max_texture_size = max_texture_size
     scene.set_sun(sun_direction, (1.0, 0.96, 0.88), sun_intensity)
 
     # Textures: pool index per glTF texture (lazy-dedup on source image).
@@ -170,6 +178,13 @@ def load_gltf_scene(
             return None
         tex = g.json["textures"][tex_index]
         src = tex.get("source")
+        if src is None:
+            # KHR_texture_basisu points at the KTX2 image via its extension.
+            src = (
+                tex.get("extensions", {})
+                .get("KHR_texture_basisu", {})
+                .get("source")
+            )
         if src is None:
             return None
         if src not in tex_pool:

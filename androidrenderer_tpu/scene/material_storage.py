@@ -4,11 +4,15 @@ Mirrors MaterialStorage (material_storage.cpp:6-82): a single pooled material
 parameter array (the reference's 65536-slot BasicPbrMaterialGpu buffer) whose texture
 slots are integer indices into a bindless pool (texture_descriptor_pool.hpp:16-46).
 
-The TPU-native "bindless array" is a padded texture array: every registered image is
-resampled to a fixed square resolution and stacked into one (T, S, S, 4) u8 array plus
-a full mip chain — shading kernels gather from it by (texture_id, uv, mip). Index 0 is
-a default white texture and index 1 a default flat normal map, like the backend's
-default resources (render_backend.cpp default white/normal textures).
+The TPU-native "bindless array" is ONE flat mip-packed texel pool holding every
+texture at its NATIVE resolution (rounded to a power-of-two square, capped at
+``max_texture_size``): texture t owns rows [start_t, start_t + 4/3 * b_t^2) of a
+(R, 16) u8 array — its full mip chain, each texel row carrying the 2x2 bilinear
+footprint (tap-packed: one gather per bilinear fetch). Shading kernels address it
+with per-texture (start, log2 base size) metadata, so mixed-resolution pools cost
+the same single gather as the old uniform-256^2 array. Index 0 is a default white
+texture and index 1 a default flat normal map, like the backend's default
+resources (render_backend.cpp default white/normal textures).
 """
 
 from __future__ import annotations
@@ -64,6 +68,17 @@ def _resample_to_square(img: np.ndarray, size: int) -> np.ndarray:
     return out[:, :, :4]
 
 
+def _native_pow2_size(h: int, w: int, max_size: int) -> int:
+    """Power-of-two square size preserving native resolution up to the cap."""
+    size = 1
+    while size < max(h, w):
+        size *= 2
+    return max(4, min(size, max_size))
+
+
+START_ALIGN = 1024  # pool-row alignment: start/1024 survives the f32 plane path
+
+
 def build_mip_chain(textures: np.ndarray) -> List[np.ndarray]:
     """Box-filtered mip chain for a (T, S, S, 4) u8 array, down to 1x1."""
     mips = [textures]
@@ -76,14 +91,14 @@ def build_mip_chain(textures: np.ndarray) -> List[np.ndarray]:
 
 
 class MaterialStorage:
-    def __init__(self, texture_size: int = 256, max_materials: int = 65536):
-        self.texture_size = texture_size
+    def __init__(self, max_texture_size: int = 1024, max_materials: int = 65536):
+        self.max_texture_size = max_texture_size
         self.max_materials = max_materials
         self.materials: List[Material] = []
         self._images: List[np.ndarray] = []
-        # Default resources.
-        white = np.full((texture_size, texture_size, 4), 255, dtype=np.uint8)
-        flat_normal = np.zeros((texture_size, texture_size, 4), dtype=np.uint8)
+        # Default resources (tiny — they are constant-colored).
+        white = np.full((4, 4, 4), 255, dtype=np.uint8)
+        flat_normal = np.zeros((4, 4, 4), dtype=np.uint8)
         flat_normal[..., 0] = 128
         flat_normal[..., 1] = 128
         flat_normal[..., 2] = 255
@@ -96,8 +111,14 @@ class MaterialStorage:
         return len(self._images)
 
     def add_texture(self, image: np.ndarray) -> int:
-        """Register an image (h, w, c) u8 or float [0,1]; returns its pool index."""
-        self._images.append(_resample_to_square(image, self.texture_size))
+        """Register an image (h, w, c) u8 or float [0,1]; returns its pool index.
+
+        The image keeps its native resolution (rounded to the enclosing
+        power-of-two square, capped at max_texture_size)."""
+        img = np.asarray(image)
+        h, w = img.shape[:2]
+        size = _native_pow2_size(h, w, self.max_texture_size)
+        self._images.append(_resample_to_square(img, size))
         return len(self._images) - 1
 
     def add_material(self, material: Material) -> int:
@@ -146,7 +167,38 @@ class MaterialStorage:
             "double_sided": double_sided,
         }
 
-    def pack_textures(self) -> List[np.ndarray]:
-        """Stacked texture array + mip chain: list of (T, s, s, 4) u8 per mip level."""
-        stack = np.stack(self._images, axis=0)
-        return build_mip_chain(stack)
+    def pack_texture_pool(self):
+        """(pool (R, 16) u8, start (T,) i32, log2b (T,) i32) — ONE flat tap-packed
+        texel pool with every texture's full mip chain at native resolution.
+
+        A texel row at (texture t, level l, y, x) lives at flat row
+        ``start[t] + (4*b^2 - 4*s^2)/3 + y*s + x`` with b = 1 << log2b[t] and
+        s = b >> l; the 16 channels carry the 2x2 wrap-neighborhood's RGBA texels
+        so bilinear filtering is ONE gather (ops/texture.py)."""
+        starts = np.zeros(len(self._images), np.int32)
+        log2b = np.zeros(len(self._images), np.int32)
+        chunks = []
+        acc = 0
+        for t, img in enumerate(self._images):
+            b = img.shape[0]
+            log2b[t] = int(b).bit_length() - 1
+            starts[t] = acc
+            rows = []
+            for m in build_mip_chain(img[None]):  # [(1, s, s, 4)] chain
+                m = m[0]
+                x1 = np.roll(m, -1, axis=1)
+                y1 = np.roll(m, -1, axis=0)
+                xy = np.roll(x1, -1, axis=0)
+                packed = np.concatenate([m, x1, y1, xy], axis=-1)  # (s, s, 16)
+                rows.append(packed.reshape(-1, 16))
+            chunk = np.concatenate(rows, axis=0)
+            pad = (-chunk.shape[0] - acc) % START_ALIGN
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad, 16), np.uint8)], axis=0
+                )
+            chunks.append(chunk)
+            acc += chunk.shape[0]
+        pool = np.concatenate(chunks, axis=0)
+        assert np.all(starts % START_ALIGN == 0)
+        return pool, starts, log2b

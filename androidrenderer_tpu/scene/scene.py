@@ -71,10 +71,11 @@ class SceneArrays(NamedTuple):
     mat_texture_ids: jnp.ndarray  # (M, 4) i32 [base, normal, metal_rough, emission]
     mat_alpha: jnp.ndarray  # (M, 2) f32 [mode, cutoff]
     mat_double_sided: jnp.ndarray  # (M,) bool
-    # Texture pool, mip-packed flat: (T, sum(s_l^2), 4) u8 + level offset table.
-    # The base texture size is implied statically: L levels => base size 2**(L-1).
+    # Texture pool, ONE flat mip-packed tap-packed texel array (R, 16) u8 with
+    # per-texture native resolutions (material_storage.pack_texture_pool).
     textures: jnp.ndarray
-    texture_level_offsets: jnp.ndarray  # (L,) i32 texel offset of each mip level
+    tex_start: jnp.ndarray  # (T,) i32 flat row of each texture's mip-0 texel (0,0)
+    tex_log2b: jnp.ndarray  # (T,) i32 log2 of each texture's base size
     # Lighting environment.
     sun_direction: jnp.ndarray  # (3,) f32 — direction the light TRAVELS (sun -> world)
     sun_color: jnp.ndarray  # (3,) f32 premultiplied color * intensity
@@ -86,9 +87,6 @@ class SceneArrays(NamedTuple):
     bvh: DeviceBVH
 
 
-def texture_base_size(scene: "SceneArrays") -> int:
-    """Static base mip size: L levels of a power-of-two chain => 2**(L-1)."""
-    return 2 ** (scene.texture_level_offsets.shape[0] - 1)
 
 
 @dataclasses.dataclass
@@ -192,8 +190,7 @@ class RenderScene:
         npr = len(self.primitives)
         pv, pt, pp = _round_up(nv, pad), _round_up(nt, pad), _round_up(npr, 64)
 
-        tex_mips = self.materials.pack_textures()
-        flat, offsets = _pack_mips_flat(tex_mips)
+        tex_pool, tex_start, tex_log2b = self.materials.pack_texture_pool()
 
         # Emissive surface point clouds for GI mesh lights (render_scene.cpp:257-310,
         # mesh_storage.cpp:246-319): area-weighted samples on every emissive primitive.
@@ -291,8 +288,9 @@ class RenderScene:
             mat_texture_ids=jnp.asarray(mat_params["texture_ids"]),
             mat_alpha=jnp.asarray(mat_params["alpha"]),
             mat_double_sided=jnp.asarray(mat_params["double_sided"]),
-            textures=jnp.asarray(flat),
-            texture_level_offsets=jnp.asarray(offsets),
+            textures=jnp.asarray(tex_pool),
+            tex_start=jnp.asarray(tex_start),
+            tex_log2b=jnp.asarray(tex_log2b),
             sun_direction=jnp.asarray(self.sun_direction),
             sun_color=jnp.asarray(self.sun_color),
             sun_angular_size=jnp.float32(self.sun_angular_size),
@@ -312,25 +310,3 @@ class RenderScene:
         return scene, stats
 
 
-def _pack_mips_flat(mips: List[np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
-    """Pack a mip chain [(T, s, s, 4)...] into (T, sum s^2, 16) + level offsets.
-
-    One flat texel axis means per-pixel trilinear sampling needs no per-level
-    branches, and the 16 channels hold the 2x2 bilinear footprint's four RGBA texels
-    (wrap-shifted copies per level) — so a bilinear fetch is ONE gather
-    (a screen-sized random gather costs ~27 ms on TPU regardless of width).
-    """
-    t = mips[0].shape[0]
-    flats = []
-    for m in mips:
-        x1 = np.roll(m, -1, axis=2)  # +x neighbor, repeat wrap
-        y1 = np.roll(m, -1, axis=1)
-        xy = np.roll(x1, -1, axis=1)
-        packed = np.concatenate([m, x1, y1, xy], axis=-1)  # (T, s, s, 16)
-        flats.append(packed.reshape(t, -1, 16))
-    offsets = np.zeros(len(mips), dtype=np.int32)
-    acc = 0
-    for i, f in enumerate(flats):
-        offsets[i] = acc
-        acc += f.shape[1]
-    return np.concatenate(flats, axis=1), offsets

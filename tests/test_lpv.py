@@ -76,6 +76,80 @@ def test_occlusion_blocks_propagation():
     assert blocked[8, 8, 12] < 0.5 * free[8, 8, 12]
 
 
+def test_gv_scene_depth_injection_blocks_leak():
+    """GV parity (light_propagation_volume.cpp:1065-1128): a sun-SHADOWED wall is
+    invisible to the RSM, so the VPL/RSM-built GV cannot occlude it — light from a
+    bright floor leaks through unless camera-visible depth surfels are injected.
+    Round-1 behavior (no scene-view injection) fails this test."""
+    from androidrenderer_tpu.ops.raster import rasterize_depth, rasterize_visibility
+    from androidrenderer_tpu.ops.raster.binning import bin_triangles
+    from androidrenderer_tpu.scene.procedural import plane_mesh, transform
+    from androidrenderer_tpu.scene.scene import RenderScene
+    from androidrenderer_tpu.scene.material_storage import Material
+
+    def rot_z(deg):
+        a = np.radians(deg)
+        m = np.eye(4, dtype=np.float32)
+        m[0, 0], m[0, 1] = np.cos(a), -np.sin(a)
+        m[1, 0], m[1, 1] = np.sin(a), np.cos(a)
+        return m
+
+    scene_h = RenderScene()
+    white = scene_h.materials.add_material(
+        Material(np.array([0.9, 0.9, 0.9, 1.0], np.float32))
+    )
+    pos, idx, nrm, uv = plane_mesh(8.0, 8.0, subdiv=4)
+    floor = scene_h.meshes.add_mesh(pos, idx, nrm, uvs=uv)
+    pos, idx, nrm, uv = plane_mesh(2.4, 8.0, subdiv=4)
+    wallm = scene_h.meshes.add_mesh(pos, idx, nrm, uvs=uv)
+    pos, idx, nrm, uv = plane_mesh(2.0, 8.0, subdiv=2)
+    roofm = scene_h.meshes.add_mesh(pos, idx, nrm, uvs=uv)
+    # Bright floor strip x in [-2, 6] (lit by the straight-down sun).
+    scene_h.add_primitive(floor, white, transform((2.0, 0.0, 0.0)))
+    # Full-width vertical wall at x = 0 (plane's +y normal rotated to -x),
+    # y in [0, 2.4] — meets the roof, no gaps to flank through.
+    scene_h.add_primitive(wallm, white, rot_z(90.0) @ transform((0.0, 1.2, 0.0)))
+    # Roof at y = 2.2 spanning x in [-1.5, 0.5]: sun-shadows the wall AND the
+    # region behind it, so neither appears in the RSM.
+    scene_h.add_primitive(roofm, white, transform((-0.5, 2.2, 0.0)))
+    scene_h.set_sun([0.0, -1.0, 0.0], [1.0, 1.0, 1.0], 100_000.0)
+    scene, _ = scene_h.build()
+
+    def raster(setup_, hh, ww):
+        th, tw = min(32, hh), min(128, ww)
+        bins_ = bin_triangles(setup_, hh // th, ww // tw, th, tw, cap=2048)
+        d_ = rasterize_depth(setup_, bins_, hh, ww, th, tw)
+        v_ = rasterize_visibility(setup_, bins_, d_, th, tw)
+        return d_, v_
+
+    cam_pos = jnp.array([0.0, 1.0, 0.0])
+    fwd = jnp.array([1.0, 0.0, 0.0])
+    # "Camera-visible" wall surfels (what the gbuffer would supply).
+    wz, wy = np.meshgrid(np.linspace(-3.9, 3.9, 48), np.linspace(0.05, 2.35, 16))
+    sp = jnp.asarray(
+        np.stack([np.zeros_like(wy), wy, wz], axis=-1).reshape(-1, 3), jnp.float32
+    )
+    sn = jnp.broadcast_to(jnp.array([-1.0, 0.0, 0.0]), sp.shape)
+    sv = (sp, sn, jnp.ones(sp.shape[0], bool))
+
+    kw = dict(num_cascades=1, resolution=32, base_cell=0.25, rsm_resolution=128,
+              num_steps=8)
+    leaked_v = lpv.build_lpv(scene, cam_pos, fwd, raster, **kw)
+    blocked_v = lpv.build_lpv(scene, cam_pos, fwd, raster, scene_view_surfels=sv,
+                              **kw)
+
+    probe = jnp.array([[[-0.5, 0.5, 0.0]]])  # behind the wall, under the roof
+    n = jnp.array([[[1.0, 0.0, 0.0]]])  # facing the wall
+    ones = jnp.ones((1, 1, 3))
+    valid = jnp.ones((1, 1), bool)
+    leaked = float(np.asarray(
+        lpv.apply_lpv(leaked_v, probe, n, ones, valid, 1.0)).sum())
+    blocked = float(np.asarray(
+        lpv.apply_lpv(blocked_v, probe, n, ones, valid, 1.0)).sum())
+    assert leaked > 1e-6, "fixture must actually leak without scene-view GV"
+    assert blocked < 0.5 * leaked, f"leak not blocked: {blocked} vs {leaked}"
+
+
 def test_cornell_gi_bleeds_color():
     W = H = 128
     base = dict(render_width=W, render_height=H, output_width=W, output_height=H,

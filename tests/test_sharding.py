@@ -58,6 +58,45 @@ def test_sharded_matches_single_device(setup):
     np.testing.assert_array_equal(np.asarray(out2.image), np.asarray(ref_out.image))
 
 
+def test_sharded_full_pipeline_matches_single_device(setup):
+    """GI (LPV) + SSAO + TAA + bloom + occlusion culling, band-sharded over 8
+    devices, must match the single-device frame bit-for-bit: LPV builds replicated,
+    SSAO neighborhoods come from ppermute halos, TAA gathers history over the mesh,
+    bloom runs on the all_gathered lit scene (VERDICT round-1 item 4)."""
+    from androidrenderer_tpu.config import AAMode, AOMode, GIMode
+
+    scene, view = setup
+    params = RenderParams.default()
+    cfg = CFG.replace(
+        render_height=128, output_height=128,  # 8 bands x 16 rows
+        bloom=True, bloom_num_mips=3,
+        occlusion_culling=True, hiz_levels=4,
+        gi_mode=GIMode.LPV, lpv_num_cascades=2, lpv_resolution=16,
+        lpv_rsm_resolution=64, lpv_num_propagation_steps=4,
+        ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
+    )
+    h = cfg.render_height
+
+    ref_out, ref_temp = make_renderer(cfg)(
+        scene, view, params, initial_temporal_state(h, W)
+    )
+    devices = jax.devices()
+    mesh = Mesh(np.array(devices[:8]), ("screen",))
+    temporal = shard_temporal(initial_temporal_state(h, W), mesh)
+    renderer = make_sharded_renderer(cfg, mesh)
+    out, temp = renderer(scene, view, params, temporal)
+
+    np.testing.assert_array_equal(np.asarray(out.image), np.asarray(ref_out.image))
+    np.testing.assert_array_equal(
+        np.asarray(out.visibility), np.asarray(ref_out.visibility)
+    )
+    # Second frame exercises TAA history reprojection + the temporal visibility
+    # union across bands.
+    ref_out2, _ = make_renderer(cfg)(scene, view, params, ref_temp)
+    out2, _ = renderer(scene, view, params, temp)
+    np.testing.assert_array_equal(np.asarray(out2.image), np.asarray(ref_out2.image))
+
+
 def test_sharded_rejects_bad_band_split(setup):
     scene, view = setup
     bad_cfg = CFG.replace(render_height=136, output_height=136)  # 17 tiles / 8 devs

@@ -1,0 +1,103 @@
+"""Whole-frame toggle-delta profiling on the bench scene.
+
+Per docs/ROADMAP.md only ONE-jit whole-frame timings are trustworthy on this
+platform (per-call dispatch costs 7-27 ms); this tool times the full bench frame
+under a series of feature configs and reports deltas vs the base config.
+
+    python tools/profile_toggles.py [--configs base,ssao,taa,lpv,parity]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def time_config(config, scene, view, params, chain=10, reps=3):
+    import jax
+
+    from androidrenderer_tpu.render import initial_temporal_state, make_renderer
+
+    temporal = initial_temporal_state(
+        config.render_height, config.render_width,
+        probe_cascades=config.probe_cascades, probe_grid=config.probe_grid,
+        probe_spacing=config.probe_spacing, max_primitives=config.max_primitives,
+    )
+    renderer = make_renderer(config)
+    t0 = time.perf_counter()
+    out, temporal = renderer(scene, view, params, temporal)
+    np.asarray(out.image[0, 0])
+    compile_s = time.perf_counter() - t0
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(chain):
+            out, temporal = renderer(scene, view, params, temporal)
+        np.asarray(out.image[0, 0])
+        times.append((time.perf_counter() - t0) * 1e3 / chain)
+    return float(np.median(times)), compile_s
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default="base,ssao,taa,lpv,parity")
+    ap.add_argument("--detail", type=int, default=13)
+    ap.add_argument("--chain", type=int, default=10)
+    args = ap.parse_args()
+
+    from androidrenderer_tpu.camera import Camera
+    from androidrenderer_tpu.config import (
+        AAMode, AOMode, GIMode, RenderConfig, RenderParams, ShadowMode,
+    )
+    from androidrenderer_tpu.scene.procedural import courtyard_scene
+
+    w, h = 1920, 1088
+    base = RenderConfig(
+        render_width=w, render_height=h, output_width=w, output_height=h,
+        tile_height=32, tile_width=128, max_tris_per_tile=4096,
+        alpha_masking=False, translucency=False,
+        use_normal_maps=False, use_mr_textures=False, use_emission=False,
+    )
+    variants = {
+        "base": base,
+        "noshadow": base.replace(shadow_mode=ShadowMode.OFF),
+        "nobloom": base.replace(bloom=False),
+        "noocc": base.replace(occlusion_culling=False),
+        "ssao": base.replace(ao_mode=AOMode.SSAO),
+        "taa": base.replace(aa_mode=AAMode.TAA),
+        "lpv": base.replace(gi_mode=GIMode.LPV),
+        "rtao": base.replace(ao_mode=AOMode.RT),
+        "rtgi": base.replace(gi_mode=GIMode.RT),
+        "probes": base.replace(gi_mode=GIMode.PROBES),
+        "parity": base.replace(
+            gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA
+        ),
+        # LPV decomposition variants
+        "lpv_steps0": base.replace(gi_mode=GIMode.LPV, lpv_num_propagation_steps=0),
+        "lpv_steps8": base.replace(gi_mode=GIMode.LPV, lpv_num_propagation_steps=8),
+        "lpv_c1": base.replace(gi_mode=GIMode.LPV, lpv_num_cascades=1),
+        "lpv_rsm64": base.replace(gi_mode=GIMode.LPV, lpv_rsm_resolution=64),
+    }
+
+    scene, stats = courtyard_scene(column_rings=4, detail=args.detail).build()
+    print(f"# scene: {stats}", file=sys.stderr)
+    cam = Camera(fov_degrees=75.0, aspect=w / h, render_resolution=(w, h))
+    cam.set_position([0.0, 1.7, 6.0]); cam.pitch, cam.yaw = -0.05, np.pi
+    view = cam.view_data()
+    params = RenderParams.default()
+
+    results = {}
+    for name in args.configs.split(","):
+        ms, compile_s = time_config(variants[name], scene, view, params, chain=args.chain)
+        results[name] = ms
+        delta = ms - results.get("base", ms)
+        print(f"{name:10s} {ms:8.2f} ms   (delta vs base {delta:+8.2f}, compile {compile_s:.0f}s)")
+
+
+if __name__ == "__main__":
+    main()
