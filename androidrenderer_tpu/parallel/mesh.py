@@ -29,14 +29,20 @@ from androidrenderer_tpu.scene.scene import SceneArrays
 from androidrenderer_tpu.ops.gbuffer import GBuffer as _GBuffer
 
 
-def _screen_sharded_spec(axis: str):
+def _screen_sharded_spec(axis: str, has_csm: bool = False):
     """PartitionSpecs for (FrameOutputs, TemporalState): screen tensors sharded on
-    their row axis, scalars replicated."""
+    their row axis, scalars/cascade data replicated."""
     img = P(axis)  # (H, W, ...) -> rows sharded
 
+    csm_spec = None
+    if has_csm:
+        from androidrenderer_tpu.ops.shadow import CascadeData
+
+        csm_spec = CascadeData(*([P()] * len(CascadeData._fields)))
     out_spec = FrameOutputs(
         image=img, hdr=img, depth=img, visibility=img,
         gbuffer=_GBuffer(*([img] * len(_GBuffer._fields))),
+        csm=csm_spec,
     )
     from androidrenderer_tpu.ops.probes import ProbeCascades
 
@@ -80,7 +86,11 @@ def render_frame_sharded(
             band_height=band_h, row_offset=row0, axis_name=axis,
         )
 
-    out_spec, temp_spec = _screen_sharded_spec(axis)
+    from androidrenderer_tpu.config import ShadowMode
+
+    out_spec, temp_spec = _screen_sharded_spec(
+        axis, has_csm=config.shadow_mode == ShadowMode.CSM
+    )
     replicated = P()
     fn = jax.shard_map(
         band_fn,

@@ -51,6 +51,10 @@ class FrameOutputs(NamedTuple):
     depth: jnp.ndarray  # (H, W) f32
     visibility: jnp.ndarray  # (H, W) i32
     gbuffer: GBuffer
+    # CSM cascade data as computed INSIDE this frame (None when shadows != CSM):
+    # fp32 texel snapping makes the in-jit fit differ from an eager refit by up
+    # to one shadow texel, so parity harnesses must consume these, not recompute.
+    csm: object = None
 
 
 def render_frame(
@@ -258,6 +262,7 @@ def render_frame(
         shadow_maps = shadow_ops.render_shadow_cascades(
             scene.positions, scene.tri_indices, scene.tri_valid, cascades,
             config.shadow_cascade_resolution,
+            cap=config.max_tris_per_tile,
             use_pallas=use_pallas, pallas_interpret=config.pallas_interpret,
             double_sided=scene.tri_double_sided,
         )
@@ -541,7 +546,10 @@ def render_frame(
         frame_index=temporal.frame_index + 1,
         **taa_state,
     )
-    outputs = FrameOutputs(image=image, hdr=lit, depth=depth, visibility=vis, gbuffer=gbuf)
+    outputs = FrameOutputs(
+        image=image, hdr=lit, depth=depth, visibility=vis, gbuffer=gbuf,
+        csm=cascades if config.shadow_mode == ShadowMode.CSM else None,
+    )
     return outputs, next_temporal
 
 

@@ -22,18 +22,23 @@ def rasterize_reference(
     width: int,
     height: int,
     double_sided: np.ndarray | None = None,
+    dtype=np.float64,
 ):
-    """Returns (depth (H,W) f64 cleared to 0, vis (H,W) int32 = -1, bary (H,W,3))."""
-    clip = clip.astype(np.float64)
+    """Returns (depth (H,W) cleared to 0, vis (H,W) int32 = -1, bary (H,W,3)).
+
+    ``dtype=np.float32`` ranks depths at production precision — exactly coplanar
+    geometry then resolves ties by max id the same way the TPU raster does
+    (float64 distinguishes sub-ULP depth differences and flips such winners)."""
+    clip = clip.astype(dtype)
     v = clip_to_pixel_h(clip, width, height)
     n = tri_indices.shape[0]
     if double_sided is None:
         double_sided = np.ones(n, dtype=bool)
 
-    px = np.arange(width, dtype=np.float64)[None, :]
-    py = np.arange(height, dtype=np.float64)[:, None]
+    px = np.arange(width, dtype=dtype)[None, :]
+    py = np.arange(height, dtype=dtype)[:, None]
 
-    depth = np.zeros((height, width), dtype=np.float64)
+    depth = np.zeros((height, width), dtype=dtype)
     vis = np.full((height, width), -1, dtype=np.int32)
     bary = np.zeros((height, width, 3), dtype=np.float64)
 
@@ -46,7 +51,9 @@ def rasterize_reference(
         if np.abs(e).sum() == 0.0:
             continue
         d = e[:, 0][:, None, None] * px + e[:, 1][:, None, None] * py + e[:, 2][:, None, None]
-        cov = np.all(d >= 0.0, axis=0) | (np.all(d <= 0.0, axis=0) & double_sided[t])
+        # Front face = all edge values <= 0 (y-down pixel space flips glTF CCW);
+        # double-sided geometry also accepts the opposite orientation.
+        cov = np.all(d <= 0.0, axis=0) | (np.all(d >= 0.0, axis=0) & double_sided[t])
         qv = np.tensordot(w, d, axes=(0, 0))
         rv = np.tensordot(z, d, axes=(0, 0))
         with np.errstate(divide="ignore", invalid="ignore"):
