@@ -96,7 +96,7 @@ def _fused_kernel(
     count_ref,  # (1,) i32 scalar prefetch — live triangle count (valid-first order)
     recs_ref,  # (1, 1, CHUNK*24) f32 SMEM, flat records
     depth_ref,  # (slab_h, W) f32 VMEM
-    *rest,  # [vis_ref (slab_h, W) i32 VMEM,] stage_ref (STAGE,) i32, off_ref (1,) i32
+    *rest,  # [vis_ref,] [acc_d, [acc_v,]] stage_ref (STAGE,) i32, off_ref (1,) i32
     slab_h: int,
     width: int,
     chunk: int,
@@ -105,21 +105,29 @@ def _fused_kernel(
     depth_only: bool,
     affine_z: bool,
     win_h: int,
+    accum_bufs: int,
+    num_chunks: int,
 ):
-    if depth_only:
-        vis_ref = None
-        stage_ref, off_ref = rest
-    else:
-        vis_ref, stage_ref, off_ref = rest
+    rest = list(rest)
+    vis_ref = None if depth_only else rest.pop(0)
+    if accum_bufs > 1:
+        acc_d = rest.pop(0)
+        acc_v = None if depth_only else rest.pop(0)
+    stage_ref, off_ref = rest
 
     s = pl.program_id(0)
     c = pl.program_id(1)
 
     @pl.when(c == 0)
     def _init():
-        depth_ref[:, :] = jnp.zeros((slab_h, width), jnp.float32)
-        if not depth_only:
-            vis_ref[:, :] = jnp.full((slab_h, width), -1, jnp.int32)
+        if accum_bufs > 1:
+            acc_d[...] = jnp.zeros((accum_bufs, slab_h, width), jnp.float32)
+            if not depth_only:
+                acc_v[...] = jnp.full((accum_bufs, slab_h, width), -1, jnp.int32)
+        else:
+            depth_ref[:, :] = jnp.zeros((slab_h, width), jnp.float32)
+            if not depth_only:
+                vis_ref[:, :] = jnp.full((slab_h, width), -1, jnp.int32)
         off_ref[0] = 0
 
     rows_per_slab = slab_h // win_h
@@ -174,7 +182,11 @@ def _fused_kernel(
                 cov = cov & (z > 0.0) & (z <= 1.0)
                 zs.append(jnp.where(cov, z, 0.0))
                 meta.append((live, row, col, k))
-            # … then retire the (short, serialized) window RMW chain.
+            # … then retire the window RMW chains. With accum_bufs > 1, touch j
+            # lands in buffer j % accum_bufs: consecutive touches to the SAME
+            # window hit DIFFERENT buffers, so their load-select-store chains
+            # are independent and pipeline (Mosaic serializes stores to one ref
+            # with dynamic offsets — the ~150-cycle per-touch latency wall).
             for j in range(kb):
                 live, row, col, k = meta[j]
 
@@ -183,20 +195,37 @@ def _fused_kernel(
                     y = pl.multiple_of(row * win_h, win_h)
                     x = pl.multiple_of(col * WIN_W, WIN_W)
                     zk = zs[j]
-                    zw = depth_ref[pl.ds(y, win_h), pl.ds(x, WIN_W)]
-                    if depth_only:
-                        depth_ref[pl.ds(y, win_h), pl.ds(x, WIN_W)] = jnp.maximum(
-                            zw, zk
-                        )
+                    if accum_bufs > 1:
+                        b = j % accum_bufs
+                        zw = acc_d[b, pl.ds(y, win_h), pl.ds(x, WIN_W)]
+                        if depth_only:
+                            acc_d[b, pl.ds(y, win_h), pl.ds(x, WIN_W)] = (
+                                jnp.maximum(zw, zk)
+                            )
+                        else:
+                            upd = (zk >= zw) & (zk > 0.0)
+                            acc_d[b, pl.ds(y, win_h), pl.ds(x, WIN_W)] = jnp.where(
+                                upd, zk, zw
+                            )
+                            vw = acc_v[b, pl.ds(y, win_h), pl.ds(x, WIN_W)]
+                            acc_v[b, pl.ds(y, win_h), pl.ds(x, WIN_W)] = jnp.where(
+                                upd, chunk_base + k, vw
+                            )
                     else:
-                        upd = (zk >= zw) & (zk > 0.0)
-                        depth_ref[pl.ds(y, win_h), pl.ds(x, WIN_W)] = jnp.where(
-                            upd, zk, zw
-                        )
-                        vw = vis_ref[pl.ds(y, win_h), pl.ds(x, WIN_W)]
-                        vis_ref[pl.ds(y, win_h), pl.ds(x, WIN_W)] = jnp.where(
-                            upd, chunk_base + k, vw
-                        )
+                        zw = depth_ref[pl.ds(y, win_h), pl.ds(x, WIN_W)]
+                        if depth_only:
+                            depth_ref[pl.ds(y, win_h), pl.ds(x, WIN_W)] = jnp.maximum(
+                                zw, zk
+                            )
+                        else:
+                            upd = (zk >= zw) & (zk > 0.0)
+                            depth_ref[pl.ds(y, win_h), pl.ds(x, WIN_W)] = jnp.where(
+                                upd, zk, zw
+                            )
+                            vw = vis_ref[pl.ds(y, win_h), pl.ds(x, WIN_W)]
+                            vis_ref[pl.ds(y, win_h), pl.ds(x, WIN_W)] = jnp.where(
+                                upd, chunk_base + k, vw
+                            )
 
             return 0
 
@@ -312,13 +341,37 @@ def _fused_kernel(
     drain(off_ref[0])
     off_ref[0] = 0
 
+    if accum_bufs > 1:
+        # Last chunk of the slab: merge the accumulators into the outputs.
+        # Ties (equal depth) resolve to the highest id, matching the global rule:
+        # each buffer's winner is already its max id at that depth (round-robin
+        # assignment keeps ids ascending per buffer).
+        @pl.when(c == num_chunks - 1)
+        def _merge():
+            d0 = acc_d[0]
+            if depth_only:
+                for b in range(1, accum_bufs):
+                    d0 = jnp.maximum(d0, acc_d[b])
+                depth_ref[:, :] = d0
+            else:
+                v0 = acc_v[0]
+                for b in range(1, accum_bufs):
+                    db = acc_d[b]
+                    vb = acc_v[b]
+                    better = (db > d0) | ((db == d0) & (vb > v0))
+                    d0 = jnp.where(better, db, d0)
+                    v0 = jnp.where(better, vb, v0)
+                depth_ref[:, :] = d0
+                vis_ref[:, :] = v0
+
 
 def auto_slabs(
-    height: int, width: int, depth_only: bool = False, win_h: int = WIN_H
+    height: int, width: int, depth_only: bool = False, win_h: int = WIN_H,
+    accum_bufs: int = 1,
 ) -> int:
     """Smallest slab count satisfying the row-field and VMEM constraints."""
-    bytes_per_px = 4 if depth_only else 8
-    budget = 8 * 2**20  # framebuffer slab budget (VMEM is ~16 MB total)
+    bytes_per_px = (4 if depth_only else 8) * (1 + accum_bufs if accum_bufs > 1 else 1)
+    budget = 10 * 2**20  # framebuffer slab budget (VMEM is ~16 MB total)
     s = 1
     while True:
         hp = -(-height // (s * win_h)) * (s * win_h)
@@ -341,8 +394,13 @@ def rasterize_fused(
     compact: bool = False,
     interpret: bool = False,
     win_h: int = WIN_H,
+    accum_bufs: int = 1,
 ):
     """(depth (H, W) f32, vis (H, W) i32) — or depth only.
+
+    ``accum_bufs`` > 1 interleaves the window RMWs across that many VMEM
+    accumulator copies (merged at slab end) so consecutive touches pipeline
+    instead of serializing on the ~150-cycle load-select-store latency.
 
     Heights that do not split into num_slabs x win_h-px rows are padded internally
     and sliced on return. Constraints: slab height <= 32 * win_h (5-bit row field);
@@ -401,6 +459,8 @@ def rasterize_fused(
         depth_only=depth_only,
         affine_z=affine_z,
         win_h=win_h,
+        accum_bufs=accum_bufs,
+        num_chunks=num_chunks,
     )
 
     out_shape = [jax.ShapeDtypeStruct((hp, width), jnp.float32)]
@@ -413,6 +473,15 @@ def rasterize_fused(
             pl.BlockSpec((slab_h, width), lambda s, c, *_: (s, 0), memory_space=pltpu.VMEM)
         )
 
+    scratch = []
+    if accum_bufs > 1:
+        scratch.append(pltpu.VMEM((accum_bufs, slab_h, width), jnp.float32))
+        if not depth_only:
+            scratch.append(pltpu.VMEM((accum_bufs, slab_h, width), jnp.int32))
+    scratch += [
+        pltpu.SMEM((stage_cap,), jnp.int32),
+        pltpu.SMEM((1,), jnp.int32),
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_slabs, num_chunks),
@@ -422,10 +491,7 @@ def rasterize_fused(
             ),
         ],
         out_specs=out_specs,
-        scratch_shapes=[
-            pltpu.SMEM((stage_cap,), jnp.int32),
-            pltpu.SMEM((1,), jnp.int32),
-        ],
+        scratch_shapes=scratch,
     )
 
     result = pl.pallas_call(

@@ -4,10 +4,11 @@ Structure matches the reference: per-frame LUT passes (transmittance 256x64,
 multi-scattering 32x32, sky-view 200x200) + a fullscreen apply at depth==far, and the
 same LUTs feed the RT miss shaders and LPV sky injection.
 
-This module currently ships the sky-view evaluation in closed form (single-scattering
-Rayleigh/Mie with an analytic optical-depth approximation) producing the LUT-shaped
-arrays the rest of the pipeline consumes; the full multi-scatter LUT chain is the
-documented upgrade path. All constants follow Hillaire's earth preset.
+The per-pixel march evaluates single scattering in closed form (analytic optical
+depths) plus the Hillaire multiple-scattering term: the 32x32 Psi_ms LUT is
+integrated host-side once (multiscatter_lut) and applied through a polynomial fit
+(psi_ms) because per-step LUT gathers are a ~27 ms/step TPU trap. All constants
+follow Hillaire's earth preset.
 """
 
 from __future__ import annotations
@@ -54,14 +55,153 @@ def _ray_sphere_exit(o_mm, d, radius):
     return -b + jnp.sqrt(disc)
 
 
+# --- Multiple scattering (procedural_sky.cpp:75-149, multiscattering_lut.comp) ----
+#
+# Hillaire's Psi_ms factor: the energy a point receives from all scattering
+# orders beyond the first, assuming isotropic transfer: Psi = L_2nd / (1 - f_ms),
+# tabulated over (sun zenith cosine, altitude). A 32x32 LUT is computed host-side
+# once; the per-pixel march can't afford LUT gathers (a 2M-row gather is ~27 ms
+# PER STEP on TPU), so the smooth LUT is fitted with a low-order 2D polynomial
+# whose evaluation is free VPU math.
+
+_MS_CACHE = {}
+
+
+def multiscatter_lut(res: int = 32, dirs: int = 64, steps: int = 20):
+    """(res, res) x 3 numpy LUT: Psi_ms over (mu_s in [-1,1], h in [0, atmo])."""
+    import numpy as np
+
+    key = (res, dirs, steps)
+    if key in _MS_CACHE:
+        return _MS_CACHE[key]
+    rs = np.asarray(RAYLEIGH_SCATTER)
+    oz = np.asarray(OZONE_ABSORB)
+
+    mu_s = np.linspace(-1.0, 1.0, res)
+    h_km = np.linspace(0.01, (ATMO_RADIUS_MM - GROUND_RADIUS_MM) * 1e3 - 1.0, res)
+    # Fibonacci sphere directions.
+    i = np.arange(dirs) + 0.5
+    phi = np.pi * (1.0 + 5.0**0.5) * i
+    ct = 1.0 - 2.0 * i / dirs
+    st = np.sqrt(np.maximum(1.0 - ct * ct, 0.0))
+    dvec = np.stack([st * np.cos(phi), ct, st * np.sin(phi)], -1)  # (D, 3)
+
+    MU, HK = np.meshgrid(mu_s, h_km, indexing="ij")
+    to_sun = np.stack([np.sqrt(np.maximum(1 - MU**2, 0.0)), MU, np.zeros_like(MU)], -1)
+    o = np.zeros((res, res, 3))
+    o[..., 1] = GROUND_RADIUS_MM + HK * 1e-3
+
+    l2 = np.zeros((res, res, 3))
+    fms = np.zeros((res, res, 3))
+    for k in range(dirs):
+        d = dvec[k]
+        b = np.sum(o * d, -1)
+        c_a = np.sum(o * o, -1) - ATMO_RADIUS_MM**2
+        t_atmo = -b + np.sqrt(np.maximum(b * b - c_a, 0.0))
+        c_g = np.sum(o * o, -1) - GROUND_RADIUS_MM**2
+        disc = b * b - c_g
+        tg = np.where(
+            (disc > 0) & (-b - np.sqrt(np.maximum(disc, 0)) > 0),
+            -b - np.sqrt(np.maximum(disc, 0)), np.inf,
+        )
+        t_max = np.minimum(t_atmo, tg)
+        dt = t_max / steps
+        trans = np.ones((res, res, 3))
+        for s in range(steps):
+            t = (s + 0.5) * dt
+            p = o + d[None, None, :] * t[..., None]
+            hh = (np.sqrt(np.sum(p * p, -1)) - GROUND_RADIUS_MM) * 1e3
+            rho_r = np.exp(-hh / 8.0)
+            rho_m = np.exp(-hh / 1.2)
+            rho_o = np.maximum(0.0, 1.0 - np.abs(hh - 25.0) / 15.0)
+            scat = rs * rho_r[..., None] + MIE_SCATTER * rho_m[..., None]
+            ext = (
+                rs * rho_r[..., None]
+                + (MIE_SCATTER + MIE_ABSORB) * rho_m[..., None]
+                + oz * rho_o[..., None]
+            )
+            # Sun transmittance (same Chapman approximation as the march).
+            up = p / np.maximum(np.sqrt(np.sum(p * p, -1))[..., None], 1e-9)
+            ms = np.sum(up * to_sun, -1)
+            air = 1.0 / np.maximum(ms + 0.15 * np.maximum(ms + 0.24, 0.0) ** 0.2, 0.02)
+            od = (
+                rs * (rho_r * 8e-3 * air)[..., None]
+                + (MIE_SCATTER + MIE_ABSORB) * (rho_m * 1.2e-3 * air)[..., None]
+                + oz * (rho_o * 15e-3 * air * 0.35)[..., None]
+            )
+            sun_t = np.exp(-od) * (ms > -0.1)[..., None]
+            step_t = np.exp(-ext * dt[..., None])
+            integ = (1.0 - step_t) / np.maximum(ext, 1e-6)
+            # Second order: isotropic phase 1/4pi; f_ms: scattered-anywhere factor.
+            l2 += trans * scat * (1.0 / (4.0 * np.pi)) * sun_t * integ
+            fms += trans * scat * integ
+            trans = trans * step_t
+        # Ground bounce contributes to L_2nd.
+        hit = np.isfinite(tg) & (tg < t_atmo)
+        pg = o + d[None, None, :] * np.where(hit, tg, 0.0)[..., None]
+        upg = pg / np.maximum(np.sqrt(np.sum(pg * pg, -1))[..., None], 1e-9)
+        nl = np.clip(np.sum(upg * to_sun, -1), 0.0, 1.0)
+        l2 += np.where(
+            hit[..., None], trans * (GROUND_ALBEDO / np.pi) * nl[..., None], 0.0
+        )
+    l2 /= dirs
+    fms /= dirs
+    psi = l2 / np.maximum(1.0 - fms, 1e-3)
+    _MS_CACHE[key] = (psi, mu_s, h_km)
+    return _MS_CACHE[key]
+
+
+def multiscatter_poly(deg: int = 5):
+    """Per-channel 2D polynomial fit of sqrt(Psi_ms) over (mu_s, h_norm).
+
+    sqrt-domain fitting keeps the reconstruction non-negative-ish and resolves
+    the dark low-sun corner better. Returns (deg+1, deg+1, 3) coefficients."""
+    import numpy as np
+
+    key = ("poly", deg)
+    if key in _MS_CACHE:
+        return _MS_CACHE[key]
+    psi, mu_s, h_km = multiscatter_lut()
+    hn = h_km / h_km[-1]
+    MU, HN = np.meshgrid(mu_s, hn, indexing="ij")
+    basis = np.stack(
+        [MU**i * HN**j for i in range(deg + 1) for j in range(deg + 1)], -1
+    ).reshape(-1, (deg + 1) ** 2)
+    target = np.sqrt(np.maximum(psi, 0.0)).reshape(-1, 3)
+    coeffs, *_ = np.linalg.lstsq(basis, target, rcond=None)
+    out = coeffs.reshape(deg + 1, deg + 1, 3).astype(np.float32)
+    _MS_CACHE[key] = out
+    return out
+
+
+def psi_ms(mu_s, h_km, coeffs) -> jnp.ndarray:
+    """(..., 3) Psi_ms from the polynomial fit — pure elementwise math."""
+    deg = coeffs.shape[0] - 1
+    hn = jnp.clip(h_km / ((ATMO_RADIUS_MM - GROUND_RADIUS_MM) * 1e3 - 1.0), 0.0, 1.0)
+    mu = jnp.clip(mu_s, -1.0, 1.0)
+    acc = jnp.zeros((*mu.shape, 3))
+    mi = jnp.ones_like(mu)
+    for i in range(deg + 1):
+        hj = jnp.ones_like(hn)
+        for j in range(deg + 1):
+            acc = acc + (mi * hj)[..., None] * coeffs[i, j]
+            hj = hj * hn
+        mi = mi * mu
+    return jnp.maximum(acc, 0.0) ** 2
+
+
 def sky_radiance(
     directions: jnp.ndarray,  # (..., 3) world-space unit view rays (y up)
     sun_direction: jnp.ndarray,  # (3,) direction the light TRAVELS
     sun_color_scale: jnp.ndarray | float = 1.0,
     altitude_km: float = 0.2,
     num_steps: int = 12,
+    multiscatter: bool = True,
 ) -> jnp.ndarray:
-    """Single-scattered sky radiance (..., 3), relative units (scaled by caller)."""
+    """Sky radiance (..., 3), relative units (scaled by caller): single scattering
+    + the Hillaire multiple-scattering term (Psi_ms polynomial; procedural_sky's
+    multiscattering LUT analog)."""
+    ms_coeffs = jnp.asarray(multiscatter_poly()) if multiscatter else None
     to_sun = normalize(-sun_direction.astype(jnp.float32))
     d = directions
     o = jnp.zeros_like(d) + jnp.array([0.0, GROUND_RADIUS_MM + altitude_km * 1e-3, 0.0])
@@ -107,6 +247,12 @@ def sky_radiance(
         )
         sun_t = jnp.exp(-od_sun) * (mu_s > -0.1)[..., None]
         in_scatter = (scat_r * ph_r + scat_m * ph_m) * sun_t
+        if ms_coeffs is not None:
+            # Higher scattering orders: isotropic Psi_ms times total scattering
+            # (multiscattering_lut.comp applied in-march).
+            in_scatter = in_scatter + (scat_r + scat_m) * psi_ms(
+                mu_s, h_km, ms_coeffs
+            )
         step_t = jnp.exp(-extinction * dt[..., None])
         lum = lum + transmittance * in_scatter * (1.0 - step_t) / jnp.maximum(
             extinction, 1e-6

@@ -91,3 +91,27 @@ def test_to_uint8_rounds():
     assert int(post.to_uint8(jnp.float32(1.0))) == 255
     assert int(post.to_uint8(jnp.float32(0.0))) == 0
     assert int(post.to_uint8(jnp.float32(0.5))) in (127, 128)
+
+
+def test_sky_multiscatter_energy():
+    """Hillaire Psi_ms (procedural_sky multiscattering LUT analog): adds ambient
+    energy everywhere, most visibly at low sun; the polynomial fit tracks the
+    integrated LUT."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from androidrenderer_tpu.ops import sky
+
+    psi, mu_s, h_km = sky.multiscatter_lut()
+    assert psi.min() >= 0.0 and psi.max() > 0.01
+    co = sky.multiscatter_poly()
+    MU, HK = np.meshgrid(mu_s, h_km, indexing="ij")
+    fit = np.asarray(sky.psi_ms(jnp.asarray(MU), jnp.asarray(HK), jnp.asarray(co)))
+    assert np.abs(fit - psi).max() <= 0.15 * psi.max()
+
+    d = jnp.asarray([[0.0, 0.05, -0.999]])
+    d = d / jnp.linalg.norm(d)
+    dusk_sun = jnp.asarray([0.0, -0.15, -1.0])
+    with_ms = float(np.asarray(sky.sky_radiance(d, dusk_sun, multiscatter=True)).sum())
+    without = float(np.asarray(sky.sky_radiance(d, dusk_sun, multiscatter=False)).sum())
+    assert with_ms > 1.05 * without, (with_ms, without)
