@@ -84,7 +84,9 @@ def _ortho_from_sphere(center: jnp.ndarray, radius, sun_direction: jnp.ndarray):
                    jnp.array([1.0, 0.0, 0.0]))
     right = jnp.cross(up, sun)
     right = right / jnp.linalg.norm(right)
-    lup = jnp.cross(sun, right)
+    # right x lup must equal -sun (view-z) or winding mirrors — see
+    # shadow.fit_cascades' handedness note.
+    lup = jnp.cross(right, sun)
     backup = radius + 1.0
     origin = center - sun * backup
     depth_range = 2.0 * backup
@@ -454,9 +456,12 @@ def build_lpv(
     ru = jnp.max(jnp.linalg.norm(centers - cu, axis=1) + radii)
     m_canon = _ortho_from_sphere(cu, ru, scene.sun_direction)
     clip_c = transform_to_clip(scene.positions, m_canon)
+    # Material sidedness, like the reference's rsm PSOs (material_pipelines.cpp):
+    # sun-backfacing single-sided triangles neither make VPLs (their flux points
+    # into the surface) nor cost raster touches.
     setup_rsm = triangle_setup(
         clip_c, scene.tri_indices, rsm_resolution, rsm_resolution,
-        double_sided=jnp.ones_like(scene.tri_double_sided), tri_valid=scene.tri_valid,
+        double_sided=scene.tri_double_sided, tri_valid=scene.tri_valid,
     )
 
     for c in range(num_cascades):

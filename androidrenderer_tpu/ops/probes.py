@@ -28,7 +28,7 @@ from androidrenderer_tpu.ops import sky as sky_ops
 from androidrenderer_tpu.ops.octahedral import dir_to_oct_uv, oct_texel_directions
 from androidrenderer_tpu.ops.rt.traverse import DeviceBVH, occlusion, trace_rays
 
-IRR_RES = 8  # irradiance octahedral resolution (reference light cache 13x13)
+IRR_RES = 13  # irradiance octahedral resolution (reference light cache 13x13)
 DEPTH_RES = 12  # depth octahedral resolution (reference 12x12)
 HYSTERESIS = 0.9  # history kept per update
 DEPTH_SHARPNESS = 32.0

@@ -68,12 +68,16 @@ def fit_cascades(
     splits = cascade_splits(num_cascades, z_near, max_distance, split_lambda)
     sun = sun_direction / jnp.linalg.norm(sun_direction)
 
-    # Stable light basis.
+    # Stable light basis. Handedness matters: the light view looks along +sun,
+    # i.e. view-z = -sun, so (right, lup, -sun) must be right-handed
+    # (right x lup == -sun) or the raster sees mirrored winding and back-face
+    # culls the WRONG side (sun-facing floors vanished from the maps; closed
+    # meshes silently rendered their far faces).
     up_y = jnp.abs(sun[1]) < 0.99
     up = jnp.where(up_y, jnp.array([0.0, 1.0, 0.0]), jnp.array([1.0, 0.0, 0.0]))
     right = jnp.cross(up, sun)
     right = right / jnp.linalg.norm(right)
-    lup = jnp.cross(sun, right)
+    lup = jnp.cross(right, sun)
 
     mats = []
     centers = []
@@ -295,8 +299,14 @@ def sample_csm(
     cascades: CascadeData,
     shadow_maps: jnp.ndarray,  # (C, R, R)
     bias_scale,  # 0.0005 (RenderParams.shadow_bias)
+    normal: jnp.ndarray | None = None,  # (H, W, 3) — enables normal-offset
 ) -> jnp.ndarray:
-    """(H, W, 1) shadow factor in [0, 1] — sample_csm (frag:62-110) with 2x2 PCF."""
+    """(H, W, 1) shadow factor in [0, 1] — sample_csm (frag:62-110) with 2x2 PCF.
+
+    ``normal`` enables normal-offset shadows: the receiver position shifts along
+    its normal by ~one cascade texel before projection. The reference leans on
+    4096^2 maps + HW slope bias; at our cascade resolutions front-face self-
+    shadowing (floors ARE in the maps) needs the offset to stay acne-free."""
     c, r, _ = shadow_maps.shape
     # Cascade pick: first cascade whose far plane exceeds the pixel distance.
     idx = jnp.sum(
@@ -310,15 +320,26 @@ def sample_csm(
     # cascades as broadcast FMAs and select by cascade index — tiny-matmul and
     # per-pixel matrix-gather formulations are both catastrophically slow on TPU.
     wx, wy, wz = (world_position[..., k] for k in range(3))
+    if normal is not None:
+        nl0 = jnp.clip(ndotl[..., 0], 0.0, 1.0)
+        slope = jnp.sqrt(jnp.maximum(1.0 - nl0 * nl0, 0.0))
     px_ = jnp.zeros_like(wx)
     py_ = jnp.zeros_like(wx)
     pz_ = jnp.zeros_like(wx)
     for k in range(c):
         mk = cascades.matrices[k]
         sel = ci == k
-        px_ = jnp.where(sel, mk[0, 0] * wx + mk[0, 1] * wy + mk[0, 2] * wz + mk[0, 3], px_)
-        py_ = jnp.where(sel, mk[1, 0] * wx + mk[1, 1] * wy + mk[1, 2] * wz + mk[1, 3], py_)
-        pz_ = jnp.where(sel, mk[2, 0] * wx + mk[2, 1] * wy + mk[2, 2] * wz + mk[2, 3], pz_)
+        ox, oy, oz = wx, wy, wz
+        if normal is not None:
+            # World texel size of this cascade: |row0| = 1/radius, texel = 2r/R.
+            texel = 2.0 / (jnp.linalg.norm(mk[0, :3]) * r)
+            off = texel * (1.0 + 1.5 * slope)
+            ox = wx + normal[..., 0] * off
+            oy = wy + normal[..., 1] * off
+            oz = wz + normal[..., 2] * off
+        px_ = jnp.where(sel, mk[0, 0] * ox + mk[0, 1] * oy + mk[0, 2] * oz + mk[0, 3], px_)
+        py_ = jnp.where(sel, mk[1, 0] * ox + mk[1, 1] * oy + mk[1, 2] * oz + mk[1, 3], py_)
+        pz_ = jnp.where(sel, mk[2, 0] * ox + mk[2, 1] * oy + mk[2, 2] * oz + mk[2, 3], pz_)
     u = px_ * 0.5 + 0.5
     v = 0.5 - py_ * 0.5
     z = pz_

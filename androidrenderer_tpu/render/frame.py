@@ -275,7 +275,7 @@ def render_frame(
         )
         shadow = shadow_ops.sample_csm(
             gbuf.world_position, view_distance, ndotl, cascades, shadow_maps,
-            params.shadow_bias,
+            params.shadow_bias, normal=gbuf.normal,
         )
     elif config.shadow_mode == ShadowMode.RT and full_features:
         # Ray-traced sun shadows (directional_light.cpp:372-422).
@@ -467,7 +467,7 @@ def render_frame(
             vd_f = jnp.where(depth_f > 0.0, view.z_near / jnp.maximum(depth_f, 1e-12), 0.0)
             shadow_f = shadow_ops.sample_csm(
                 gbuf_f.world_position, vd_f, ndotl_f, cascades, shadow_maps,
-                params.shadow_bias,
+                params.shadow_bias, normal=gbuf_f.normal,
             )
         elif shadow is not None:  # RT shadows: coarse quad value
             shadow_f = quad_fetch(shadow)

@@ -261,12 +261,17 @@ def shade_reference(
 
     nol = np.clip(np.sum(n_px * l[None, None, :], axis=-1), 1e-3, 1.0)
     bias = bias_scale * np.sqrt(np.maximum(1.0 - nol * nol, 0.0)) / nol + 2e-5
+    slope = np.sqrt(np.maximum(1.0 - nol * nol, 0.0))
     r = shadow_resolution
     lit = np.ones_like(nol)
     for k in range(len(cascade_matrices)):
         sel = ci == k
         cm = cascade_matrices[k].astype(np.float64)
-        pc = w_px @ cm[:3, :3].T + cm[:3, 3]
+        # Normal-offset shadows (ops/shadow.py::sample_csm): shift the receiver
+        # along its normal by ~one cascade texel before projecting.
+        texel = 2.0 / (np.linalg.norm(cm[0, :3]) * r)
+        off = (texel * (1.0 + 1.5 * slope))[..., None]
+        pc = (w_px + n_px * off) @ cm[:3, :3].T + cm[:3, 3]
         u = pc[..., 0] * 0.5 + 0.5
         v = 0.5 - pc[..., 1] * 0.5
         z = pc[..., 2]

@@ -126,5 +126,8 @@ def test_canonical_frame_cascades_match_direct_raster():
         double_sided=scene.tri_double_sided,
     ))
     for i in range(4):
-        close = np.isclose(m_ref[i], m_can[i], rtol=1e-4, atol=1e-5)
+        # atol 5e-5: the affine-z derivation rounds differently than the direct
+        # matrix path (~3e-5 on constant-depth floors) — well under the 5e-4
+        # shadow bias, invisible to the PCF compare.
+        close = np.isclose(m_ref[i], m_can[i], rtol=1e-4, atol=5e-5)
         assert close.mean() > 0.98, f"cascade {i}: {close.mean():.4f}"
