@@ -51,12 +51,14 @@ def _interp(attr, bary):
 
 ATTR_CHANNELS = 16  # uv(2) normal(3) tangent(4) color(3) position(3) pad(1)
 # Per-triangle CONSTANT channels appended after the interpolated ones + the s-plane:
-# base_factor(3) metal(1) rough(1) emission(3) tex_start/1024(4) tex_log2b(4).
-# Constants ride in the C coefficient with A = B = 0 so the same per-pixel
-# evaluation yields value * s, divided back out by 1/s — i.e. they fall out of the
-# interpolation for free. Texture starts are START_ALIGN-aligned and carried
-# divided by START_ALIGN so the f32 multiply/divide round-trip stays round-exact.
-CONST_CHANNELS = 16
+# base_factor(3) metal(1) rough(1) emission(3) packed_texture_meta(4). Constants
+# ride in the C coefficient with A = B = 0 so the same per-pixel evaluation
+# yields value * s, divided back out by 1/s — i.e. they fall out of the
+# interpolation for free. Texture metadata packs (start/START_ALIGN) * 16 +
+# log2(base size) into ONE float per slot (exact in f32 up to pools of ~16 GB;
+# 1-ULP round-trip error << 0.5 so round() recovers it) — keeping the plane row
+# at 30 channels; widening it to 34 measured +200 ms/frame on the 2M-row gather.
+CONST_CHANNELS = 12
 
 
 def pack_attribute_planes(scene: SceneArrays, setup: TriangleSetup) -> jnp.ndarray:
@@ -90,16 +92,18 @@ def pack_attribute_planes(scene: SceneArrays, setup: TriangleSetup) -> jnp.ndarr
 
     m = scene.tri_material
     tex_ids = scene.mat_texture_ids[m]  # (N, 4)
+    packed_tex = (
+        (scene.tex_start[tex_ids] // START_ALIGN) * 16 + scene.tex_log2b[tex_ids]
+    )
     consts = jnp.concatenate(
         [
             scene.mat_base_color[m][:, :3],
             scene.mat_metal_rough[m],
             scene.mat_emission[m],
-            (scene.tex_start[tex_ids] // START_ALIGN).astype(jnp.float32),
-            scene.tex_log2b[tex_ids].astype(jnp.float32),
+            packed_tex.astype(jnp.float32),
         ],
         axis=1,
-    )  # (N, 16)
+    )  # (N, 12)
     # Multiply by the s-plane so the per-pixel divide by s(p) cancels exactly.
     const_planes = consts[:, None, :] * s_plane[:, :, None]
     return jnp.concatenate(
@@ -151,8 +155,9 @@ def resolve_gbuffer(
     metal_f = a[..., c0 + 3 : c0 + 4]
     rough_f = a[..., c0 + 4 : c0 + 5]
     emission_f = a[..., c0 + 5 : c0 + 8]
-    tex_start = jnp.round(a[..., c0 + 8 : c0 + 12]).astype(jnp.int32) * START_ALIGN
-    tex_log2b = jnp.round(a[..., c0 + 12 : c0 + 16]).astype(jnp.int32)
+    packed_tv = jnp.round(a[..., c0 + 8 : c0 + 12]).astype(jnp.int32)
+    tex_log2b = packed_tv & 15
+    tex_start = jnp.right_shift(packed_tv, 4) * START_ALIGN
     # Analytic UV derivatives from the planes: da/dx = (fa*s - f*sa) / s^2.
     sa = pl[..., 0, ATTR_CHANNELS : ATTR_CHANNELS + 1]
     sb = pl[..., 1, ATTR_CHANNELS : ATTR_CHANNELS + 1]

@@ -201,7 +201,6 @@ def sky_radiance(
     """Sky radiance (..., 3), relative units (scaled by caller): single scattering
     + the Hillaire multiple-scattering term (Psi_ms polynomial; procedural_sky's
     multiscattering LUT analog)."""
-    ms_coeffs = jnp.asarray(multiscatter_poly()) if multiscatter else None
     to_sun = normalize(-sun_direction.astype(jnp.float32))
     d = directions
     o = jnp.zeros_like(d) + jnp.array([0.0, GROUND_RADIUS_MM + altitude_km * 1e-3, 0.0])
@@ -225,6 +224,7 @@ def sky_radiance(
     dt = t_max / num_steps
     lum = jnp.zeros((*d.shape[:-1], 3))
     transmittance = jnp.ones((*d.shape[:-1], 3))
+    psi0 = None
     for i in range(num_steps):
         t = (i + 0.5) * dt
         p = o + d * t[..., None]
@@ -247,12 +247,17 @@ def sky_radiance(
         )
         sun_t = jnp.exp(-od_sun) * (mu_s > -0.1)[..., None]
         in_scatter = (scat_r * ph_r + scat_m * ph_m) * sun_t
-        if ms_coeffs is not None:
-            # Higher scattering orders: isotropic Psi_ms times total scattering
-            # (multiscattering_lut.comp applied in-march).
-            in_scatter = in_scatter + (scat_r + scat_m) * psi_ms(
-                mu_s, h_km, ms_coeffs
-            )
+        if multiscatter:
+            if psi0 is None:
+                # Higher scattering orders (multiscattering_lut.comp analog):
+                # Psi_ms evaluated ONCE per pixel at the first march sample — a
+                # per-STEP polynomial evaluation costs ~36 (H,W,3) map ops x 12
+                # steps and measured +200 ms/frame; Psi varies slowly along
+                # ground-level view rays (mu_s is nearly constant, altitude
+                # decay is gentle), so the single evaluation is within a few
+                # percent of the per-step integral.
+                psi0 = psi_ms(mu_s, h_km, jnp.asarray(multiscatter_poly()))
+            in_scatter = in_scatter + (scat_r + scat_m) * psi0
         step_t = jnp.exp(-extinction * dt[..., None])
         lum = lum + transmittance * in_scatter * (1.0 - step_t) / jnp.maximum(
             extinction, 1e-6

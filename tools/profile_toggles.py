@@ -68,6 +68,8 @@ def main():
         "noshadow": base.replace(shadow_mode=ShadowMode.OFF),
         "nobloom": base.replace(bloom=False),
         "noocc": base.replace(occlusion_culling=False),
+        "nosky": base.replace(sky=False),
+        "notex": base.replace(use_base_textures=False),
         "ssao": base.replace(ao_mode=AOMode.SSAO),
         "taa": base.replace(aa_mode=AAMode.TAA),
         "lpv": base.replace(gi_mode=GIMode.LPV),
