@@ -52,6 +52,8 @@ def _screen_sharded_spec(axis: str, has_csm: bool = False):
         frame_index=P(),
         probes=ProbeCascades(*([P()] * len(ProbeCascades._fields))),
         prev_visible_prims=P(),
+        rtgi_history=img,
+        rtgi_valid=P(),
     )
     return out_spec, temp_spec
 

@@ -375,10 +375,31 @@ def render_frame(
             params.rtgi_exposure, params.sun_exposure,
             num_bounces=config.rtgi_num_bounces, row_offset=row_offset,
         )
-        # Screen-space reconstruction of the 1-spp signal (rtgi overlay filter).
-        from androidrenderer_tpu.ops.denoise import atrous_filter
+        # Screen-space reconstruction of the 1-spp signal (rtgi overlay filter),
+        # then TAA-style temporal accumulation of the pre-albedo irradiance (the
+        # vendor-denoiser slot; ops/denoise.py).
+        from androidrenderer_tpu.ops.denoise import atrous_filter, temporal_accumulate
 
         irr = atrous_filter(irr, depth, gbuf.normal, gbuf.valid)
+        if not vrsaa:  # VRSAA shades at coarse res; history shapes do not match
+            mv_gi = taa_ops.motion_vectors(
+                gbuf.world_position, gbuf.valid,
+                jnp.asarray(view.last_view_proj),
+                jnp.asarray(view.unjittered_view_proj),
+            )
+            if axis_name is not None:
+                gi_hist = coll.gather_rows(temporal.rtgi_history, axis_name)
+                irr_halo = coll.row_halo(irr, 1, axis_name, wrap=False)
+            else:
+                gi_hist = temporal.rtgi_history
+                irr_halo = None
+            irr, new_gi_hist = temporal_accumulate(
+                irr, gi_hist, temporal.rtgi_valid, mv_gi,
+                row_offset=row_offset, signal_halo=irr_halo,
+            )
+            temporal = temporal._replace(
+                rtgi_history=new_gi_hist, rtgi_valid=jnp.array(True)
+            )
         gi = irr * gbuf.base_color
     else:
         gi = None

@@ -23,6 +23,10 @@ class TemporalState(NamedTuple):
     probes: ProbeCascades
     # Last-frame primitive visibility (depth_culling_phase.hpp:44-59 analog).
     prev_visible_prims: jnp.ndarray  # (max_primitives,) bool
+    # RTGI pre-albedo irradiance accumulation (the vendor-denoiser slot —
+    # ops/denoise.py::temporal_accumulate).
+    rtgi_history: jnp.ndarray  # (H, W, 3) f32
+    rtgi_valid: jnp.ndarray  # () bool
 
 
 def initial_temporal_state(
@@ -36,4 +40,6 @@ def initial_temporal_state(
         frame_index=jnp.int32(0),
         probes=make_probe_state(probe_cascades, probe_grid, probe_spacing),
         prev_visible_prims=jnp.ones((max_primitives,), bool),
+        rtgi_history=jnp.zeros((height, width, 3), jnp.float32),
+        rtgi_valid=jnp.array(False),
     )

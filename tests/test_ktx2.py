@@ -97,3 +97,32 @@ def test_gltf_with_ktx2_texture(tmp_path):
     # bound by the material.
     assert scene.materials.num_textures == 3
     assert scene.materials.materials[0].base_color_texture == 2
+
+
+def test_optimize_gltf_tool(tmp_path):
+    """tools/optimize_gltf.py (the reference Tools/optimize_gltf.py analog):
+    bakes a GLB's textures to KTX2 + KHR_texture_basisu; the result loads with
+    the same material/texture bindings."""
+    import subprocess
+    import sys as _sys
+
+    src = "/root/reference/RenderCore/assets/AlphaTest.glb"
+    out = tmp_path / "opt"
+    r = subprocess.run(
+        [_sys.executable, "/root/repo/tools/optimize_gltf.py", src, "-o", str(out),
+         "--max-size", "256"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    assert (out / "AlphaTest.gltf").exists() and (out / "AlphaTest_img0.ktx2").exists()
+
+    from androidrenderer_tpu.scene.gltf import load_gltf_scene
+
+    orig = load_gltf_scene(src)
+    opt = load_gltf_scene(str(out / "AlphaTest.gltf"))
+    assert opt.materials.num_textures == orig.materials.num_textures
+    assert len(opt.primitives) == len(orig.primitives)
+    # Material alpha modes survived the rewrite.
+    assert [m.alpha_mode for m in opt.materials.materials] == [
+        m.alpha_mode for m in orig.materials.materials
+    ]

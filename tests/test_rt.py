@@ -142,3 +142,46 @@ def test_rt_modes_end_to_end():
     assert hdr.sum() > 0
     valid = np.asarray(out.gbuffer.valid)
     assert (hdr.sum(-1)[valid] > 0).mean() > 0.3
+
+
+def test_rtgi_temporal_accumulation_reduces_noise():
+    """The denoiser-slot accumulator (ops/denoise.py::temporal_accumulate): after
+    a few static frames the accumulated RTGI is much closer to the converged
+    (many-independent-frame) mean than any single 1-spp frame is."""
+    W = H = 128
+    cfg = RenderConfig(
+        render_width=W, render_height=H, output_width=W, output_height=H,
+        shadow_mode=ShadowMode.OFF, gi_mode=GIMode.RT,
+        sky=False, bloom=False, occlusion_culling=False, max_tris_per_tile=1024,
+    )
+    scene, _ = cornell_scene().build()
+    cam = Camera(fov_degrees=75.0, aspect=1.0, render_resolution=(W, H))
+    cam.set_position([0.0, 0.0, 2.2])
+    cam.yaw = np.pi
+    renderer = make_renderer(cfg)
+    params = RenderParams.default()
+
+    # Converged reference: average 12 INDEPENDENT frames (fresh history, varied
+    # frame index -> varied STBN layer).
+    ts0 = initial_temporal_state(H, W)
+    singles = []
+    for i in range(12):
+        out, _ = renderer(
+            scene, cam.view_data(), params,
+            ts0._replace(frame_index=np.int32(i)),
+        )
+        singles.append(np.asarray(out.hdr))
+    ref = np.mean(singles, axis=0)
+
+    # Accumulated sequence.
+    ts = ts0
+    frames = []
+    for _ in range(10):
+        out, ts = renderer(scene, cam.view_data(), params, ts)
+        frames.append(np.asarray(out.hdr))
+
+    err_first = np.abs(frames[0] - ref).mean()
+    err_late = np.abs(frames[9] - ref).mean()
+    assert err_late < 0.6 * err_first, (err_late, err_first)
+    # Energy is preserved (accumulation converges toward the mean, not black).
+    assert frames[9].sum() > 0.5 * frames[0].sum()
