@@ -293,26 +293,44 @@ def propagate(
             )
         face_terms.append(terms)
 
-    axis_of = [5, 5, 4, 4, 3, 3]  # grid axes (z,y,x) => dims 3,4,5 of (C,3,4,R,R,R)
-    shift_of = [-1, 1, -1, 1, -1, 1]  # roll amount bringing the neighbor into place
-    # _DIRS[0] = +x: neighbor at -x contributes -> roll +1 along x-dim? Grid order is
-    # (z, y, x): dir +x -> axis 5. Neighbor at cell - d; rolling by +1 along the axis
-    # moves data from index i-1 to i, i.e. brings the -d neighbor for positive d.
-    axis_map = {0: (5, 1), 1: (5, -1), 2: (4, 1), 3: (4, -1), 4: (3, 1), 5: (3, -1)}
+    # TPU layout: flatten (y, x) into one R*R minor dim — R=32 alone pads to 128
+    # lanes (4x traffic waste); R*R = 1024 fills them. Grid shifts become flat
+    # rolls: y +-1 = roll by +-R (x preserved; the wrapped y-plane is re-zeroed),
+    # x +-1 = roll by +-1 (the carry between y-rows lands in the re-zeroed x-edge
+    # column — R is a power of two, so the column mask is an iota AND).
+    # _DIRS[0] = +x: the contributing neighbor sits at cell - d, so positive d
+    # rolls by +1 (bringing index i-1 to i).
+    c_n = radiance.shape[0]
+    r = radiance.shape[-1]
+    rad_f = radiance.reshape(c_n, 3, 4, r, r * r)
+    gv_f = gv.reshape(c_n, 4, r, r * r)
+    col = jax.lax.broadcasted_iota(jnp.int32, (r * r,), 0)
+    masks = {
+        0: (col & (r - 1)) == 0,          # +x: zero the x == 0 column
+        1: (col & (r - 1)) == (r - 1),    # -x: zero the x == R-1 column
+        2: col < r,                       # +y: zero the y == 0 plane
+        3: col >= r * (r - 1),            # -y: zero the y == R-1 plane
+    }
+    flat_shift = {0: 1, 1: -1, 2: r, 3: -r}
+
+    def shifted(a, d_idx, z_axis):
+        """Neighbor-at-(cell - dir_d) with out-of-volume cells zeroed."""
+        if d_idx >= 4:  # +-z: roll the z axis, zero the wrapped slab
+            shift = 1 if d_idx == 4 else -1
+            n = jnp.roll(a, shift, axis=z_axis)
+            idx = 0 if shift == 1 else r - 1
+            return jax.lax.dynamic_update_slice_in_dim(
+                n, jnp.zeros_like(jax.lax.index_in_dim(n, idx, z_axis)), idx, z_axis,
+            )
+        n = jnp.roll(a, flat_shift[d_idx], axis=z_axis + 1)
+        return jnp.where(masks[d_idx], 0.0, n)
 
     def step(delta):
         out = jnp.zeros_like(delta)
         for d_idx in range(6):
-            axis, shift = axis_map[d_idx]
-            neighbor = jnp.roll(delta, shift, axis=axis)
-            # Zero the wrapped slab.
-            idx = 0 if shift == 1 else delta.shape[axis] - 1
-            neighbor = jax.lax.dynamic_update_slice_in_dim(
-                neighbor, jnp.zeros_like(jax.lax.index_in_dim(neighbor, idx, axis)),
-                idx, axis,
-            )
+            neighbor = shifted(delta, d_idx, z_axis=3)
             if occlusion:
-                ngv = jnp.roll(gv, shift, axis=axis - 1)  # gv dims are (C,4,R,R,R)
+                ngv = shifted(gv_f, d_idx, z_axis=2)
                 # Surfels block flux crossing them from EITHER side (a wall is a
                 # wall): evaluate the stored lobe toward both orientations and
                 # take the stronger. A single-signed evaluation lets flux pass
@@ -320,22 +338,22 @@ def propagate(
                 e_neg = sh.sh_evaluate(-_DIRS[d_idx])  # (4,)
                 e_pos = sh.sh_evaluate(_DIRS[d_idx])
                 amp = jnp.maximum(
-                    jnp.einsum("k,ckzyx->czyx", e_neg, ngv),
-                    jnp.einsum("k,ckzyx->czyx", e_pos, ngv),
+                    jnp.einsum("k,ckzf->czf", e_neg, ngv),
+                    jnp.einsum("k,ckzf->czf", e_pos, ngv),
                 )
                 occ = 1.0 - jnp.clip(amp, 0.0, 1.0)
-                occ = occ[:, None, None]  # (C,1,1,R,R,R)
+                occ = occ[:, None, None]  # (C,1,1,R,R*R)
             else:
                 occ = 1.0
             for eval_sh, lobe_sh, sa in face_terms[d_idx]:
                 flux = jnp.maximum(
-                    jnp.einsum("k,cgkzyx->cgzyx", eval_sh, neighbor), 0.0
+                    jnp.einsum("k,cgkzf->cgzf", eval_sh, neighbor), 0.0
                 ) * (sa / jnp.pi)
-                out = out + flux[:, :, None] * occ * lobe_sh[None, None, :, None, None, None]
+                out = out + flux[:, :, None] * occ * lobe_sh[None, None, :, None, None]
         return out
 
-    acc = radiance
-    delta = radiance
+    acc = rad_f
+    delta = rad_f
 
     def body(_, carry):
         acc, delta = carry
@@ -343,7 +361,7 @@ def propagate(
         return acc + delta, delta
 
     acc, _ = jax.lax.fori_loop(0, num_steps, body, (acc, delta))
-    return acc
+    return acc.reshape(radiance.shape)
 
 
 def apply_lpv(
