@@ -84,6 +84,8 @@ def update_probes(
     rays_per_probe: int,
     frame_index,
     sun_exposure,
+    masked: bool = False,  # alpha-tested geometry: any-hit IgnoreHit emulation
+    use_textures: bool = True,  # sample base/emission textures at hits (LOD 0)
 ) -> ProbeCascades:
     """Scroll cascades, pick the stalest probes, trace + convolve + blend."""
     c = state.irradiance.shape[0]
@@ -113,16 +115,24 @@ def update_probes(
         b = budget_per_cascade
         o = jnp.repeat(probe_pos, rays_per_probe, axis=0)  # (B*R, 3)
         d = jnp.tile(dirs, (b, 1))
-        hits = trace_rays(bvh, o, d, 0.01, 1e30)
+        if masked:
+            from androidrenderer_tpu.ops.rt.effects import (
+                occlusion_masked, trace_rays_masked,
+            )
+            hits = trace_rays_masked(bvh, scene, o, d, 0.01, 1e30)
+        else:
+            hits = trace_rays(bvh, o, d, 0.01, 1e30)
 
-        # Shade like the RTGI bounce.
+        # Shade like the RTGI bounce (probe_tracing.rt.slang shares the
+        # gltf_basic_pbr closest-hit: textures sampled at LOD 0).
         slot = jnp.maximum(hits.slot, 0)
         tri = jnp.maximum(bvh.slot_tri[slot], 0)
         tri_idx = scene.tri_indices[tri]
         uu = hits.u[:, None]
         vv = hits.v[:, None]
+        ww = 1 - uu - vv
         hn = (
-            scene.normals[tri_idx[:, 0]] * (1 - uu - vv)
+            scene.normals[tri_idx[:, 0]] * ww
             + scene.normals[tri_idx[:, 1]] * uu
             + scene.normals[tri_idx[:, 2]] * vv
         )
@@ -130,11 +140,38 @@ def update_probes(
         mat = scene.tri_material[tri]
         albedo = scene.mat_base_color[mat][:, :3]
         emission = scene.mat_emission[mat]
+        if use_textures:
+            from androidrenderer_tpu.ops import texture as tex
+            from androidrenderer_tpu.ops.post import srgb_to_linear
+
+            huv = (
+                scene.uvs[tri_idx[:, 0]] * ww
+                + scene.uvs[tri_idx[:, 1]] * uu
+                + scene.uvs[tri_idx[:, 2]] * vv
+            )
+            tex_ids = scene.mat_texture_ids[mat]
+            lod0 = jnp.zeros(tri.shape, jnp.int32)
+            bs = tex.sample_bilinear(
+                scene.textures, scene.tex_start[tex_ids[:, 0]],
+                scene.tex_log2b[tex_ids[:, 0]], huv, lod0,
+            )
+            albedo = albedo * srgb_to_linear(bs[:, :3])
+            es = tex.sample_bilinear(
+                scene.textures, scene.tex_start[tex_ids[:, 3]],
+                scene.tex_log2b[tex_ids[:, 3]], huv, lod0,
+            )
+            emission = emission * srgb_to_linear(es[:, :3])
         hp = o + d * hits.t[:, None]
         to_sun = -scene.sun_direction / jnp.linalg.norm(scene.sun_direction)
         ndotl = jnp.clip(jnp.sum(hn * to_sun, axis=-1), 0.0, 1.0)
-        occ = occlusion(bvh, hp + hn * 0.02, jnp.broadcast_to(to_sun, hp.shape),
-                        0.01, 1e30)
+        if masked:
+            occ = occlusion_masked(
+                bvh, scene, hp + hn * 0.02, jnp.broadcast_to(to_sun, hp.shape),
+                0.01, 1e30,
+            )
+        else:
+            occ = occlusion(bvh, hp + hn * 0.02,
+                            jnp.broadcast_to(to_sun, hp.shape), 0.01, 1e30)
         li = (
             albedo / jnp.pi * scene.sun_color[None, :] * sun_exposure
             * (ndotl * jnp.where(occ, 0.0, 1.0))[:, None]

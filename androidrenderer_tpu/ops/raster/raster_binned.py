@@ -1,0 +1,508 @@
+"""Window-binned rasterizer — breaks the per-touch RMW latency chain.
+
+The fused kernel (raster_fused.py) retires every staged (triangle, window) touch
+with its own dynamic-offset window read-modify-write. Mosaic cannot prove two
+dynamic-offset windows disjoint, so each load waits for the previous store to
+retire: ~150 cycles of serialized latency per touch, independent of window size —
+the round-2 parity frame's single largest cost (main raster 54 ms + CSM ~98 ms +
+4xRSM inside the LPV delta; docs/ROADMAP.md "Remaining perf plan" #1).
+
+This kernel keeps Phase A (in-kernel touch expansion — no XLA gathers) but stages
+touches into PER-WINDOW bins instead of one flat list:
+
+  Phase A: for each triangle row-strip, emit the triangle's local id into the
+  SMEM bin of every (win_h x 128) window it touches. A window's first touch of
+  the chunk appends the window to a dirty list (counts[w] == -1 sentinel).
+
+  Phase B (end of chunk): walk the dirty list in batches of K windows.
+    1. issue all K window loads      (no intervening stores -> independent,
+                                      the ~150-cycle latencies overlap)
+    2. per window, fold its binned touches into a REGISTER accumulator —
+       the dependency chain per touch is a vector select, a few cycles,
+       not a VMEM load-store round trip
+    3. issue all K window stores     (write-only, fire and forget)
+
+  A bin that fills mid-chunk drains immediately (single-window RMW; rare) and
+  stays on the dirty list, so any touch distribution is correct at any capacity.
+
+Windows are win_h=8 rows tall by default: the per-touch coverage/depth
+evaluation then runs on a single (8, 128) vreg row instead of four, and the
+extra touches from tall triangles cost vector throughput (cheap) rather than
+RMW latency (expensive).
+
+Emission stays in ascending (chunk, triangle, row, window) order per window, so
+the equal-depth tie-break (highest id wins) is bit-identical to raster_xla.
+
+Replaces the reference's hardware rasterizer for all passes (gbuffer visibility,
+depth prepass, CSM/RSM depth — scene_renderer.cpp:286-365 analog); same contract
+as rasterize_fused / rasterize_pallas.
+
+Record layout: identical to raster_fused.pack_fused_records (f32 x 24, flat).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from androidrenderer_tpu.ops.raster.setup import TriangleSetup
+from androidrenderer_tpu.ops.raster.raster_fused import pack_fused_records
+
+WIN_W = 128
+REC = 24
+
+
+def _binned_kernel(
+    count_ref,  # (1,) i32 scalar prefetch — live triangle count
+    recs_ref,  # (1, 1, CHUNK*24) f32 SMEM, flat records
+    depth_ref,  # (slab_h, W) f32 VMEM
+    *rest,  # [vis_ref,] bins, counts, dirty, nd
+    slab_h: int,
+    width: int,
+    chunk: int,
+    cap: int,
+    kb: int,
+    depth_only: bool,
+    affine_z: bool,
+    win_h: int,
+    unroll: int,
+    debug_mode: int,
+):
+    rest = list(rest)
+    vis_ref = None if depth_only else rest.pop(0)
+    bins_ref, counts_ref, dirty_ref, nd_ref = rest
+
+    s = pl.program_id(0)
+    c = pl.program_id(1)
+    ncols = width // WIN_W
+    rows_per_slab = slab_h // win_h
+    nwin = rows_per_slab * ncols
+
+    @pl.when(c == 0)
+    def _init():
+        depth_ref[:, :] = jnp.zeros((slab_h, width), jnp.float32)
+        if not depth_only:
+            vis_ref[:, :] = jnp.full((slab_h, width), -1, jnp.int32)
+
+        def ci(i, _):
+            counts_ref[i] = -1
+            return 0
+
+        jax.lax.fori_loop(0, nwin, ci, 0)
+        nd_ref[0] = 0
+
+    slab_row0 = s * rows_per_slab  # global window-row index of the slab's first row
+    slab_y0 = (s * slab_h).astype(jnp.float32)
+    chunk_base = c * chunk
+
+    rowf = jax.lax.broadcasted_iota(jnp.int32, (win_h, WIN_W), 0).astype(jnp.float32)
+    colf = jax.lax.broadcasted_iota(jnp.int32, (win_h, WIN_W), 1).astype(jnp.float32)
+
+    def rd(k, i):
+        return recs_ref[0, 0, k * REC + i]
+
+    def fold_touches(row, col, cnt, zacc, vacc):
+        """Fold a window's binned touches into register accumulators.
+
+        The loop processes ``unroll`` touches per iteration: their evaluations
+        are independent, and a tree reduce (later touch wins depth ties) feeds
+        ONE combine into the loop carry — so the loop-carried dependency (which
+        Mosaic round-trips through memory) amortizes over ``unroll`` touches
+        instead of serializing per touch."""
+        w = row * ncols + col
+        gx = colf + (col * WIN_W).astype(jnp.float32)
+        gy = rowf + (row * win_h).astype(jnp.float32) + slab_y0
+
+        def eval_touch(t):
+            live = t < cnt
+            # Dead lanes (t >= cnt) read an in-bounds bin slot whose content may
+            # be UNINITIALIZED SMEM — clamp k before any record read or the
+            # offset goes out of bounds (observed as a TPU backend crash).
+            k = jnp.where(live, bins_ref[w * cap + jnp.minimum(t, cap - 1)], 0)
+            a0 = rd(k, 0)
+            b0 = rd(k, 1)
+            c0 = rd(k, 2)
+            a1 = rd(k, 3)
+            b1 = rd(k, 4)
+            c1 = rd(k, 5)
+            a2 = rd(k, 6)
+            b2 = rd(k, 7)
+            c2 = rd(k, 8)
+            sid = jnp.where(live, rd(k, 18), 0.0)
+            d0 = a0 * gx + b0 * gy + c0
+            d1 = a1 * gx + b1 * gy + c1
+            d2 = a2 * gx + b2 * gy + c2
+            dmax = jnp.maximum(jnp.maximum(d0, d1), d2)
+            dmin = jnp.minimum(jnp.minimum(d0, d1), d2)
+            cov = ((dmax <= 0.0) & (sid != 0.0)) | ((dmin >= 0.0) & (sid < 0.0))
+            if affine_z:
+                z = rd(k, 12) * gx + rd(k, 13) * gy + rd(k, 14)
+            else:
+                qv = rd(k, 12) * gx + rd(k, 13) * gy + rd(k, 14)
+                z = (rd(k, 15) * gx + rd(k, 16) * gy + rd(k, 17)) / qv
+            cov = cov & (z > 0.0) & (z <= 1.0)
+            return jnp.where(cov, z, 0.0), chunk_base + k
+
+        def comb(a, b):
+            """Combine (z, id) pairs; b is the LATER touch and wins ties."""
+            za, va = a
+            zb, vb = b
+            take = zb >= za
+            if depth_only:
+                return (jnp.maximum(za, zb), va)
+            return (jnp.where(take, zb, za), jnp.where(take, vb, va))
+
+        def block(i, carry):
+            zacc, vacc = carry
+            evals = [eval_touch(i * unroll + j) for j in range(unroll)]
+            while len(evals) > 1:
+                evals = [
+                    comb(evals[p], evals[p + 1]) if p + 1 < len(evals) else evals[p]
+                    for p in range(0, len(evals), 2)
+                ]
+            zb, vb = evals[0]
+            if depth_only:
+                return (jnp.maximum(zacc, zb), vacc)
+            upd = (zb >= zacc) & (zb > 0.0)
+            return (jnp.where(upd, zb, zacc), jnp.where(upd, vb, vacc))
+
+        return jax.lax.fori_loop(0, pl.cdiv(cnt, unroll), block, (zacc, vacc))
+
+    def drain_one(row, col):
+        """Overflow drain: single-window load/fold/store (rare; serialized)."""
+        w = row * ncols + col
+        if debug_mode == 1:
+            counts_ref[w] = 0
+            return
+        y = pl.multiple_of(row * win_h, win_h)
+        x = pl.multiple_of(col * WIN_W, WIN_W)
+        zacc = depth_ref[pl.ds(y, win_h), pl.ds(x, WIN_W)]
+        vacc = (
+            None if depth_only else vis_ref[pl.ds(y, win_h), pl.ds(x, WIN_W)]
+        )
+        if debug_mode == 0:
+            zacc, vacc = fold_touches(row, col, counts_ref[w], zacc, vacc)
+        depth_ref[pl.ds(y, win_h), pl.ds(x, WIN_W)] = zacc
+        if not depth_only:
+            vis_ref[pl.ds(y, win_h), pl.ds(x, WIN_W)] = vacc
+        counts_ref[w] = 0  # stays on the dirty list
+
+    def drain_all():
+        """End-of-chunk drain: K-window batches, loads before stores."""
+        nd = nd_ref[0]
+
+        def batch(bi, _):
+            base = bi * kb
+            loaded = []
+            for j in range(kb):
+                idx = base + j
+                live = idx < nd
+                dw = jnp.where(live, dirty_ref[jnp.minimum(idx, nwin - 1)], 0)
+                row = dw >> 4
+                col = dw & 15
+                y = pl.multiple_of(row * win_h, win_h)
+                x = pl.multiple_of(col * WIN_W, WIN_W)
+                if debug_mode == 1:  # Phase A cost only: no window traffic
+                    loaded.append((live, row, col, y, x, None, None))
+                    continue
+                zacc = depth_ref[pl.ds(y, win_h), pl.ds(x, WIN_W)]
+                vacc = (
+                    None
+                    if depth_only
+                    else vis_ref[pl.ds(y, win_h), pl.ds(x, WIN_W)]
+                )
+                loaded.append((live, row, col, y, x, zacc, vacc))
+            results = []
+            for j in range(kb):
+                live, row, col, y, x, zacc, vacc = loaded[j]
+                w = row * ncols + col
+                cnt = jnp.where(live, jnp.maximum(counts_ref[w], 0), 0)
+                if debug_mode == 0:
+                    zacc, vacc = fold_touches(row, col, cnt, zacc, vacc)
+                elif debug_mode == 2:  # RMW traffic without the eval
+                    zacc = zacc + cnt.astype(jnp.float32) * 1e-30
+                results.append((live, y, x, zacc, vacc))
+
+                @pl.when(live)
+                def _(w=w):
+                    counts_ref[w] = -1
+
+            if debug_mode != 1:
+                for j in range(kb):
+                    live, y, x, zacc, vacc = results[j]
+
+                    @pl.when(live)
+                    def _(y=y, x=x, zacc=zacc, vacc=vacc):
+                        depth_ref[pl.ds(y, win_h), pl.ds(x, WIN_W)] = zacc
+                        if not depth_only:
+                            vis_ref[pl.ds(y, win_h), pl.ds(x, WIN_W)] = vacc
+
+            return 0
+
+        jax.lax.fori_loop(0, pl.cdiv(nd, kb), batch, 0)
+        nd_ref[0] = 0
+
+    def emit(row, col, k, real=None):
+        """Branchless touch emission (the measured Phase A cost is scalar-core
+        BRANCHES, not SMEM traffic — ~90 ms/frame with pl.when-based emit at
+        bench scale, vs ~50 with this formulation).
+
+        ``real=None`` emits unconditionally; a bool ``real`` redirects dead
+        emits to a DUMMY bin row (index nwin) whose count grows unchecked (the
+        bins write clamps to its last slot) and which is never drained — so
+        conditional call sites cost a select instead of a branch. The dirty
+        append is unconditional too: the slot is written every time, but the
+        cursor only advances for first touches of real windows."""
+        w = row * ncols + col
+        if real is not None:
+            w = jnp.where(real, w, nwin)
+        cnt0 = counts_ref[w]
+        cnt = jnp.maximum(cnt0, 0)
+        new = cnt0 < 0
+        if real is not None:
+            new = new & real
+        nd = nd_ref[0]
+        dirty_ref[nd] = (row << 4) | col
+        nd_ref[0] = nd + new.astype(jnp.int32)
+        bins_ref[w * cap + jnp.minimum(cnt, cap - 1)] = k
+        counts_ref[w] = cnt + 1
+
+        full = cnt + 1 == cap
+        if real is not None:
+            full = full & real
+
+        @pl.when(full)
+        def _():
+            drain_one(row, col)
+
+    def tri_body(k, _):
+        # Packed window bbox: ONE record read + shifts replaces four f32 reads,
+        # converts, and divides; invalid triangles pack ty0 > ty1 so the single
+        # slab-overlap test also skips them (no separate sid branch).
+        wp = rd(k, 23).astype(jnp.int32)
+        ty0 = jnp.maximum(wp & 255, slab_row0)
+        ty1 = jnp.minimum((wp >> 8) & 255, slab_row0 + rows_per_slab - 1)
+
+        @pl.when(ty1 >= ty0)
+        def _():
+            cx0 = (wp >> 16) & 15
+            cx1 = (wp >> 20) & 15
+            small = (ty1 == ty0) & (cx1 - cx0 <= 1)
+
+            # Fast path: bbox-window emission, no span math, no coeff reads.
+            # The second emit is unconditional (dummy-binned when the bbox
+            # spans one column) — a select, not a branch.
+            @pl.when(small)
+            def _():
+                r0 = ty0 - slab_row0
+                emit(r0, cx0, k)
+                emit(r0, cx0 + 1, k, real=cx1 > cx0)
+
+            @pl.when(~small)
+            def _():
+                sid = rd(k, 18)
+                bx0 = rd(k, 19)
+                bx1 = rd(k, 21)
+                if True:
+                    a0 = rd(k, 0)
+                    b0 = rd(k, 1)
+                    c0 = rd(k, 2)
+                    a1 = rd(k, 3)
+                    b1 = rd(k, 4)
+                    c1 = rd(k, 5)
+                    a2 = rd(k, 6)
+                    b2 = rd(k, 7)
+                    c2 = rd(k, 8)
+                    ia0 = rd(k, 9)
+                    ia1 = rd(k, 10)
+                    ia2 = rd(k, 11)
+                    dbl = sid < 0.0
+
+                    def strip(iy, _):
+                        row = ty0 + iy
+                        ytf = (row * win_h).astype(jnp.float32)
+                        ybf = ytf + (win_h - 1)
+
+                        def bounds(aa, inv_aa, bb, cc):
+                            bt = -(bb * ytf + cc) * inv_aa
+                            bb_ = -(bb * ybf + cc) * inv_aa
+                            lo = jnp.where(aa < 0.0, jnp.minimum(bt, bb_), bx0)
+                            hi = jnp.where(aa > 0.0, jnp.maximum(bt, bb_), bx1)
+                            return lo, hi
+
+                        lo0, hi0 = bounds(a0, ia0, b0, c0)
+                        lo1, hi1 = bounds(a1, ia1, b1, c1)
+                        lo2, hi2 = bounds(a2, ia2, b2, c2)
+                        span_lo = jnp.maximum(
+                            jnp.maximum(jnp.maximum(lo0, lo1), lo2), bx0
+                        )
+                        span_hi = jnp.minimum(
+                            jnp.minimum(jnp.minimum(hi0, hi1), hi2), bx1
+                        )
+                        span_lo = jnp.where(dbl, bx0, span_lo)
+                        span_hi = jnp.where(dbl, bx1, span_hi)
+
+                        wx0 = (
+                            jnp.clip(span_lo, 0.0, width - 1.0).astype(jnp.int32)
+                            // WIN_W
+                        )
+                        wx1 = (
+                            jnp.clip(span_hi, 0.0, width - 1.0).astype(jnp.int32)
+                            // WIN_W
+                        )
+                        nw = jnp.where(span_hi >= span_lo, wx1 - wx0 + 1, 0)
+                        r0 = row - slab_row0
+
+                        def win(iw, _):
+                            emit(r0, wx0 + iw, k)
+                            return 0
+
+                        jax.lax.fori_loop(0, nw, win, 0)
+                        return 0
+
+                    jax.lax.fori_loop(0, ty1 - ty0 + 1, strip, 0)
+
+        return 0
+
+    n_here = jnp.clip(count_ref[0] - chunk_base, 0, chunk)
+    jax.lax.fori_loop(0, n_here, tri_body, 0)
+    # Phase B must run before the record window advances (coefficients are read
+    # from the CURRENT chunk during the fold).
+    drain_all()
+
+
+def auto_slabs_binned(
+    height: int, width: int, depth_only: bool = False, win_h: int = 8
+) -> int:
+    """Smallest slab count satisfying the row-field and VMEM constraints."""
+    bytes_per_px = 4 if depth_only else 8
+    budget = 10 * 2**20
+    s = 1
+    while True:
+        hp = -(-height // (s * win_h)) * (s * win_h)
+        slab_h = hp // s
+        if slab_h <= 256 * win_h and slab_h * width * bytes_per_px <= budget:
+            return s
+        s += 1
+
+
+def rasterize_binned(
+    setup: TriangleSetup,
+    height: int,
+    width: int,
+    num_slabs: int = 2,
+    chunk: int = 1024,
+    cap: int = 14,
+    kb: int = 8,
+    depth_only: bool = False,
+    affine_z: bool = False,
+    interpret: bool = False,
+    win_h: int = 8,
+    unroll: int = 4,
+    debug_mode: int = 0,  # 1 = Phase A only, 2 = window RMWs without eval
+):
+    """(depth (H, W) f32, vis (H, W) i32) — or depth only with depth_only=True.
+
+    Heights that do not split into num_slabs x win_h rows are padded internally
+    and sliced on return. Constraints: width % 128 == 0 and <= 2048 (4-bit
+    window-column field); slab height <= 256 * win_h (8-bit row field);
+    chunk <= 2^22 (bin entries are local ids).
+
+    ``cap``: per-window bin capacity; overflowing bins drain immediately (still
+    correct, just serialized). Small dense targets (RSM) want larger caps.
+    ``kb``: windows per drain batch — all kb loads issue before any store, so
+    their RMW latencies overlap.
+    """
+    if width % WIN_W or width > 16 * WIN_W:
+        raise ValueError(f"width {width} must be a multiple of 128 and <= 2048")
+    hp = -(-height // (num_slabs * win_h)) * (num_slabs * win_h)
+    slab_h = hp // num_slabs
+    if slab_h > 256 * win_h:
+        raise ValueError(f"slab height {slab_h} exceeds the 8-bit row field")
+    if hp // win_h > 255:
+        raise ValueError(
+            f"height {height} exceeds the packed window-bbox row field "
+            f"(max {255 * win_h} at win_h={win_h})"
+        )
+
+    records = pack_fused_records(setup, affine_z=affine_z)
+    # Slot 23 (pad): window-space bbox packed into one f32-exact integer
+    # (ty0 | ty1<<8 | cx0<<16 | cx1<<20 < 2^24). Invalid triangles pack
+    # ty0=255 > ty1=0 so the kernel's slab test skips them for free.
+    bbox = setup.bbox
+    ty0 = bbox[:, 1].astype(jnp.int32) // win_h
+    ty1 = bbox[:, 3].astype(jnp.int32) // win_h
+    cx0 = bbox[:, 0].astype(jnp.int32) // WIN_W
+    cx1 = bbox[:, 2].astype(jnp.int32) // WIN_W
+    wpack = ty0 + (ty1 << 8) + (cx0 << 16) + (cx1 << 20)
+    live = setup.valid & (records[:, 18] != 0.0)
+    wpack = jnp.where(live, wpack, 255)
+    records = records.at[:, 23].set(wpack.astype(jnp.float32))
+    n = records.shape[0]
+    count = jnp.int32(n)
+    num_chunks = -(-n // chunk)
+    pad = num_chunks * chunk - n
+    if pad:
+        records = jnp.pad(records, ((0, pad), (0, 0)))
+    records = records.reshape(num_chunks, 1, chunk * REC)
+
+    ncols = width // WIN_W
+    nwin = (slab_h // win_h) * ncols
+
+    kernel = functools.partial(
+        _binned_kernel,
+        slab_h=slab_h,
+        width=width,
+        chunk=chunk,
+        cap=cap,
+        kb=kb,
+        depth_only=depth_only,
+        affine_z=affine_z,
+        win_h=win_h,
+        unroll=unroll,
+        debug_mode=debug_mode,
+    )
+
+    out_shape = [jax.ShapeDtypeStruct((hp, width), jnp.float32)]
+    out_specs = [
+        pl.BlockSpec((slab_h, width), lambda s, c, *_: (s, 0), memory_space=pltpu.VMEM)
+    ]
+    if not depth_only:
+        out_shape.append(jax.ShapeDtypeStruct((hp, width), jnp.int32))
+        out_specs.append(
+            pl.BlockSpec(
+                (slab_h, width), lambda s, c, *_: (s, 0), memory_space=pltpu.VMEM
+            )
+        )
+
+    scratch = [
+        pltpu.SMEM(((nwin + 1) * cap,), jnp.int32),  # bins (+1 dummy row)
+        pltpu.SMEM((nwin + 1,), jnp.int32),  # counts (-1 = not dirty)
+        pltpu.SMEM((nwin + 1,), jnp.int32),  # dirty window list (row<<4 | col)
+        pltpu.SMEM((1,), jnp.int32),  # dirty count
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_slabs, num_chunks),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, chunk * REC), lambda s, c, *_: (c, 0, 0), memory_space=pltpu.SMEM
+            ),
+        ],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+    )
+
+    result = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(count[None], records)
+    if depth_only:
+        return result[0][:height]
+    return result[0][:height], result[1][:height]

@@ -28,10 +28,108 @@ from androidrenderer_tpu.ops import sky as sky_ops
 from androidrenderer_tpu.ops.rt.traverse import DeviceBVH, occlusion, trace_rays
 
 RAY_EPS = 0.01  # TMin (rtao.comp.slang)
+ALPHA_PEELS = 4  # re-trace budget for IgnoreHit emulation
 
 
 def _flat(x):
     return x.reshape(-1, x.shape[-1]) if x.ndim == 3 else x.reshape(-1)
+
+
+def _hit_uv(scene, bvh, hits):
+    """(R, 2) interpolated texcoords + (R,) triangle id at the hit slots."""
+    slot = jnp.maximum(hits.slot, 0)
+    tri = jnp.maximum(bvh.slot_tri[slot], 0)
+    idx = scene.tri_indices[tri]
+    w0 = (1.0 - hits.u - hits.v)[:, None]
+    uv = (
+        scene.uvs[idx[:, 0]] * w0
+        + scene.uvs[idx[:, 1]] * hits.u[:, None]
+        + scene.uvs[idx[:, 2]] * hits.v[:, None]
+    )
+    return uv, tri
+
+
+def _hit_alpha_passes(scene, bvh, hits):
+    """True where the committed hit survives the reference's any-hit alpha test
+    (gltf_basic_pbr.slang:291-317: SampleLevel(uv, 0).a * tint.a; IgnoreHit when
+    a <= opacity_threshold). Opaque triangles always pass."""
+    from androidrenderer_tpu.ops import texture as tex
+
+    uv, tri = _hit_uv(scene, bvh, hits)
+    masked = scene.tri_alpha_mode[tri] == 1
+    mat = scene.tri_material[tri]
+    tex_id = scene.mat_texture_ids[mat][..., 0]
+    s = tex.sample_bilinear(
+        scene.textures, scene.tex_start[tex_id], scene.tex_log2b[tex_id], uv,
+        jnp.zeros_like(tex_id),
+    )
+    alpha = s[..., 3] * scene.mat_base_color[mat][..., 3]
+    cutoff = scene.mat_alpha[mat][..., 1]
+    return ~masked | (alpha > cutoff)
+
+
+def trace_rays_masked(
+    bvh, scene, origins, directions, tmin, tmax,
+    peels: int = ALPHA_PEELS, active=None,
+):
+    """Closest-hit trace honoring alpha-masked geometry: hits whose base-color
+    alpha fails the cutoff are ignored and the ray re-traced past them — the
+    wavefront equivalent of the reference's any-hit IgnoreHit loop. Rays still
+    unresolved after ``peels`` masked layers treat the last hit as opaque."""
+    from androidrenderer_tpu.ops.rt.traverse import Hits
+
+    r = origins.shape[0]
+    t0 = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
+    unresolved = (
+        jnp.ones((r,), bool) if active is None else jnp.asarray(active)
+    )
+    res = Hits(
+        t=jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,)),
+        slot=jnp.full((r,), -1, jnp.int32),
+        u=jnp.zeros((r,), jnp.float32),
+        v=jnp.zeros((r,), jnp.float32),
+    )
+    for p in range(peels):
+        hits = trace_rays(bvh, origins, directions, t0, tmax, active=unresolved)
+        hit = (hits.slot >= 0) & unresolved
+        ok = _hit_alpha_passes(scene, bvh, hits)
+        last = p == peels - 1
+        commit = hit if last else (hit & ok)
+        res = Hits(
+            t=jnp.where(commit, hits.t, res.t),
+            slot=jnp.where(commit, hits.slot, res.slot),
+            u=jnp.where(commit, hits.u, res.u),
+            v=jnp.where(commit, hits.v, res.v),
+        )
+        unresolved = hit & ~ok
+        # Strict t > tmin in the next trace excludes exactly the ignored hit.
+        t0 = jnp.where(unresolved, hits.t, t0)
+    return res
+
+
+def occlusion_masked(
+    bvh, scene, origins, directions, tmin, tmax,
+    peels: int = ALPHA_PEELS, active=None,
+):
+    """(R,) bool any-hit occlusion with alpha-masked geometry. Rays park on
+    opaque hits (fast path); masked hits alpha-test and re-trace."""
+    slot_opaque = scene.tri_alpha_mode[jnp.maximum(bvh.slot_tri, 0)] != 1
+    r = origins.shape[0]
+    t0 = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
+    occ = jnp.zeros((r,), bool)
+    live = jnp.ones((r,), bool) if active is None else jnp.asarray(active)
+    for _ in range(peels):
+        hits = trace_rays(
+            bvh, origins, directions, t0, tmax, any_hit=True,
+            active=live, slot_opaque=slot_opaque,
+        )
+        hit = (hits.slot >= 0) & live
+        opaque = hit & slot_opaque[jnp.maximum(hits.slot, 0)]
+        ok = _hit_alpha_passes(scene, bvh, hits)
+        occ = occ | (hit & (opaque | ok))
+        live = hit & ~opaque & ~ok
+        t0 = jnp.where(live, hits.t, t0)
+    return occ
 
 
 def rt_sun_shadows(
@@ -43,6 +141,8 @@ def rt_sun_shadows(
     sun_tan_size,  # tan of angular radius
     frame_index,
     row_offset=0,
+    scene=None,  # SceneArrays — required when masked=True
+    masked: bool = False,  # alpha-tested geometry in the BVH (any-hit variant)
 ) -> jnp.ndarray:
     """(H, W, 1) shadow factor: 0 occluded, 1 lit."""
     h, w, _ = world_position.shape
@@ -52,7 +152,10 @@ def rt_sun_shadows(
         jnp.broadcast_to(to_sun, (h, w, 3)), sun_tan_size, u[..., 0], u[..., 1]
     )
     o = world_position + normal * 0.02
-    occ = occlusion(bvh, _flat(o), _flat(d), RAY_EPS, 1e30)
+    if masked:
+        occ = occlusion_masked(bvh, scene, _flat(o), _flat(d), RAY_EPS, 1e30)
+    else:
+        occ = occlusion(bvh, _flat(o), _flat(d), RAY_EPS, 1e30)
     occ = occ.reshape(h, w) & valid
     return jnp.where(occ, 0.0, 1.0)[..., None]
 
@@ -66,6 +169,8 @@ def rtao(
     max_distance,
     frame_index,
     row_offset=0,
+    scene=None,
+    masked: bool = False,
 ) -> jnp.ndarray:
     """(H, W, 1) ambient visibility in [0, 1] (rtao.comp.slang)."""
     h, w, _ = world_position.shape
@@ -76,7 +181,10 @@ def rtao(
             h, w, frame_index * num_samples + s, 2, row_offset=row_offset
         )
         d = noise.cosine_hemisphere(normal, u[..., 0], u[..., 1])
-        occ = occlusion(bvh, o, _flat(d), RAY_EPS, max_distance)
+        if masked:
+            occ = occlusion_masked(bvh, scene, o, _flat(d), RAY_EPS, max_distance)
+        else:
+            occ = occlusion(bvh, o, _flat(d), RAY_EPS, max_distance)
         vis = vis + jnp.where(occ, 0.0, 1.0)
     ao = (vis / num_samples).reshape(h, w)
     return jnp.where(valid, ao, 1.0)[..., None]
@@ -96,6 +204,8 @@ def rtgi(
     sun_exposure,
     num_bounces: int = 1,
     row_offset=0,
+    masked: bool = False,  # honor alpha-masked geometry (any-hit IgnoreHit path)
+    use_textures: bool = True,  # sample base/data/emission textures at the hit
 ) -> jnp.ndarray:
     """(H, W, 3) diffuse GI irradiance (x albedo happens in lighting).
 
@@ -103,7 +213,14 @@ def rtgi(
     front-face hits (weighted by the path throughput), terminates rays on miss
     (adding sky) or backface, and continues with a cosine-sampled ray and
     albedo-scaled throughput — the reference's recursive closest-hit unrolled
-    (gltf_basic_pbr.slang:380-521)."""
+    (gltf_basic_pbr.slang:380-521). Hit shading mirrors the closest-hit shader
+    (slang:413-437): base color = texture.SampleLevel(uv, 0) * tint * vertex
+    color; roughness/metalness from the data texture; emission texture *
+    emission factor; sun term = Burley Fd, not plain Lambert."""
+    from androidrenderer_tpu.ops import texture as tex
+    from androidrenderer_tpu.ops.brdf import brdf
+    from androidrenderer_tpu.ops.post import srgb_to_linear
+
     h, w, _ = world_position.shape
     to_sun = -scene.sun_direction / jnp.linalg.norm(scene.sun_direction)
 
@@ -117,35 +234,81 @@ def rtgi(
     alive = valid.reshape(-1)
 
     for b in range(num_bounces):
-        hits = trace_rays(bvh, o, d, RAY_EPS, 1e30)
+        if masked:
+            hits = trace_rays_masked(bvh, scene, o, d, RAY_EPS, 1e30, active=alive)
+        else:
+            hits = trace_rays(bvh, o, d, RAY_EPS, 1e30)
         hit = (hits.slot >= 0) & alive
         slot = jnp.maximum(hits.slot, 0)
 
         # Hit-point attributes via the BVH slot -> triangle mapping.
         tri = jnp.maximum(bvh.slot_tri[slot], 0)
         tri_idx = scene.tri_indices[tri]  # (R, 3)
+        uu = hits.u[:, None]
+        vv = hits.v[:, None]
+        ww = 1.0 - uu - vv
         n0 = scene.normals[tri_idx[:, 0]]
         n1 = scene.normals[tri_idx[:, 1]]
         n2 = scene.normals[tri_idx[:, 2]]
-        uu = hits.u[:, None]
-        vv = hits.v[:, None]
-        hn = n0 * (1 - uu - vv) + n1 * uu + n2 * vv
+        hn = n0 * ww + n1 * uu + n2 * vv
         hn = hn / jnp.maximum(jnp.linalg.norm(hn, axis=-1, keepdims=True), 1e-9)
-        albedo = scene.mat_base_color[scene.tri_material[tri]][:, :3]
-        emission = scene.mat_emission[scene.tri_material[tri]]
+        vc = (
+            scene.colors[tri_idx[:, 0], :3] * ww
+            + scene.colors[tri_idx[:, 1], :3] * uu
+            + scene.colors[tri_idx[:, 2], :3] * vv
+        )
+        mat = scene.tri_material[tri]
+        base_f = scene.mat_base_color[mat][:, :3]
+        mr_f = scene.mat_metal_rough[mat]  # [metal, rough]
+        emission_f = scene.mat_emission[mat]
+        if use_textures:
+            huv = scene.uvs[tri_idx[:, 0]] * ww + scene.uvs[tri_idx[:, 1]] * uu + (
+                scene.uvs[tri_idx[:, 2]] * vv
+            )
+            tex_ids = scene.mat_texture_ids[mat]  # (R, 4)
+            lod0 = jnp.zeros((n_rays,), jnp.int32)
+
+            def samp(k):
+                t = tex_ids[:, k]
+                return tex.sample_bilinear(
+                    scene.textures, scene.tex_start[t], scene.tex_log2b[t],
+                    huv, lod0,
+                )
+
+            albedo = srgb_to_linear(samp(0)[:, :3]) * base_f * vc
+            mr_s = samp(2)
+            rough = jnp.clip(mr_s[:, 1] * mr_f[:, 1], 0.045, 1.0)
+            metal = mr_s[:, 2] * mr_f[:, 0]
+            emission = srgb_to_linear(samp(3)[:, :3]) * emission_f
+        else:
+            albedo = base_f * vc
+            rough = jnp.clip(mr_f[:, 1], 0.045, 1.0)
+            metal = mr_f[:, 0]
+            emission = emission_f
         hp = o + d * hits.t[:, None]
 
         # Backface hits (normal facing away from the ray origin) go black
         # (gltf_basic_pbr closest-hit).
         front = jnp.sum(hn * -d, axis=-1) > 0.0
 
-        # Direct sun at the hit (diffuse only) with a shadow ray.
+        # Direct sun at the hit: Burley Fd diffuse (slang:438 Fd()) + shadow ray.
         ndotl = jnp.clip(jnp.sum(hn * to_sun, axis=-1), 0.0, 1.0)
-        sh_occ = occlusion(
-            bvh, hp + hn * 0.02, jnp.broadcast_to(to_sun, hp.shape), RAY_EPS, 1e30
+        if masked:
+            sh_occ = occlusion_masked(
+                bvh, scene, hp + hn * 0.02, jnp.broadcast_to(to_sun, hp.shape),
+                RAY_EPS, 1e30, active=hit & front,
+            )
+        else:
+            sh_occ = occlusion(
+                bvh, hp + hn * 0.02, jnp.broadcast_to(to_sun, hp.shape), RAY_EPS,
+                1e30,
+            )
+        fd = brdf(
+            albedo, hn, metal[:, None], rough[:, None],
+            jnp.broadcast_to(to_sun, hp.shape), -d, diffuse_only=True,
         )
         sun_li = (
-            albedo / jnp.pi
+            fd
             * scene.sun_color[None, :]
             * (ndotl * jnp.where(sh_occ, 0.0, 1.0))[:, None]
             * sun_exposure

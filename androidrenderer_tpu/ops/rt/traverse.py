@@ -49,13 +49,24 @@ def trace_rays(
     tmax,
     any_hit: bool = False,
     max_steps: int = 512,
+    active: jnp.ndarray | None = None,  # (R,) bool — inactive rays report miss
+    slot_opaque: jnp.ndarray | None = None,  # (S,) bool — see below
 ) -> Hits:
-    """Closest-hit (or any-hit) trace of R rays."""
+    """Closest-hit (or any-hit) trace of R rays.
+
+    ``tmin`` may be per-ray (R,) — used by the alpha-test re-trace loop to peel
+    past ignored hits. ``slot_opaque`` changes any-hit semantics to match the
+    reference's masked any-hit shader (gltf_basic_pbr.slang:291-317): rays park
+    (terminate) only on OPAQUE hits; alpha-masked hits keep the closest-so-far
+    and continue, so the caller can alpha-test the committed hit and re-trace.
+    """
     r = origins.shape[0]
     m = bvh.node_min.shape[0]
     inv_d = 1.0 / jnp.where(directions == 0.0, 1e-30, directions)
 
     idx0 = jnp.zeros((r,), jnp.int32)
+    if active is not None:
+        idx0 = jnp.where(active, idx0, m)
     best_t = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
     best_slot = jnp.full((r,), -1, jnp.int32)
     best_u = jnp.zeros((r,), jnp.float32)
@@ -117,7 +128,12 @@ def trace_rays(
         nxt = jnp.where(descend, idx + 1, miss)
         nxt = jnp.where(active, nxt, idx)
         if any_hit:
-            nxt = jnp.where(best_slot >= 0, m, nxt)
+            committed = best_slot >= 0
+            if slot_opaque is not None:
+                # Park only on opaque hits; masked hits need the caller's
+                # alpha test (reference any-hit IgnoreHit path).
+                committed = committed & slot_opaque[jnp.maximum(best_slot, 0)]
+            nxt = jnp.where(committed, m, nxt)
         return step + 1, nxt, best_t, best_slot, best_u, best_v
 
     state = (jnp.int32(0), idx0, best_t, best_slot, best_u, best_v)

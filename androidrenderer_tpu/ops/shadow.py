@@ -229,8 +229,8 @@ def render_shadow_cascades(
     meshes this is exact, and it doubles the span-narrowed kernel's throughput."""
     if double_sided is None:
         double_sided = jnp.ones(tri_indices.shape[0], dtype=bool)
-    from androidrenderer_tpu.ops.raster.raster_fused import (
-        auto_slabs, rasterize_fused,
+    from androidrenderer_tpu.ops.raster.raster_binned import (
+        auto_slabs_binned, rasterize_binned,
     )
 
     def one_setup(mat):
@@ -253,17 +253,19 @@ def render_shadow_cascades(
                 setup_c, mc, cascades.matrices[i], resolution
             )
             maps.append(
-                rasterize_fused(
-                    setup_i, resolution, resolution,
-                    num_slabs=auto_slabs(resolution, resolution, depth_only=True),
+                # Window-binned kernel (round 3): same speed as the fused kernel
+                # at cascade scale (39.8 vs 39.3 ms standalone) but ~10x faster
+                # to Mosaic-compile — the fused kernel's 4 cascade instantiations
+                # were the bulk of the 1518 s raster-only config compile
+                # (BENCH_r02). Ortho: z is an affine plane — no per-touch
+                # divide. (Round-2 negative results for the fused kernel here:
+                # compact=True, win_h=8, XLA scatter-splat.)
+                rasterize_binned(
+                    setup_i, resolution, resolution, win_h=16,
+                    num_slabs=auto_slabs_binned(
+                        resolution, resolution, depth_only=True, win_h=16
+                    ),
                     depth_only=True,
-                    # Ortho: z is an affine plane — no per-touch divide. Measured
-                    # NET-NEGATIVE alternatives (round 2, v5e): compact=True (4x
-                    # 266k-row XLA gathers cost more than the skipped scans),
-                    # win_h=8 (base frame 278 -> 430 ms: per-touch cost is RMW
-                    # LATENCY, not vector width, and narrow windows multiply
-                    # touches), XLA scatter-splat hybrid (a 266k-row scatter-max
-                    # is ~25 ms by itself).
                     affine_z=True,
                     interpret=pallas_interpret,
                 )

@@ -38,6 +38,9 @@ from androidrenderer_tpu.ops.raster import (
 )
 from androidrenderer_tpu.ops.raster.binning import bin_triangles
 from androidrenderer_tpu.ops.raster.masked import rasterize_masked_peeled
+from androidrenderer_tpu.ops.raster.raster_binned import (
+    auto_slabs_binned, rasterize_binned,
+)
 from androidrenderer_tpu.ops.raster.raster_fused import (
     auto_slabs, rasterize_fused, rasterize_hybrid,
 )
@@ -283,6 +286,7 @@ def render_frame(
             scene.bvh, gbuf.world_position, gbuf.normal, gbuf.valid,
             scene.sun_direction, scene.sun_angular_size, temporal.frame_index,
             row_offset=row_offset,
+            scene=scene, masked=config.alpha_masking,
         )
     else:
         shadow = None
@@ -293,6 +297,7 @@ def render_frame(
             scene.bvh, gbuf.world_position, gbuf.normal, gbuf.valid,
             config.rtao_num_samples, params.rtao_max_distance, temporal.frame_index,
             row_offset=row_offset,
+            scene=scene, masked=config.alpha_masking,
         )
     elif config.ao_mode == AOMode.SSAO:
         if axis_name is not None:
@@ -314,11 +319,11 @@ def render_frame(
     if config.gi_mode == GIMode.LPV and full_features:
         def _gi_raster(setup_, hh, ww):
             if use_pallas and ww % 128 == 0:
-                # (win_h=8 and an XLA scatter-splat hybrid were both measured
-                # net-negative here — per-touch cost is RMW latency, not vector
-                # width; see shadow.py note.)
-                return rasterize_fused(
-                    setup_, hh, ww, num_slabs=auto_slabs(hh, ww),
+                # Window-binned kernel: parity speed with the fused kernel at
+                # RSM scale, ~10x faster Mosaic compile (see shadow.py note).
+                return rasterize_binned(
+                    setup_, hh, ww, win_h=16, cap=64,
+                    num_slabs=auto_slabs_binned(hh, ww, win_h=16),
                     interpret=config.pallas_interpret,
                 )
             th, tw = min(32, hh), min(128, ww)
@@ -360,6 +365,7 @@ def render_frame(
             temporal.probes, scene.bvh, scene, jnp.asarray(view.position),
             config.probe_grid, config.probe_spacing, config.probe_budget,
             config.probe_rays, temporal.frame_index, params.sun_exposure,
+            masked=config.alpha_masking, use_textures=config.use_base_textures,
         )
         irr = probe_ops.sample_probes(
             probes, gbuf.world_position, gbuf.normal, gbuf.valid,
@@ -374,6 +380,7 @@ def render_frame(
             jnp.asarray(view.inverse_view), p00, p11, temporal.frame_index,
             params.rtgi_exposure, params.sun_exposure,
             num_bounces=config.rtgi_num_bounces, row_offset=row_offset,
+            masked=config.alpha_masking, use_textures=config.use_base_textures,
         )
         # Screen-space reconstruction of the 1-spp signal (rtgi overlay filter),
         # then TAA-style temporal accumulation of the pre-albedo irradiance (the

@@ -1,0 +1,119 @@
+"""Window-binned Pallas kernel vs the XLA reduction rasterizer (interpret mode).
+
+Exercises the overflow-drain path (tiny cap), the batched drain (kb), win_h
+variants, and the affine-z ortho fast path — the binned kernel must be
+bit-compatible with raster_xla under the same tie-break rule (highest id wins
+at equal depth)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from androidrenderer_tpu.camera import Camera
+from androidrenderer_tpu.ops.raster import (
+    rasterize_depth,
+    rasterize_visibility,
+    transform_to_clip,
+    triangle_setup,
+)
+from androidrenderer_tpu.ops.raster.binning import bin_triangles
+from androidrenderer_tpu.ops.raster.raster_binned import rasterize_binned
+
+from test_raster import random_scene
+
+W, H = 128, 64
+
+
+def _setup_for(verts, tris, double_sided=True):
+    cam = Camera(fov_degrees=75.0, aspect=W / H, render_resolution=(W, H))
+    cam.set_position([0.0, 0.0, 0.0])
+    cam.yaw = np.pi
+    vd = cam.view_data()
+    clip = transform_to_clip(jnp.asarray(verts), jnp.asarray(vd.view_proj))
+    dbl = jnp.full((tris.shape[0],), double_sided)
+    return triangle_setup(clip, jnp.asarray(tris), W, H, double_sided=dbl)
+
+
+def _xla_ref(setup):
+    bins = bin_triangles(setup, H // 16, W // 128, 16, 128, cap=128)
+    depth = np.asarray(rasterize_depth(setup, bins, H, W, 16, 128, chunk=32))
+    vis = np.asarray(
+        rasterize_visibility(setup, bins, jnp.asarray(depth), 16, 128, chunk=32)
+    )
+    return depth, vis
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("double_sided", [True, False])
+@pytest.mark.parametrize("win_h", [8, 16])
+def test_binned_matches_xla(seed, double_sided, win_h):
+    verts, tris = random_scene(seed, n_tris=50)
+    setup = _setup_for(verts, tris, double_sided)
+    depth_ref, vis_ref = _xla_ref(setup)
+
+    depth, vis = rasterize_binned(
+        setup, H, W, num_slabs=2, chunk=32, cap=6, kb=4, win_h=win_h,
+        interpret=True,
+    )
+    depth, vis = np.asarray(depth), np.asarray(vis)
+
+    np.testing.assert_allclose(depth, depth_ref, rtol=1e-6, atol=1e-9)
+    disagree = vis != vis_ref
+    ulp_edges = depth != depth_ref
+    hard = disagree & ~ulp_edges
+    assert hard.sum() == 0, f"{hard.sum()} visibility mismatches off ULP edges"
+    assert disagree.mean() < 0.005
+
+
+def test_binned_overflow_drain():
+    # cap=2 forces constant overflow drains; result must be unchanged.
+    verts, tris = random_scene(2, n_tris=60)
+    setup = _setup_for(verts, tris, True)
+    depth_ref, vis_ref = _xla_ref(setup)
+    depth, vis = rasterize_binned(
+        setup, H, W, num_slabs=2, chunk=16, cap=2, kb=8, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(depth), depth_ref, rtol=1e-6, atol=1e-9)
+    disagree = np.asarray(vis) != vis_ref
+    assert (disagree & (np.asarray(depth) == depth_ref)).sum() == 0
+
+
+def test_binned_depth_only():
+    verts, tris = random_scene(3, n_tris=30)
+    setup = _setup_for(verts, tris)
+    bins = bin_triangles(setup, H // 16, W // 128, 16, 128, cap=128)
+    depth_ref = np.asarray(rasterize_depth(setup, bins, H, W, 16, 128, chunk=32))
+    depth = np.asarray(
+        rasterize_binned(
+            setup, H, W, num_slabs=2, chunk=32, depth_only=True, interpret=True
+        )
+    )
+    close = np.isclose(depth, depth_ref, rtol=1e-6, atol=1e-9)
+    assert close.mean() > 0.995
+    assert np.allclose(depth[close], depth_ref[close])
+
+
+def test_binned_affine_z_matches_fused():
+    """Ortho (shadow-style) projection: affine-z path vs the fused kernel."""
+    from androidrenderer_tpu.ops.raster.raster_fused import rasterize_fused
+
+    rng = np.random.default_rng(7)
+    verts = rng.uniform([-1.5, -1.5, 0.1], [1.5, 1.5, 0.9], (90, 3)).astype(
+        np.float32
+    )
+    tris = rng.integers(0, 90, (40, 3)).astype(np.int32)
+    # Ortho "clip" with w=1: x,y in [-1,1], z in (0,1).
+    clip = jnp.concatenate(
+        [jnp.asarray(verts), jnp.ones((90, 1), jnp.float32)], axis=1
+    )
+    setup = triangle_setup(clip, jnp.asarray(tris), W, H)
+
+    d_f = np.asarray(
+        rasterize_fused(setup, H, W, num_slabs=2, chunk=32, depth_only=True,
+                        affine_z=True, interpret=True)
+    )
+    d_b = np.asarray(
+        rasterize_binned(setup, H, W, num_slabs=2, chunk=32, depth_only=True,
+                         affine_z=True, interpret=True)
+    )
+    np.testing.assert_array_equal(d_b, d_f)
