@@ -101,6 +101,9 @@ class RenderConfig:
     use_mr_textures: bool = True
     use_emission: bool = True
     occlusion_culling: bool = True  # two-phase HiZ occlusion (depth_culling_phase)
+    # Half-rate GI/AO shading + joint bilateral 2x reconstruction — the VRS
+    # coarse-rate / CACAO multi-res analog (sampling_rate_calculator.cpp:26-124).
+    half_rate_gi: bool = True
     hiz_levels: int = 6
     alpha_masking: bool = True  # alpha-tested (MASK-mode) geometry via depth peeling
     alpha_peel_layers: int = 3
@@ -213,6 +216,15 @@ class RenderParams(NamedTuple):
     shadow_bias: jnp.ndarray
     # RTAO ray max distance cvar (ambient_occlusion_phase.cpp / rtao.comp.slang)
     rtao_max_distance: jnp.ndarray
+    # SSAO estimator knobs (the reference's CACAO radius/intensity cvars).
+    ssao_radius: jnp.ndarray
+    ssao_intensity: jnp.ndarray
+    ssao_bias: jnp.ndarray
+    # A-trous edge-stopping sigmas (RTGI denoiser).
+    atrous_sigma_z: jnp.ndarray
+    atrous_sigma_n: jnp.ndarray
+    # Irradiance-probe history blend (irradiance_cache hysteresis cvar).
+    probe_hysteresis: jnp.ndarray
 
     @staticmethod
     def default() -> "RenderParams":
@@ -225,4 +237,10 @@ class RenderParams(NamedTuple):
             bloom_strength=jnp.float32(0.014159),
             shadow_bias=jnp.float32(0.0005),
             rtao_max_distance=jnp.float32(8.0),
+            ssao_radius=jnp.float32(0.5),
+            ssao_intensity=jnp.float32(1.0),
+            ssao_bias=jnp.float32(0.02),
+            atrous_sigma_z=jnp.float32(0.02),
+            atrous_sigma_n=jnp.float32(16.0),
+            probe_hysteresis=jnp.float32(0.9),
         )

@@ -179,7 +179,14 @@ def extract_vpls(
     mask = jnp.take_along_axis(v4, pick[:, None], axis=1)[:, 0]
     # Scale: VPL count ratio (32^2 / 128^2) like vpl_injection.frag:36-52.
     scale = (32.0 * 32.0) / (r * r)
-    return gather(world_pos), gather(normal), gather(flux) * scale, mask
+    f = gather(flux) * scale
+    # HSV saturation x2 ("because yolo", vpl_injection.frag:39-42). The
+    # reference's rgb2hsv -> s*=2 -> hsv2rgb round trip reduces algebraically
+    # to rgb' = 2*rgb - max(rgb): hsv2rgb(v, s, hue_q) = v*(1 + s*(q - 1)), so
+    # doubling s gives 2*v*(1 + s*(q-1)) - v. Components may go negative for
+    # strongly saturated colors — the reference's unorm-free MRTs do the same.
+    f = 2.0 * f - jnp.max(f, axis=-1, keepdims=True)
+    return gather(world_pos), gather(normal), f, mask
 
 
 def inject(

@@ -59,8 +59,7 @@ REC = 24
 def _binned_kernel(
     count_ref,  # (1,) i32 scalar prefetch — live triangle count
     recs_ref,  # (1, 1, CHUNK*24) f32 SMEM, flat records
-    depth_ref,  # (slab_h, W) f32 VMEM
-    *rest,  # [vis_ref,] bins, counts, dirty, nd
+    *rest,  # [zlim_ref,] depth_ref, [vis_ref,] bins, counts, dirty, nd
     slab_h: int,
     width: int,
     chunk: int,
@@ -71,8 +70,11 @@ def _binned_kernel(
     win_h: int,
     unroll: int,
     debug_mode: int,
+    has_z_limit: bool,
 ):
     rest = list(rest)
+    zlim_ref = rest.pop(0) if has_z_limit else None
+    depth_ref = rest.pop(0)
     vis_ref = None if depth_only else rest.pop(0)
     bins_ref, counts_ref, dirty_ref, nd_ref = rest
 
@@ -105,7 +107,7 @@ def _binned_kernel(
     def rd(k, i):
         return recs_ref[0, 0, k * REC + i]
 
-    def fold_touches(row, col, cnt, zacc, vacc):
+    def fold_touches(row, col, cnt, zacc, vacc, zlim=None):
         """Fold a window's binned touches into register accumulators.
 
         The loop processes ``unroll`` touches per iteration: their evaluations
@@ -145,6 +147,10 @@ def _binned_kernel(
                 qv = rd(k, 12) * gx + rd(k, 13) * gy + rd(k, 14)
                 z = (rd(k, 15) * gx + rd(k, 16) * gy + rd(k, 17)) / qv
             cov = cov & (z > 0.0) & (z <= 1.0)
+            if zlim is not None:
+                # Depth-peeling upper bound: only fragments strictly behind the
+                # previous layer survive (reversed-Z: smaller z is farther).
+                cov = cov & (z < zlim)
             return jnp.where(cov, z, 0.0), chunk_base + k
 
         def comb(a, b):
@@ -181,11 +187,14 @@ def _binned_kernel(
         y = pl.multiple_of(row * win_h, win_h)
         x = pl.multiple_of(col * WIN_W, WIN_W)
         zacc = depth_ref[pl.ds(y, win_h), pl.ds(x, WIN_W)]
+        zlim = (
+            zlim_ref[pl.ds(y, win_h), pl.ds(x, WIN_W)] if has_z_limit else None
+        )
         vacc = (
             None if depth_only else vis_ref[pl.ds(y, win_h), pl.ds(x, WIN_W)]
         )
         if debug_mode == 0:
-            zacc, vacc = fold_touches(row, col, counts_ref[w], zacc, vacc)
+            zacc, vacc = fold_touches(row, col, counts_ref[w], zacc, vacc, zlim)
         depth_ref[pl.ds(y, win_h), pl.ds(x, WIN_W)] = zacc
         if not depth_only:
             vis_ref[pl.ds(y, win_h), pl.ds(x, WIN_W)] = vacc
@@ -207,22 +216,26 @@ def _binned_kernel(
                 y = pl.multiple_of(row * win_h, win_h)
                 x = pl.multiple_of(col * WIN_W, WIN_W)
                 if debug_mode == 1:  # Phase A cost only: no window traffic
-                    loaded.append((live, row, col, y, x, None, None))
+                    loaded.append((live, row, col, y, x, None, None, None))
                     continue
                 zacc = depth_ref[pl.ds(y, win_h), pl.ds(x, WIN_W)]
+                zlim = (
+                    zlim_ref[pl.ds(y, win_h), pl.ds(x, WIN_W)]
+                    if has_z_limit else None
+                )
                 vacc = (
                     None
                     if depth_only
                     else vis_ref[pl.ds(y, win_h), pl.ds(x, WIN_W)]
                 )
-                loaded.append((live, row, col, y, x, zacc, vacc))
+                loaded.append((live, row, col, y, x, zacc, vacc, zlim))
             results = []
             for j in range(kb):
-                live, row, col, y, x, zacc, vacc = loaded[j]
+                live, row, col, y, x, zacc, vacc, zlim = loaded[j]
                 w = row * ncols + col
                 cnt = jnp.where(live, jnp.maximum(counts_ref[w], 0), 0)
                 if debug_mode == 0:
-                    zacc, vacc = fold_touches(row, col, cnt, zacc, vacc)
+                    zacc, vacc = fold_touches(row, col, cnt, zacc, vacc, zlim)
                 elif debug_mode == 2:  # RMW traffic without the eval
                     zacc = zacc + cnt.astype(jnp.float32) * 1e-30
                 results.append((live, y, x, zacc, vacc))
@@ -404,6 +417,7 @@ def rasterize_binned(
     win_h: int = 8,
     unroll: int = 4,
     debug_mode: int = 0,  # 1 = Phase A only, 2 = window RMWs without eval
+    z_limit: jnp.ndarray | None = None,  # (H, W) reversed-Z upper bound (peel)
 ):
     """(depth (H, W) f32, vis (H, W) i32) — or depth only with depth_only=True.
 
@@ -465,6 +479,7 @@ def rasterize_binned(
         win_h=win_h,
         unroll=unroll,
         debug_mode=debug_mode,
+        has_z_limit=z_limit is not None,
     )
 
     out_shape = [jax.ShapeDtypeStruct((hp, width), jnp.float32)]
@@ -485,14 +500,26 @@ def rasterize_binned(
         pltpu.SMEM((nwin + 1,), jnp.int32),  # dirty window list (row<<4 | col)
         pltpu.SMEM((1,), jnp.int32),  # dirty count
     ]
+    in_specs = [
+        pl.BlockSpec(
+            (1, 1, chunk * REC), lambda s, c, *_: (c, 0, 0), memory_space=pltpu.SMEM
+        ),
+    ]
+    inputs = [records]
+    if z_limit is not None:
+        zl = z_limit
+        if zl.shape[0] != hp:
+            zl = jnp.pad(zl, ((0, hp - zl.shape[0]), (0, 0)))
+        in_specs.append(
+            pl.BlockSpec(
+                (slab_h, width), lambda s, c, *_: (s, 0), memory_space=pltpu.VMEM
+            )
+        )
+        inputs.append(zl)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_slabs, num_chunks),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, chunk * REC), lambda s, c, *_: (c, 0, 0), memory_space=pltpu.SMEM
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=scratch,
     )
@@ -502,7 +529,7 @@ def rasterize_binned(
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(count[None], records)
+    )(count[None], *inputs)
     if depth_only:
         return result[0][:height]
     return result[0][:height], result[1][:height]

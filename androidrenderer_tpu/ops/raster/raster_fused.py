@@ -28,7 +28,11 @@ span kernel, bit-identical visibility.
   Phase B (vector): drain staged touches in order: per touch, broadcast the
   triangle's 16 coefficients from the SMEM record chunk into (32, 128) coverage +
   depth evaluation, then one window RMW. Batches of KB touches evaluate before
-  their RMWs retire so vector work overlaps the serialized RMW chain.
+  their RMWs retire so vector work overlaps the serialized RMW chain. kb=2 is
+  the default: measured identical speed to kb=8 (the RMW latency wall does not
+  care about eval batching) and ~8x faster to Mosaic-compile (17 s vs ~130 s at
+  bench scale — the kb-unrolled drain body dominated BENCH_r02's 1518 s
+  raster-only config compile).
 
 Ascending (chunk, triangle, row, window) emission order + in-order draining keeps
 the tie-break identical to raster_xla: equal depth resolves to the highest id.
@@ -388,7 +392,7 @@ def rasterize_fused(
     num_slabs: int = 2,
     chunk: int = 1024,
     stage_cap: int = 2048,
-    kb: int = 8,
+    kb: int = 2,
     depth_only: bool = False,
     affine_z: bool = False,
     compact: bool = False,

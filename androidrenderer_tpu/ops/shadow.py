@@ -253,17 +253,18 @@ def render_shadow_cascades(
                 setup_c, mc, cascades.matrices[i], resolution
             )
             maps.append(
-                # Window-binned kernel (round 3): same speed as the fused kernel
-                # at cascade scale (39.8 vs 39.3 ms standalone) but ~10x faster
-                # to Mosaic-compile — the fused kernel's 4 cascade instantiations
-                # were the bulk of the 1518 s raster-only config compile
-                # (BENCH_r02). Ortho: z is an affine plane — no per-touch
-                # divide. (Round-2 negative results for the fused kernel here:
-                # compact=True, win_h=8, XLA scatter-splat.)
+                # Window-binned kernel (round 3): beats the fused kernel at
+                # cascade scale (36.7 vs 39.3 ms standalone) and Mosaic-compiles
+                # in ~6 s vs ~130 — the fused kernel's cascade instantiation was
+                # the bulk of the 1518 s raster-only config compile (BENCH_r02).
+                # Ortho: z is an affine plane — no per-touch divide. (Round-2
+                # negative results for the fused kernel here: compact=True,
+                # win_h=8, XLA scatter-splat.)
                 rasterize_binned(
-                    setup_i, resolution, resolution, win_h=16,
+                    setup_i, resolution, resolution,
+                    win_h=32, cap=8, kb=4, unroll=2,
                     num_slabs=auto_slabs_binned(
-                        resolution, resolution, depth_only=True, win_h=16
+                        resolution, resolution, depth_only=True, win_h=32
                     ),
                     depth_only=True,
                     affine_z=True,

@@ -26,6 +26,16 @@ def row_halo(x: jnp.ndarray, halo: int, axis_name: str, wrap: bool) -> jnp.ndarr
         return jnp.concatenate(
             [jnp.repeat(x[:1], halo, 0), x, jnp.repeat(x[-1:], halo, 0)], axis=0
         )
+    if halo > x.shape[0]:
+        # The halo spans more than one neighbor band (tiny bands / half-rate
+        # grids): assemble from the all_gathered frame instead — x[-halo:] of a
+        # short band would silently under-fill a single-hop exchange.
+        full = gather_rows(x, axis_name)
+        h_full = full.shape[0]
+        start = jax.lax.axis_index(axis_name) * x.shape[0]
+        rows = start + jnp.arange(-halo, x.shape[0] + halo)
+        rows = rows % h_full if wrap else jnp.clip(rows, 0, h_full - 1)
+        return full[rows]
     fwd = [(i, (i + 1) % n) for i in range(n)]  # data moves to the next band
     bwd = [((i + 1) % n, i) for i in range(n)]
     top = jax.lax.ppermute(x[-halo:], axis_name, fwd)  # previous band's bottom rows

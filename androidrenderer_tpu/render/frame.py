@@ -133,8 +133,13 @@ def render_frame(
     )
     def _raster_full(su):
         if use_pallas:
-            return rasterize_fused(
-                su, h, w, num_slabs=auto_slabs(h, w),
+            # Window-binned kernel, 32-row windows (round 3): 65.4 vs 69.3 ms
+            # standalone against the fused kernel at bench scale, and ~2x
+            # faster to Mosaic-compile. raster_fused stays as the fallback
+            # (tools/bench_raster.py compares them).
+            return rasterize_binned(
+                su, h, w, win_h=32, cap=14, kb=8, unroll=2,
+                num_slabs=auto_slabs_binned(h, w, win_h=32),
                 interpret=config.pallas_interpret,
             )
         bins = bin_triangles(
@@ -198,6 +203,7 @@ def render_frame(
             scene, setup_m, depth, vis, config.tile_height, config.tile_width,
             cap=config.max_tris_per_tile, layers=config.alpha_peel_layers,
             row_offset=row_offset,
+            use_pallas=use_pallas, pallas_interpret=config.pallas_interpret,
         )
 
     # --- gbuffer resolve ------------------------------------------------------------
@@ -300,18 +306,51 @@ def render_frame(
             scene=scene, masked=config.alpha_masking,
         )
     elif config.ao_mode == AOMode.SSAO:
+        # Half-rate shading (config.half_rate_gi): SSAO runs on the [::2, ::2]
+        # grid and reconstructs with a joint bilateral 2x upsample — the CACAO
+        # multi-res/VRS-coarse-rate analog (ambient_occlusion_phase.cpp:191-355,
+        # sampling_rate_calculator.cpp:26-124). Band sharding subsamples rows
+        # identically (band heights stay even), so sharded output remains
+        # bit-identical to the single-device frame.
+        half_gi = config.half_rate_gi and not vrsaa and h % 2 == 0 and w % 2 == 0
+        sub = (
+            (lambda a: a[::2, ::2]) if half_gi else (lambda a: a)
+        )
+        wp_h, n_h, v_h = sub(gbuf.world_position), sub(gbuf.normal), sub(gbuf.valid)
         if axis_name is not None:
-            # SSAO taps reach +-9 rows; halo-extend the inputs so band rendering
-            # reproduces the full-frame roll (wrap) neighborhoods exactly.
+            # SSAO taps reach +-9 rows (of its own grid); halo-extend so band
+            # rendering reproduces the full-frame roll (wrap) neighborhoods.
             halo = 9
             gb_h = gbuf._replace(
-                world_position=coll.row_halo(gbuf.world_position, halo, axis_name, wrap=True),
-                normal=coll.row_halo(gbuf.normal, halo, axis_name, wrap=True),
-                valid=coll.row_halo(gbuf.valid, halo, axis_name, wrap=True),
+                world_position=coll.row_halo(wp_h, halo, axis_name, wrap=True),
+                normal=coll.row_halo(n_h, halo, axis_name, wrap=True),
+                valid=coll.row_halo(v_h, halo, axis_name, wrap=True),
             )
-            ao = lighting.ssao(gb_h, jnp.asarray(view.position), view.z_near)[halo:-halo]
+            ao = lighting.ssao(
+                gb_h, jnp.asarray(view.position), view.z_near,
+                radius=params.ssao_radius, bias=params.ssao_bias,
+                intensity=params.ssao_intensity,
+            )[halo:-halo]
         else:
-            ao = lighting.ssao(gbuf, jnp.asarray(view.position), view.z_near)
+            gb_h = gbuf._replace(world_position=wp_h, normal=n_h, valid=v_h)
+            ao = lighting.ssao(
+                gb_h, jnp.asarray(view.position), view.z_near,
+                radius=params.ssao_radius, bias=params.ssao_bias,
+                intensity=params.ssao_intensity,
+            )
+        if half_gi:
+            from androidrenderer_tpu.ops.upsample import bilateral_upsample_2x
+
+            d_h = sub(depth)
+            if axis_name is not None:
+                ao = bilateral_upsample_2x(
+                    coll.row_halo(ao, 1, axis_name, wrap=False),
+                    coll.row_halo(d_h, 1, axis_name, wrap=False),
+                    coll.row_halo(n_h, 1, axis_name, wrap=False),
+                    depth, gbuf.normal, row_halo=1,
+                )
+            else:
+                ao = bilateral_upsample_2x(ao, d_h, n_h, depth, gbuf.normal)
     else:
         ao = None
 
@@ -355,10 +394,37 @@ def render_frame(
             config.lpv_behind_camera_percent,
             scene_view_surfels=sv, use_base_textures=config.use_base_textures,
         )
-        gi = lpv_ops.apply_lpv(
-            volumes, gbuf.world_position, gbuf.normal, gbuf.base_color, gbuf.valid,
-            params.lpv_exposure * params.sun_exposure,
-        )
+        half_gi = config.half_rate_gi and not vrsaa and h % 2 == 0 and w % 2 == 0
+        if half_gi:
+            # Half-rate LPV apply (VRS coarse-rate analog): fetch+evaluate the
+            # SH volume on the [::2, ::2] grid with unit albedo, bilaterally
+            # upsample the irradiance, then modulate by FULL-res base color so
+            # texture detail stays sharp.
+            from androidrenderer_tpu.ops.upsample import bilateral_upsample_2x
+
+            wp_h = gbuf.world_position[::2, ::2]
+            n_h = gbuf.normal[::2, ::2]
+            irr_h = lpv_ops.apply_lpv(
+                volumes, wp_h, n_h,
+                jnp.ones_like(wp_h), gbuf.valid[::2, ::2],
+                params.lpv_exposure * params.sun_exposure,
+            )
+            d_h = depth[::2, ::2]
+            if axis_name is not None:
+                irr = bilateral_upsample_2x(
+                    coll.row_halo(irr_h, 1, axis_name, wrap=False),
+                    coll.row_halo(d_h, 1, axis_name, wrap=False),
+                    coll.row_halo(n_h, 1, axis_name, wrap=False),
+                    depth, gbuf.normal, row_halo=1,
+                )
+            else:
+                irr = bilateral_upsample_2x(irr_h, d_h, n_h, depth, gbuf.normal)
+            gi = irr * gbuf.base_color
+        else:
+            gi = lpv_ops.apply_lpv(
+                volumes, gbuf.world_position, gbuf.normal, gbuf.base_color,
+                gbuf.valid, params.lpv_exposure * params.sun_exposure,
+            )
     elif config.gi_mode == GIMode.PROBES and full_features:
         # DDGI-style budgeted probe cache (irradiance_cache.cpp:496-724).
         probes = probe_ops.update_probes(
@@ -366,6 +432,7 @@ def render_frame(
             config.probe_grid, config.probe_spacing, config.probe_budget,
             config.probe_rays, temporal.frame_index, params.sun_exposure,
             masked=config.alpha_masking, use_textures=config.use_base_textures,
+            hysteresis=params.probe_hysteresis,
         )
         irr = probe_ops.sample_probes(
             probes, gbuf.world_position, gbuf.normal, gbuf.valid,
@@ -387,7 +454,10 @@ def render_frame(
         # vendor-denoiser slot; ops/denoise.py).
         from androidrenderer_tpu.ops.denoise import atrous_filter, temporal_accumulate
 
-        irr = atrous_filter(irr, depth, gbuf.normal, gbuf.valid)
+        irr = atrous_filter(
+            irr, depth, gbuf.normal, gbuf.valid,
+            sigma_z=params.atrous_sigma_z, sigma_n=params.atrous_sigma_n,
+        )
         if not vrsaa:  # VRSAA shades at coarse res; history shapes do not match
             mv_gi = taa_ops.motion_vectors(
                 gbuf.world_position, gbuf.valid,

@@ -75,9 +75,15 @@ class MeshStorage:
         if normals is None:
             normals = _compute_vertex_normals(positions, indices)
         if tangents is None:
-            tangents = np.zeros((v, 4), dtype=np.float32)
-            tangents[:, 0] = 1.0
-            tangents[:, 3] = 1.0
+            if uvs is not None:
+                tangents = _compute_vertex_tangents(
+                    positions, np.asarray(normals, np.float32),
+                    np.asarray(uvs, np.float32), indices,
+                )
+            else:
+                tangents = np.zeros((v, 4), dtype=np.float32)
+                tangents[:, 0] = 1.0
+                tangents[:, 3] = 1.0
         if uvs is None:
             uvs = np.zeros((v, 2), dtype=np.float32)
         if colors is None:
@@ -149,6 +155,45 @@ class MeshStorage:
         n = cross[picks]
         n = n / np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-12)
         return np.concatenate([pos, n], axis=1).astype(np.float32)
+
+
+def _compute_vertex_tangents(
+    positions: np.ndarray, normals: np.ndarray, uvs: np.ndarray,
+    indices: np.ndarray,
+) -> np.ndarray:
+    """UV-aligned smooth tangents (xyz + handedness w) for meshes authored
+    without a TANGENT stream — the standard per-triangle UV-gradient
+    accumulation (what gltfpack/MikkTSpace produce up to smoothing details).
+    Needed for normal mapping: a constant fallback tangent degenerates on
+    faces whose normal is parallel to it."""
+    v = positions.shape[0]
+    tris = indices.reshape(-1, 3)
+    p0, p1, p2 = (positions[tris[:, k]] for k in range(3))
+    u0, u1, u2 = (uvs[tris[:, k]] for k in range(3))
+    e1, e2 = p1 - p0, p2 - p0
+    d1, d2 = u1 - u0, u2 - u0
+    det = d1[:, 0] * d2[:, 1] - d2[:, 0] * d1[:, 1]
+    r = np.where(np.abs(det) > 1e-12, 1.0 / np.where(det == 0, 1, det), 0.0)
+    t = (e1 * d2[:, 1:2] - e2 * d1[:, 1:2]) * r[:, None]
+    b = (e2 * d1[:, 0:1] - e1 * d2[:, 0:1]) * r[:, None]
+    acc_t = np.zeros((v, 3), np.float64)
+    acc_b = np.zeros((v, 3), np.float64)
+    for k in range(3):
+        np.add.at(acc_t, tris[:, k], t)
+        np.add.at(acc_b, tris[:, k], b)
+    n = normals.astype(np.float64)
+    # Gram-Schmidt against the vertex normal.
+    tang = acc_t - n * np.sum(acc_t * n, axis=1, keepdims=True)
+    ln = np.linalg.norm(tang, axis=1, keepdims=True)
+    bad = ln[:, 0] < 1e-8
+    # Degenerate UVs: any stable perpendicular to n.
+    alt = np.cross(n, np.array([0.0, 1.0, 0.0]))
+    alt2 = np.cross(n, np.array([1.0, 0.0, 0.0]))
+    alt = np.where(np.linalg.norm(alt, axis=1, keepdims=True) > 1e-6, alt, alt2)
+    tang = np.where(bad[:, None], alt, tang / np.where(ln < 1e-8, 1, ln))
+    tang /= np.maximum(np.linalg.norm(tang, axis=1, keepdims=True), 1e-12)
+    w = np.where(np.sum(np.cross(n, tang) * acc_b, axis=1) < 0.0, -1.0, 1.0)
+    return np.concatenate([tang, w[:, None]], axis=1).astype(np.float32)
 
 
 def _compute_vertex_normals(positions: np.ndarray, indices: np.ndarray) -> np.ndarray:

@@ -150,6 +150,38 @@ def noise_texture(size=64, seed=0, base=(180, 140, 100), amp=40):
     return img
 
 
+def normal_map_texture(size=64, seed=5, strength=2.5):
+    """Tangent-space normal map from low-pass height noise (Sponza-style
+    surface detail for the bench scene's material census honesty)."""
+    rng = np.random.default_rng(seed)
+    h = rng.normal(0, 1, (size, size))
+    for _ in range(3):  # cheap separable blur -> smooth bumps
+        h = (h + np.roll(h, 1, 0) + np.roll(h, -1, 0)
+             + np.roll(h, 1, 1) + np.roll(h, -1, 1)) / 5.0
+    dx = (np.roll(h, -1, 1) - np.roll(h, 1, 1)) * strength
+    dy = (np.roll(h, -1, 0) - np.roll(h, 1, 0)) * strength
+    n = np.stack([-dx, -dy, np.ones_like(h)], axis=-1)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    img = np.zeros((size, size, 4), np.uint8)
+    img[..., :3] = np.clip((n * 0.5 + 0.5) * 255.0, 0, 255).astype(np.uint8)
+    img[..., 3] = 255
+    return img
+
+
+def mr_texture(size=64, seed=6):
+    """Metallic-roughness texture (G=roughness, B=metalness — the glTF/gbuffer
+    channel convention): banded roughness with sparse metallic flecks."""
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    rough = 0.55 + 0.4 * np.sin(x * 21.0) * np.sin(y * 13.0)
+    metal = (rng.uniform(0, 1, (size, size)) > 0.92).astype(np.float32)
+    img = np.zeros((size, size, 4), np.uint8)
+    img[..., 1] = np.clip(rough * 255.0, 0, 255).astype(np.uint8)
+    img[..., 2] = (metal * 255).astype(np.uint8)
+    img[..., 3] = 255
+    return img
+
+
 def foliage_alpha_texture(size=64, seed=1):
     """Blotchy alpha texture for alpha-mask testing (AlphaTest.gltf analog)."""
     rng = np.random.default_rng(seed)
@@ -267,11 +299,28 @@ def courtyard_scene(column_rings: int = 3, detail: int = 3) -> RenderScene:
     col_tex = mats.add_texture(noise_texture(128, 3, (210, 200, 185), 15))
     drape_tex = mats.add_texture(checker_texture(64, 4, (160, 30, 30), (120, 15, 15)))
 
+    # Normal-mapped + metal-rough-textured materials and alpha-masked foliage
+    # below give the bench scene Sponza's material census (gltf_model.cpp:173-287:
+    # normal maps on most surfaces, MR textures, alpha-tested plants) so the
+    # headline frame exercises the peel loop and the 2-gather normal/MR fetches.
+    wall_nrm = mats.add_texture(normal_map_texture(128, 5, 2.5))
+    floor_mr = mats.add_texture(mr_texture(128, 6))
+    foliage_tex = mats.add_texture(foliage_alpha_texture(64, 7))
     floor_mat = mats.add_material(
-        Material(np.ones(4, np.float32), base_color_texture=floor_tex, roughness_factor=0.8)
+        Material(np.ones(4, np.float32), base_color_texture=floor_tex,
+                 roughness_factor=0.8, normal_texture=wall_nrm,
+                 metal_rough_texture=floor_mr)
     )
     wall_mat = mats.add_material(
-        Material(np.ones(4, np.float32), base_color_texture=wall_tex, roughness_factor=0.9)
+        Material(np.ones(4, np.float32), base_color_texture=wall_tex,
+                 roughness_factor=0.9, normal_texture=wall_nrm)
+    )
+    foliage_mat = mats.add_material(
+        Material(
+            np.ones(4, np.float32), base_color_texture=foliage_tex,
+            alpha_mode=ALPHA_MASK, alpha_cutoff=0.5, double_sided=True,
+            roughness_factor=1.0,
+        )
     )
     col_mat = mats.add_material(
         Material(np.ones(4, np.float32), base_color_texture=col_tex, roughness_factor=0.6)
@@ -305,6 +354,8 @@ def courtyard_scene(column_rings: int = 3, detail: int = 3) -> RenderScene:
     capital = ms.add_mesh(bp, bi, bn, uvs=bu)
     dp, di, dn, du = plane_mesh(2.5, 3.5, subdiv=sub)
     drape = ms.add_mesh(dp, di, dn, uvs=du)
+    hp_, hi_, hn_, hu_ = plane_mesh(2.4, 1.6, subdiv=sub)
+    hedge = ms.add_mesh(hp_, hi_, hn_, uvs=hu_)
     sp, si, sn_, su = box_mesh(0.8, 0.8, 0.8, subdiv=detail)
     ornament = ms.add_mesh(sp, si, sn_, uvs=su)
 
@@ -331,11 +382,26 @@ def courtyard_scene(column_rings: int = 3, detail: int = 3) -> RenderScene:
                 scene.add_primitive(
                     drape, drape_mat, transform((x + 1.5, 3.5, z), ry=0.0) @ rot_x90()
                 )
+            else:
+                # Alpha-masked hedge between columns (Sponza's plant pots):
+                # ~12% of scene triangles end up MASK-mode at bench detail.
+                scene.add_primitive(
+                    hedge, foliage_mat,
+                    transform((x + 1.5, 0.8, z), ry=0.0) @ rot_x90(),
+                )
     for _ in range(10):
         x, z = rng.uniform(-9, 9), rng.uniform(-5, 5)
         scene.add_primitive(
             ornament, gold_mat, transform((x, 0.4, z), ry=rng.uniform(0, 3.14))
         )
+    # Ivy rows along the long walls — pushes the masked share to ~13% of
+    # triangles (Sponza's alpha-tested plant fraction).
+    for k in range(8):
+        x = -10.5 + k * 3.0
+        for z in (-7.4, 7.4):
+            scene.add_primitive(
+                hedge, foliage_mat, transform((x, 0.8, z), ry=0.0) @ rot_x90()
+            )
 
     scene.set_sun([0.35, -1.0, 0.25], [1.0, 0.96, 0.88], 110_000.0)
     return scene

@@ -165,10 +165,12 @@ def shade_reference(
     shadow_resolution: int,
     sun_exposure: float = 0.00031415927,
     bias_scale: float = 0.0005,
+    use_normal_maps: bool = True,
+    use_mr_textures: bool = True,
 ):
     """(H, W, 3) u8 — full direct-light frame, independently implemented."""
     # ---- flatten the scene to world-space triangles (float64) ----
-    pos_l, nrm_l, col_l, uv_l, tri_l, mat_l = [], [], [], [], [], []
+    pos_l, nrm_l, tan_l, col_l, uv_l, tri_l, mat_l = [], [], [], [], [], [], []
     vbase = 0
     for prim in render_scene.primitives:
         mesh = render_scene.meshes.meshes[prim.mesh_id]
@@ -179,6 +181,11 @@ def shade_reference(
         nmat = np.linalg.inv(m[:3, :3]).T
         n = render_scene.meshes.normals[s:e].astype(np.float64) @ nmat.T
         nrm_l.append(_normalize(n))
+        tan = render_scene.meshes.tangents[s:e].astype(np.float64)
+        txyz = tan[:, :3] @ m[:3, :3].T
+        tl = np.linalg.norm(txyz, axis=1, keepdims=True)
+        txyz = np.where(tl > 1e-12, txyz / np.maximum(tl, 1e-12), txyz)
+        tan_l.append(np.concatenate([txyz, tan[:, 3:4]], axis=1))
         col_l.append(render_scene.meshes.colors[s:e].astype(np.float64))
         uv_l.append(render_scene.meshes.uvs[s:e].astype(np.float64))
         t = render_scene.meshes.mesh_triangles(prim.mesh_id) - mesh.first_vertex
@@ -187,6 +194,7 @@ def shade_reference(
         vbase += mesh.num_vertices
     positions = np.concatenate(pos_l)
     normals = np.concatenate(nrm_l)
+    tangents = np.concatenate(tan_l)
     colors = np.concatenate(col_l)
     uvs = np.concatenate(uv_l)
     tris = np.concatenate(tri_l)
@@ -232,8 +240,44 @@ def shade_reference(
             sample_texture_trilinear(images[ti], uv_px, lod)[..., :3]
         )[mask]
     base = base * tex_px
-    metal = metal_f[mat_px][..., None]
-    rough = np.clip(rough_f[mat_px][..., None], 0.045, 1.0)
+
+    def sample_mat_texture(tex_ids, int_lod=True):
+        """Per-material texture sample at the analytic LOD (floored for the
+        non-color channels, matching the production resolve)."""
+        out = np.zeros(uv_px.shape[:2] + (4,))
+        ids = tex_ids[mat_px]
+        for ti in np.unique(ids):
+            mask = ids == ti
+            lod = lod_uv + np.log2(images[ti].shape[0])
+            if int_lod:
+                lod = np.floor(lod)
+            out[mask] = sample_texture_trilinear(images[ti], uv_px, lod)[mask]
+        return out
+
+    # Normal mapping (gltf_basic_pbr.slang TBN path; resolve_gbuffer analog).
+    if use_normal_maps:
+        nrm_of = np.array([m.normal_texture for m in mats])
+        ns = sample_mat_texture(nrm_of)
+        n_ts = ns[..., :3] * 2.0 - 1.0
+        tan_px = np.sum(tangents[idx] * lam, axis=-2)
+        t_vec = tan_px[..., :3]
+        t_len2 = np.sum(t_vec * t_vec, axis=-1, keepdims=True)
+        has_t = t_len2 > 1e-8
+        t_vec = np.where(has_t, t_vec / np.sqrt(np.maximum(t_len2, 1e-12)), 0.0)
+        b_vec = np.cross(n_px, t_vec) * tan_px[..., 3:4]
+        mapped = _normalize(
+            t_vec * n_ts[..., 0:1] + b_vec * n_ts[..., 1:2] + n_px * n_ts[..., 2:3]
+        )
+        n_px = np.where(has_t, mapped, n_px)
+
+    if use_mr_textures:
+        mr_of = np.array([m.metal_rough_texture for m in mats])
+        mr_s = sample_mat_texture(mr_of)
+        rough = np.clip(mr_s[..., 1:2] * rough_f[mat_px][..., None], 0.045, 1.0)
+        metal = np.clip(mr_s[..., 2:3] * metal_f[mat_px][..., None], 0.0, 1.0)
+    else:
+        metal = metal_f[mat_px][..., None]
+        rough = np.clip(rough_f[mat_px][..., None], 0.045, 1.0)
     emission = emis_f[mat_px]
 
     # ---- CSM shadow (independent sampling math) ----

@@ -91,11 +91,18 @@ def main():
         return run
 
     kernels = {}
-    if "fused" in args.kernels:
-        kernels["fused(prod)"] = lambda su: rasterize_fused(
-            su, h, w, num_slabs=auto_slabs(h, w, depth_only=depth_only),
-            depth_only=depth_only, affine_z=affine,
-        )
+    for name in args.kernels.split(","):
+        if name == "fused":
+            kernels["fused(prod)"] = lambda su: rasterize_fused(
+                su, h, w, num_slabs=auto_slabs(h, w, depth_only=depth_only),
+                depth_only=depth_only, affine_z=affine,
+            )
+        elif name.startswith("fusedkb"):
+            kb = int(name[7:])
+            kernels[name] = lambda su, kb=kb: rasterize_fused(
+                su, h, w, num_slabs=auto_slabs(h, w, depth_only=depth_only),
+                depth_only=depth_only, affine_z=affine, kb=kb,
+            )
     for name in args.kernels.split(","):
         if name.startswith("binned"):
             parts = name[6:].split(":")
