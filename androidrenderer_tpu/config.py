@@ -107,6 +107,14 @@ class RenderConfig:
     hiz_levels: int = 6
     alpha_masking: bool = True  # alpha-tested (MASK-mode) geometry via depth peeling
     alpha_peel_layers: int = 3
+    # In-kernel alpha testing from baked 16x16 barycentric alpha bitmaps
+    # (scene.tri_alpha_grid): masked geometry resolves in ONE raster pass with
+    # no peel layers or per-layer texture gathers (the peel loop measured
+    # ~700 ms/frame at Sponza-class masked loads). DIVERGENCE: alpha is
+    # evaluated on a per-triangle lattice baked at texture LOD 0 rather than
+    # per-pixel with screen derivatives — indistinguishable for foliage-scale
+    # triangles; set False for the exact peeled path (always used off-TPU).
+    alpha_bitmap: bool = True
     translucency: bool = True  # BLEND-mode geometry: peeled + back-to-front composite
     translucent_layers: int = 2
     raster_backend: RasterBackend = RasterBackend.PALLAS

@@ -174,7 +174,9 @@ def resolve_gbuffer(
 
     if use_base_textures:
         s0, b0, lod0 = slot(0)
-        base_s = tex.sample_trilinear(scene.textures, s0, b0, uv, lod0)
+        # Single-gather trilinear (the mip-pair pool rows); a second 2M-row
+        # gather costs ~27-45 ms/frame.
+        base_s = tex.sample_trilinear_fused(scene.textures, s0, b0, uv, lod0)
         base_rgb = srgb_to_linear(base_s[..., :3])
     else:
         base_rgb = 1.0
@@ -184,8 +186,10 @@ def resolve_gbuffer(
     # without normal maps, like the reference's shader variants.
     if use_normal_maps:
         s1, b1, lod1 = slot(1)
-        nrm_s = tex.sample_trilinear(
-            scene.textures, s1, b1, uv, jnp.floor(lod1),
+        # Integer-LOD slots sample bilinear — sample_trilinear with a floored
+        # lod still issued a second (zero-weight) gather.
+        nrm_s = tex.sample_bilinear(
+            scene.textures, s1, b1, uv, jnp.floor(lod1).astype(jnp.int32),
         )
         n_ts = nrm_s[..., :3] * 2.0 - 1.0
         t = tan4[..., :3]
@@ -204,7 +208,9 @@ def resolve_gbuffer(
     # the same channels the reference's gbuffer data target carries.
     if use_mr_textures:
         s2, b2, lod2 = slot(2)
-        mr_s = tex.sample_trilinear(scene.textures, s2, b2, uv, jnp.floor(lod2))
+        mr_s = tex.sample_bilinear(
+            scene.textures, s2, b2, uv, jnp.floor(lod2).astype(jnp.int32)
+        )
         roughness = (mr_s[..., 1:2]) * rough_f
         metalness = (mr_s[..., 2:3]) * metal_f
     else:
@@ -213,7 +219,9 @@ def resolve_gbuffer(
 
     if use_emission:
         s3, b3, lod3 = slot(3)
-        em_s = tex.sample_trilinear(scene.textures, s3, b3, uv, jnp.floor(lod3))
+        em_s = tex.sample_bilinear(
+            scene.textures, s3, b3, uv, jnp.floor(lod3).astype(jnp.int32)
+        )
         emission = srgb_to_linear(em_s[..., :3]) * emission_f
     else:
         emission = jnp.zeros_like(base_color)

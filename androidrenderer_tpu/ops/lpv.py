@@ -309,6 +309,9 @@ def propagate(
     # rolls by +1 (bringing index i-1 to i).
     c_n = radiance.shape[0]
     r = radiance.shape[-1]
+    if r & (r - 1):
+        raise ValueError(f"LPV resolution {r} must be a power of two (the "
+                         "flat-roll edge masks are iota-AND based)")
     rad_f = radiance.reshape(c_n, 3, 4, r, r * r)
     gv_f = gv.reshape(c_n, 4, r, r * r)
     col = jax.lax.broadcasted_iota(jnp.int32, (r * r,), 0)

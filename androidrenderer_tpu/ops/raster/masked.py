@@ -57,21 +57,72 @@ def _triangle_lod_uv(scene: SceneArrays, setup: TriangleSetup) -> jnp.ndarray:
     return tex.compute_lod_uv(duvdx, duvdy)
 
 
-def _sample_alpha(scene: SceneArrays, setup: TriangleSetup, vis, row_offset=0):
-    """Base-color alpha x factor at the winning fragments (computed LOD)."""
-    bary = compute_barycentrics(vis, setup, scene.tri_indices, row_offset)
-    lam = bary.lam[..., None]
-    uv = jnp.sum(scene.uvs[bary.vertex_ids] * lam, axis=-2)
+def pack_alpha_planes(scene: SceneArrays, setup: TriangleSetup) -> jnp.ndarray:
+    """(N, 13) per-triangle rows for single-gather alpha evaluation:
+    uv-plane coefficients (6) + s-plane (3) + packed texture meta (1) +
+    triangle LOD (1) + alpha factor (1) + cutoff (1). The round-3 bench showed
+    the barycentric path's per-layer gathers dominating the peel loop (several
+    2M-row gathers per layer at ~27-45 ms each); this packs everything into
+    ONE row gather + one texture gather per layer."""
+    from androidrenderer_tpu.scene.material_storage import START_ALIGN
+
+    idx = scene.tri_indices
+    uvs = scene.uvs
+    e = setup.edge  # (N, 3, 3)
+    f = (
+        e[:, 0, :, None] * uvs[idx[:, 0]][:, None, :]
+        + e[:, 1, :, None] * uvs[idx[:, 1]][:, None, :]
+        + e[:, 2, :, None] * uvs[idx[:, 2]][:, None, :]
+    )  # (N, 3, 2)
+    s_plane = jnp.sum(e, axis=1)  # (N, 3)
+    mat = scene.tri_material
+    tex_id = scene.mat_texture_ids[mat][:, 0]
+    meta = (scene.tex_start[tex_id] // START_ALIGN) * 16 + scene.tex_log2b[tex_id]
+    lod_tri = _triangle_lod_uv(scene, setup)
+    n = idx.shape[0]
+    return jnp.concatenate(
+        [
+            f[:, :, 0], f[:, :, 1], s_plane,
+            meta.astype(jnp.float32)[:, None],
+            lod_tri[:, None],
+            scene.mat_base_color[mat][:, 3:4],
+            scene.mat_alpha[mat][:, 1:2],
+        ],
+        axis=1,
+    ).astype(jnp.float32)
+
+
+def _sample_alpha(
+    scene: SceneArrays, setup: TriangleSetup, vis, row_offset=0,
+    alpha_planes: jnp.ndarray | None = None,
+):
+    """Base-color alpha x factor at the winning fragments (computed LOD).
+
+    Pass ``alpha_planes`` (pack_alpha_planes, reused across peel layers) to
+    evaluate with ONE row gather + one texture gather."""
+    from androidrenderer_tpu.scene.material_storage import START_ALIGN
+
+    if alpha_planes is None:
+        alpha_planes = pack_alpha_planes(scene, setup)
     tid = jnp.maximum(vis, 0)
-    mat = scene.tri_material[tid]
-    tex_id = scene.mat_texture_ids[mat][..., 0]
-    start = scene.tex_start[tex_id]
-    log2b = scene.tex_log2b[tex_id]
-    lod_tri = _triangle_lod_uv(scene, setup)[tid] + log2b.astype(jnp.float32)
-    lod = jnp.clip(jnp.round(lod_tri), 0, log2b).astype(jnp.int32)
+    row = alpha_planes[tid]  # (..., 13) — the one gather
+    h, w = vis.shape
+    px = jnp.arange(w, dtype=jnp.float32)[None, :]
+    py = jnp.arange(h, dtype=jnp.float32)[:, None] + row_offset
+    fu = row[..., 0] * px + row[..., 1] * py + row[..., 2]
+    fv = row[..., 3] * px + row[..., 4] * py + row[..., 5]
+    sv = row[..., 6] * px + row[..., 7] * py + row[..., 8]
+    inv_s = 1.0 / jnp.where(sv == 0.0, 1.0, sv)
+    uv = jnp.stack([fu * inv_s, fv * inv_s], axis=-1)
+    meta = jnp.round(row[..., 9]).astype(jnp.int32)
+    log2b = meta & 15
+    start = jnp.right_shift(meta, 4) * START_ALIGN
+    lod = jnp.clip(
+        jnp.round(row[..., 10] + log2b.astype(jnp.float32)), 0, log2b
+    ).astype(jnp.int32)
     s = tex.sample_bilinear(scene.textures, start, log2b, uv, lod)
-    alpha = s[..., 3] * scene.mat_base_color[mat][..., 3]
-    cutoff = scene.mat_alpha[mat][..., 1]
+    alpha = s[..., 3] * row[..., 11]
+    cutoff = row[..., 12]
     return alpha, cutoff
 
 
@@ -105,6 +156,7 @@ def rasterize_masked_peeled(
             tile_row_offset=row_offset // tile_h,
         )
 
+    aplanes = pack_alpha_planes(scene, setup_masked)
     z_limit = jnp.full((height, width), jnp.inf, jnp.float32)
     out_depth = jnp.zeros_like(base_depth)
     out_vis = jnp.full_like(base_vis, -1)
@@ -114,7 +166,9 @@ def rasterize_masked_peeled(
         if use_pallas:
             d, v = rasterize_binned(
                 setup_masked, height, width, win_h=32, cap=14, kb=8, unroll=2,
-                num_slabs=auto_slabs_binned(height, width, win_h=32),
+                num_slabs=auto_slabs_binned(
+                    height, width, win_h=32, with_z_limit=layer > 0
+                ),
                 interpret=pallas_interpret,
                 z_limit=None if layer == 0 else z_limit,
             )
@@ -128,7 +182,9 @@ def rasterize_masked_peeled(
                 z_limit=z_limit,
             )
         covered = v >= 0
-        alpha, cutoff = _sample_alpha(scene, setup_masked, v, row_offset)
+        alpha, cutoff = _sample_alpha(
+            scene, setup_masked, v, row_offset, alpha_planes=aplanes
+        )
         passes = covered & (alpha >= cutoff)
         take = passes & ~settled
         out_depth = jnp.where(take, d, out_depth)

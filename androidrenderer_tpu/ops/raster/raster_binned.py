@@ -59,7 +59,7 @@ REC = 24
 def _binned_kernel(
     count_ref,  # (1,) i32 scalar prefetch — live triangle count
     recs_ref,  # (1, 1, CHUNK*24) f32 SMEM, flat records
-    *rest,  # [zlim_ref,] depth_ref, [vis_ref,] bins, counts, dirty, nd
+    *rest,  # [grid_ref,] [zlim_ref,] depth_ref, [vis_ref,] bins, counts, dirty, nd
     slab_h: int,
     width: int,
     chunk: int,
@@ -71,8 +71,10 @@ def _binned_kernel(
     unroll: int,
     debug_mode: int,
     has_z_limit: bool,
+    has_alpha_grid: bool,
 ):
     rest = list(rest)
+    grid_ref = rest.pop(0) if has_alpha_grid else None
     zlim_ref = rest.pop(0) if has_z_limit else None
     depth_ref = rest.pop(0)
     vis_ref = None if depth_only else rest.pop(0)
@@ -147,6 +149,22 @@ def _binned_kernel(
                 qv = rd(k, 12) * gx + rd(k, 13) * gy + rd(k, 14)
                 z = (rd(k, 15) * gx + rd(k, 16) * gy + rd(k, 17)) / qv
             cov = cov & (z > 0.0) & (z <= 1.0)
+            if has_alpha_grid:
+                # In-flight alpha test: the triangle's 16x16 barycentric alpha
+                # bitmap (scene.tri_alpha_grid) — coverage drops where the
+                # baked base-color alpha fails the cutoff, so masked geometry
+                # resolves in ONE pass with no peel layers or texture gathers.
+                sv = d0 + d1 + d2
+                inv_sv = 1.0 / jnp.where(sv == 0.0, 1.0, sv)
+                ui = jnp.clip((d1 * inv_sv * 16.0), 0.0, 15.0).astype(jnp.int32)
+                vi = jnp.clip((d2 * inv_sv * 16.0), 0.0, 15.0).astype(jnp.int32)
+                idx = vi * 16 + ui
+                wsel = idx >> 5
+                word = grid_ref[0, 0, k * 8]
+                for wj in range(1, 8):
+                    word = jnp.where(wsel == wj, grid_ref[0, 0, k * 8 + wj], word)
+                bit = jnp.right_shift(word, idx & 31) & 1
+                cov = cov & (bit == 1)
             if zlim is not None:
                 # Depth-peeling upper bound: only fragments strictly behind the
                 # previous layer survive (reversed-Z: smaller z is farther).
@@ -389,10 +407,14 @@ def _binned_kernel(
 
 
 def auto_slabs_binned(
-    height: int, width: int, depth_only: bool = False, win_h: int = 8
+    height: int, width: int, depth_only: bool = False, win_h: int = 8,
+    with_z_limit: bool = False,
 ) -> int:
-    """Smallest slab count satisfying the row-field and VMEM constraints."""
-    bytes_per_px = 4 if depth_only else 8
+    """Smallest slab count satisfying the row-field and VMEM constraints.
+
+    ``with_z_limit`` accounts for the peel-bound input block, which Mosaic may
+    double-buffer (measured: 2-slab 1088x1920 peel = 16.33M scoped vmem)."""
+    bytes_per_px = (4 if depth_only else 8) + (8 if with_z_limit else 0)
     budget = 10 * 2**20
     s = 1
     while True:
@@ -418,6 +440,7 @@ def rasterize_binned(
     unroll: int = 4,
     debug_mode: int = 0,  # 1 = Phase A only, 2 = window RMWs without eval
     z_limit: jnp.ndarray | None = None,  # (H, W) reversed-Z upper bound (peel)
+    alpha_grid: jnp.ndarray | None = None,  # (N, 8) i32 barycentric alpha bitmaps
 ):
     """(depth (H, W) f32, vis (H, W) i32) — or depth only with depth_only=True.
 
@@ -480,6 +503,7 @@ def rasterize_binned(
         unroll=unroll,
         debug_mode=debug_mode,
         has_z_limit=z_limit is not None,
+        has_alpha_grid=alpha_grid is not None,
     )
 
     out_shape = [jax.ShapeDtypeStruct((hp, width), jnp.float32)]
@@ -506,6 +530,17 @@ def rasterize_binned(
         ),
     ]
     inputs = [records]
+    if alpha_grid is not None:
+        ag = alpha_grid.astype(jnp.int32)
+        if pad:
+            ag = jnp.pad(ag, ((0, pad), (0, 0)))
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, chunk * 8), lambda s, c, *_: (c, 0, 0),
+                memory_space=pltpu.SMEM,
+            )
+        )
+        inputs.append(ag.reshape(num_chunks, 1, chunk * 8))
     if z_limit is not None:
         zl = z_limit
         if zl.shape[0] != hp:

@@ -78,6 +78,7 @@ def sample_trilinear(
     uv: jnp.ndarray,
     lod: jnp.ndarray,  # (...,) f32 fractional level of detail
 ) -> jnp.ndarray:
+    """Two-gather trilinear (reference path; see sample_trilinear_fused)."""
     lodc = jnp.clip(lod, 0.0, log2b.astype(jnp.float32))
     l0 = jnp.floor(lodc).astype(jnp.int32)
     l1 = jnp.minimum(l0 + 1, log2b.astype(jnp.int32))
@@ -85,6 +86,93 @@ def sample_trilinear(
     a = sample_bilinear(pool, start, log2b, uv, l0)
     b = sample_bilinear(pool, start, log2b, uv, l1)
     return a + (b - a) * f
+
+
+def sample_trilinear_fused(
+    pool: jnp.ndarray,  # (R, 52) u8 — rows carry level L 2x2 + level L+1 3x3
+    start: jnp.ndarray,
+    log2b: jnp.ndarray,
+    uv: jnp.ndarray,
+    lod: jnp.ndarray,  # (...,) f32 fractional level of detail
+) -> jnp.ndarray:
+    """Trilinear filtering with ONE pool gather (..., 4).
+
+    The gathered row's channels 16:52 hold the NEXT mip level's 3x3
+    wrap-neighborhood centered at (y0 >> 1, x0 >> 1); the finer level's texel
+    footprint maps into columns/rows {center-1, center} of that block, so the
+    coarse bilinear resolves with channel selects instead of a second gather
+    (a 2M-row gather is ~27-45 ms/frame). Bit-identical to sample_trilinear.
+    """
+    log2b = log2b.astype(jnp.int32)
+    lodc = jnp.clip(lod, 0.0, log2b.astype(jnp.float32))
+    level = jnp.floor(lodc).astype(jnp.int32)
+    fl = (lodc - level.astype(jnp.float32))[..., None]
+    b = jnp.left_shift(jnp.int32(1), log2b)
+    size = jnp.right_shift(b, level)
+    sizef = size.astype(jnp.float32)
+    mip_off = ((b * b - size * size) * 4) // 3
+
+    u = uv[..., 0] - jnp.floor(uv[..., 0])
+    v = uv[..., 1] - jnp.floor(uv[..., 1])
+    x = u * sizef - 0.5
+    y = v * sizef - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = x0.astype(jnp.int32) & (size - 1)
+    y0i = y0.astype(jnp.int32) & (size - 1)
+
+    taps = pool[start + mip_off + y0i * size + x0i].astype(jnp.float32) * (
+        1.0 / 255.0
+    )
+    c00 = taps[..., 0:4]
+    c01 = taps[..., 4:8]
+    c10 = taps[..., 8:12]
+    c11 = taps[..., 12:16]
+    top = c00 + (c01 - c00) * fx
+    bot = c10 + (c11 - c10) * fx
+    fine = top + (bot - top) * fy
+
+    # Coarse level from the same row's 3x3 block (centered at x0i>>1, y0i>>1;
+    # identical when level == log2b, where fl == 0).
+    s1 = jnp.maximum(jnp.right_shift(size, 1), 1)
+    s1f = s1.astype(jnp.float32)
+    xc = u * s1f - 0.5
+    yc = v * s1f - 0.5
+    xc0 = jnp.floor(xc)
+    yc0 = jnp.floor(yc)
+    fxc = (xc - xc0)[..., None]
+    fyc = (yc - yc0)[..., None]
+    last = level >= log2b
+    # Offset of the coarse footprint's base inside the 3x3 (0 or 1 per axis).
+    kx = jnp.where(last, x0i, jnp.right_shift(x0i, 1))
+    ky = jnp.where(last, y0i, jnp.right_shift(y0i, 1))
+    sc = jnp.where(last, size, s1)
+    xc0i = xc0.astype(jnp.int32) & (sc - 1)
+    yc0i = yc0.astype(jnp.int32) & (sc - 1)
+    ox = (xc0i - kx + 1) & (sc - 1)  # in {0, 1}
+    oy = (yc0i - ky + 1) & (sc - 1)
+    ox1 = (ox == 1)[..., None]
+    oy1 = (oy == 1)[..., None]
+
+    def cell(i, j):  # 3x3 block texel (row i, col j), i/j in 0..2
+        o = 16 + (i * 3 + j) * 4
+        return taps[..., o : o + 4]
+
+    def pick(di, dj):  # coarse tap (oy+di, ox+dj)
+        r0 = jnp.where(ox1, cell(0 + di, 1 + dj), cell(0 + di, 0 + dj))
+        r1 = jnp.where(ox1, cell(1 + di, 1 + dj), cell(1 + di, 0 + dj))
+        return jnp.where(oy1, r1, r0)
+
+    d00 = pick(0, 0)
+    d01 = pick(0, 1)
+    d10 = pick(1, 0)
+    d11 = pick(1, 1)
+    ctop = d00 + (d01 - d00) * fxc
+    cbot = d10 + (d11 - d10) * fxc
+    coarse = ctop + (cbot - ctop) * fyc
+    return fine + (coarse - fine) * fl
 
 
 def compute_lod_uv(

@@ -199,12 +199,25 @@ def render_frame(
 
     if config.alpha_masking:
         setup_m = setup._replace(valid=setup.valid & is_masked)
-        depth, vis = rasterize_masked_peeled(
-            scene, setup_m, depth, vis, config.tile_height, config.tile_width,
-            cap=config.max_tris_per_tile, layers=config.alpha_peel_layers,
-            row_offset=row_offset,
-            use_pallas=use_pallas, pallas_interpret=config.pallas_interpret,
-        )
+        if use_pallas and config.alpha_bitmap:
+            # One-pass masked raster: coverage alpha-tests in-kernel against
+            # the baked barycentric bitmaps (no peel layers, no gathers).
+            d_m, v_m = rasterize_binned(
+                setup_m, h, w, win_h=32, cap=14, kb=8, unroll=2,
+                num_slabs=auto_slabs_binned(h, w, win_h=32),
+                interpret=config.pallas_interpret,
+                alpha_grid=scene.tri_alpha_grid,
+            )
+            masked_wins = (v_m >= 0) & (d_m > depth)
+            depth = jnp.where(masked_wins, d_m, depth)
+            vis = jnp.where(masked_wins, v_m, vis)
+        else:
+            depth, vis = rasterize_masked_peeled(
+                scene, setup_m, depth, vis, config.tile_height, config.tile_width,
+                cap=config.max_tris_per_tile, layers=config.alpha_peel_layers,
+                row_offset=row_offset,
+                use_pallas=use_pallas, pallas_interpret=config.pallas_interpret,
+            )
 
     # --- gbuffer resolve ------------------------------------------------------------
     flags = dict(

@@ -167,14 +167,22 @@ class MaterialStorage:
             "double_sided": double_sided,
         }
 
+    POOL_CHANNELS = 52  # 2x2 of level L (16) + 3x3 of level L+1 (36)
+
     def pack_texture_pool(self):
-        """(pool (R, 16) u8, start (T,) i32, log2b (T,) i32) — ONE flat tap-packed
-        texel pool with every texture's full mip chain at native resolution.
+        """(pool (R, 52) u8, start (T,) i32, log2b (T,) i32) — ONE flat
+        tap-packed texel pool with every texture's full mip chain at native
+        resolution.
 
         A texel row at (texture t, level l, y, x) lives at flat row
         ``start[t] + (4*b^2 - 4*s^2)/3 + y*s + x`` with b = 1 << log2b[t] and
-        s = b >> l; the 16 channels carry the 2x2 wrap-neighborhood's RGBA texels
-        so bilinear filtering is ONE gather (ops/texture.py)."""
+        s = b >> l. Channels 0:16 carry the 2x2 wrap-neighborhood's RGBA texels
+        (bilinear = ONE gather, ops/texture.py); channels 16:52 carry the NEXT
+        level's 3x3 wrap-neighborhood centered at (y>>1, x>>1), which always
+        contains the next level's bilinear footprint — so TRILINEAR filtering
+        is also ONE gather (sample_trilinear_fused; a second 2M-row gather is
+        ~27-45 ms/frame on this TPU). The last level packs itself (the lod
+        clamp makes its blend weight zero)."""
         starts = np.zeros(len(self._images), np.int32)
         log2b = np.zeros(len(self._images), np.int32)
         chunks = []
@@ -183,19 +191,31 @@ class MaterialStorage:
             b = img.shape[0]
             log2b[t] = int(b).bit_length() - 1
             starts[t] = acc
+            mips = [m[0] for m in build_mip_chain(img[None])]  # [(s, s, 4)]
             rows = []
-            for m in build_mip_chain(img[None]):  # [(1, s, s, 4)] chain
-                m = m[0]
+            for li, m in enumerate(mips):
+                s_l = m.shape[0]
                 x1 = np.roll(m, -1, axis=1)
                 y1 = np.roll(m, -1, axis=0)
                 xy = np.roll(x1, -1, axis=0)
                 packed = np.concatenate([m, x1, y1, xy], axis=-1)  # (s, s, 16)
-                rows.append(packed.reshape(-1, 16))
+                nxt = mips[li + 1] if li + 1 < len(mips) else m
+                s_n = nxt.shape[0]
+                yy = np.arange(s_l) >> (0 if nxt is m else 1)
+                xx = yy  # square textures: same index mapping per axis
+                blocks = []
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        by = (yy[:, None] + dy) & (s_n - 1)
+                        bx = (xx[None, :] + dx) & (s_n - 1)
+                        blocks.append(nxt[by, bx])  # (s, s, 4)
+                packed = np.concatenate([packed] + blocks, axis=-1)  # (s, s, 52)
+                rows.append(packed.reshape(-1, self.POOL_CHANNELS))
             chunk = np.concatenate(rows, axis=0)
             pad = (-chunk.shape[0] - acc) % START_ALIGN
             if pad:
                 chunk = np.concatenate(
-                    [chunk, np.zeros((pad, 16), np.uint8)], axis=0
+                    [chunk, np.zeros((pad, self.POOL_CHANNELS), np.uint8)], axis=0
                 )
             chunks.append(chunk)
             acc += chunk.shape[0]

@@ -59,6 +59,12 @@ class SceneArrays(NamedTuple):
     tri_primitive: jnp.ndarray  # (N,) i32
     tri_double_sided: jnp.ndarray  # (N,) bool
     tri_alpha_mode: jnp.ndarray  # (N,) i32 (0 opaque / 1 mask / 2 blend)
+    # Per-triangle 16x16 barycentric alpha-test bitmap (8 x u32 as i32), baked
+    # from the base-color texture at LOD 0: bit (v*16+u) = alpha(lam1=(u+.5)/16,
+    # lam2=(v+.5)/16) >= cutoff. Lets the raster kernel alpha-test in-flight
+    # (one pass, no peel layers / per-layer texture gathers). All-ones for
+    # non-masked triangles.
+    tri_alpha_grid: jnp.ndarray  # (N, 8) i32
     tri_valid: jnp.ndarray  # (N,) bool
     # Primitive table (P = padded primitive count) for culling.
     prim_bounds: jnp.ndarray  # (P, 4) f32 world bounding sphere
@@ -71,7 +77,8 @@ class SceneArrays(NamedTuple):
     mat_texture_ids: jnp.ndarray  # (M, 4) i32 [base, normal, metal_rough, emission]
     mat_alpha: jnp.ndarray  # (M, 2) f32 [mode, cutoff]
     mat_double_sided: jnp.ndarray  # (M,) bool
-    # Texture pool, ONE flat mip-packed tap-packed texel array (R, 16) u8 with
+    # Texture pool, ONE flat mip-packed tap-packed texel array (R, 52) u8 with
+    # mip-pair rows (2x2 of level L + 3x3 of level L+1 — single-gather trilinear)
     # per-texture native resolutions (material_storage.pack_texture_pool).
     textures: jnp.ndarray
     tex_start: jnp.ndarray  # (T,) i32 flat row of each texture's mip-0 texel (0,0)
@@ -94,6 +101,56 @@ class Primitive:
     mesh_id: int
     material_id: int
     transform: np.ndarray  # (4, 4) model -> world
+
+
+ALPHA_GRID_RES = 16  # barycentric alpha-bitmap lattice (16x16 = 8 u32 words)
+
+
+def _bake_alpha_grids(alpha_modes, tri_mat, tri_indices, uvs, mat_params, images):
+    """(N, 8) i32 alpha-test bitmaps (see SceneArrays.tri_alpha_grid)."""
+    n = tri_indices.shape[0]
+    grids = np.full((n, 8), -1, np.int64)  # all bits set (opaque)
+    masked = np.nonzero(alpha_modes == 1)[0]
+    if masked.size == 0:
+        return grids.astype(np.int32)
+    g = ALPHA_GRID_RES
+    l1 = (np.arange(g) + 0.5) / g
+    l2 = (np.arange(g) + 0.5) / g
+    L1, L2 = np.meshgrid(l1, l2)  # (g, g): rows = lam2 (v), cols = lam1 (u)
+    L0 = 1.0 - L1 - L2
+    tex_ids = mat_params["texture_ids"][:, 0]
+    cutoffs = mat_params["alpha"][:, 1]
+    afac = mat_params["base_color_factor"][:, 3]
+    for t in masked:
+        i0, i1, i2 = tri_indices[t]
+        uv = (
+            L0[..., None] * uvs[i0] + L1[..., None] * uvs[i1]
+            + L2[..., None] * uvs[i2]
+        )  # (g, g, 2)
+        img = images[tex_ids[tri_mat[t]]]
+        size = img.shape[0]
+        x = uv[..., 0] * size - 0.5
+        y = uv[..., 1] * size - 0.5
+        x0 = np.floor(x).astype(np.int64)
+        y0 = np.floor(y).astype(np.int64)
+        fx = x - x0
+        fy = y - y0
+        a = img[..., 3].astype(np.float64) / 255.0
+
+        def tap(yy, xx):
+            return a[yy % size, xx % size]
+
+        al = (
+            tap(y0, x0) * (1 - fx) * (1 - fy) + tap(y0, x0 + 1) * fx * (1 - fy)
+            + tap(y0 + 1, x0) * (1 - fx) * fy + tap(y0 + 1, x0 + 1) * fx * fy
+        ) * afac[tri_mat[t]]
+        bits = (al >= cutoffs[tri_mat[t]]).reshape(-1)  # idx = v*16 + u
+        words = np.zeros(8, np.int64)
+        idx = np.nonzero(bits)[0]
+        np.bitwise_or.at(words, idx >> 5, np.int64(1) << (idx & 31))
+        # sign-extend into i32 range
+        grids[t] = np.where(words >= 2**31, words - 2**32, words)
+    return grids.astype(np.int32)
 
 
 class RenderScene:
@@ -265,6 +322,10 @@ class RenderScene:
                 slot_e2=jnp.zeros((4, 3)),
             )
 
+        alpha_grid = _bake_alpha_grids(
+            np.concatenate(all_alpha), np.concatenate(all_mat), tri_indices,
+            np.concatenate(all_uv), mat_params, self.materials._images,
+        )
         scene = SceneArrays(
             positions=jnp.asarray(_pad_rows(positions, pv)),
             normals=jnp.asarray(_pad_rows(np.concatenate(all_nrm), pv)),
@@ -276,6 +337,7 @@ class RenderScene:
             tri_primitive=jnp.asarray(_pad_rows(np.concatenate(all_prim), pt)),
             tri_double_sided=jnp.asarray(_pad_rows(np.concatenate(all_dbl), pt)),
             tri_alpha_mode=jnp.asarray(_pad_rows(np.concatenate(all_alpha), pt)),
+            tri_alpha_grid=jnp.asarray(_pad_rows(alpha_grid, pt, fill=-1)),
             tri_valid=jnp.asarray(
                 _pad_rows(np.ones(nt, dtype=bool), pt, fill=False)
             ),

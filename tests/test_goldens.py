@@ -20,7 +20,11 @@ def _load_png(path: Path) -> np.ndarray:
     return np.asarray(Image.open(path).convert("RGB"), dtype=np.uint8)
 
 
-@pytest.mark.parametrize("name", ["cornell_direct", "cornell_lpv", "courtyard_csm"])
+@pytest.mark.parametrize(
+    "name",
+    ["cornell_direct", "cornell_lpv", "courtyard_csm",
+     "cornell_rtgi", "cornell_probes", "courtyard_vrsaa"],
+)
 def test_golden_ssim(name):
     golden_path = GOLDEN_DIR / f"{name}.png"
     if not golden_path.exists():

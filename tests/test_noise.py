@@ -43,3 +43,28 @@ def test_blue_noise_spectrum_and_uniformity():
     rng = np.random.default_rng(1)
     white = rng.uniform(0, 1, (32, 32))
     assert lowfreq_energy(bn) < 0.6 * lowfreq_energy(white)
+
+
+def test_trilinear_fused_matches_two_gather():
+    """The mip-pair pool's single-gather trilinear == the two-gather path."""
+    import numpy as np
+    import jax.numpy as jnp
+    from androidrenderer_tpu.ops import texture as tex
+    from androidrenderer_tpu.scene.material_storage import MaterialStorage
+
+    rng = np.random.default_rng(0)
+    ms = MaterialStorage()
+    ms.add_texture(rng.integers(0, 256, (64, 64, 4)).astype(np.uint8))
+    ms.add_texture(rng.integers(0, 256, (16, 16, 4)).astype(np.uint8))
+    pool, starts, log2b = ms.pack_texture_pool()
+    pool = jnp.asarray(pool)
+
+    n = 4096
+    uv = jnp.asarray(rng.uniform(-2, 3, (n, 2)).astype(np.float32))
+    lod = jnp.asarray(rng.uniform(-1, 8, (n,)).astype(np.float32))
+    for t in (2, 3):  # skip default white/flat-normal at 0/1
+        st = jnp.full((n,), starts[t], jnp.int32)
+        lb = jnp.full((n,), log2b[t], jnp.int32)
+        a = np.asarray(tex.sample_trilinear(pool, st, lb, uv, lod))
+        b = np.asarray(tex.sample_trilinear_fused(pool, st, lb, uv, lod))
+        np.testing.assert_allclose(a, b, atol=1e-6)

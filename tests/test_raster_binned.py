@@ -152,3 +152,42 @@ def test_binned_z_limit_peeling():
     # Peeling invariant: every accepted fragment is strictly behind the limit.
     covered = depth > 0
     assert np.all(depth[covered] < np.asarray(zlim)[covered] + 1e-12)
+
+
+def test_binned_alpha_bitmap_vs_peeled():
+    """In-kernel barycentric alpha bitmaps vs the exact peeled path on the
+    alpha-fence fixture: coverage agrees except at lattice-quantized leaf
+    edges (the documented alpha_bitmap divergence)."""
+    import jax.numpy as jnp
+    from androidrenderer_tpu.camera import Camera
+    from androidrenderer_tpu.ops.raster.masked import rasterize_masked_peeled
+    from androidrenderer_tpu.scene.procedural import alpha_test_scene
+
+    scene, _ = alpha_test_scene().build()
+    w, h = 128, 96
+    cam = Camera(fov_degrees=75.0, aspect=w / h, render_resolution=(w, h))
+    cam.set_position([0.0, 1.0, -3.0])
+    vd = cam.view_data()
+    clip = transform_to_clip(scene.positions, jnp.asarray(vd.view_proj))
+    setup = triangle_setup(
+        clip, scene.tri_indices, w, h,
+        double_sided=scene.tri_double_sided, tri_valid=scene.tri_valid,
+    )
+    masked = scene.tri_alpha_mode == 1
+    setup_m = setup._replace(valid=setup.valid & masked)
+
+    base_d = jnp.zeros((h, w), jnp.float32)
+    base_v = jnp.full((h, w), -1, jnp.int32)
+    d_ref, v_ref = rasterize_masked_peeled(
+        scene, setup_m, base_d, base_v, 32, 128, cap=256, layers=3
+    )
+    d_bm, v_bm = rasterize_binned(
+        setup_m, h, w, num_slabs=2, chunk=32, win_h=8,
+        alpha_grid=scene.tri_alpha_grid, interpret=True,
+    )
+    cov_ref = np.asarray(v_ref) >= 0
+    cov_bm = np.asarray(v_bm) >= 0
+    agree = (cov_ref == cov_bm).mean()
+    assert agree > 0.97, f"coverage agreement {agree:.3f}"
+    assert cov_bm.sum() > 50  # holes exist but foliage is present
+    assert cov_bm.sum() < cov_ref.size * 0.9  # and holes actually punched
