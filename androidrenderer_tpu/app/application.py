@@ -66,6 +66,28 @@ class Application:
         self.frame_count = 0
         self.last_frame_seconds: Optional[float] = None
 
+    def reconfigure(self, config) -> None:
+        """Swap the frozen render config — one jit recompile, the TPU analog of
+        the reference rebuilding pipelines on a mode-cvar change
+        (scene_renderer.cpp:134-211). Temporal state is rebuilt when shapes
+        change (resolution/probe grids); otherwise carried over."""
+        old = self.config
+        self.config = config
+        self._renderer = make_renderer(config)
+        if (
+            old.render_resolution != config.render_resolution
+            or old.probe_cascades != config.probe_cascades
+            or old.probe_grid != config.probe_grid
+            or old.probe_spacing != config.probe_spacing
+        ):
+            self.temporal = initial_temporal_state(
+                config.render_height, config.render_width,
+                probe_cascades=config.probe_cascades,
+                probe_grid=config.probe_grid,
+                probe_spacing=config.probe_spacing,
+                max_primitives=config.max_primitives,
+            )
+
     # -- input (flycam) ---------------------------------------------------------
     def move(self, local_delta, dt: float = 1.0 / 60.0) -> None:
         self.camera.translate_local(np.asarray(local_delta) * MOVE_SPEED * dt)

@@ -42,6 +42,11 @@ def main(argv=None) -> int:
     ap.add_argument("--no-occlusion", action="store_true")
     ap.add_argument("--render-scale", type=float, default=1.0,
                     help="render-res = scale * output-res (upscaler contract)")
+    ap.add_argument("--set", action="append", default=[], metavar="CVAR=VALUE",
+                    dest="cvars",
+                    help="set a cvar by its reference name, e.g. "
+                         "--set r.GI.LPV.Exposure=40 (repeatable; "
+                         "--set list prints the registry)")
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -104,7 +109,25 @@ def main(argv=None) -> int:
         occlusion_culling=not args.no_occlusion,
         translucency=args.aa != "vrsaa",
     )
+    if args.cvars:
+        from androidrenderer_tpu.app import cvars as cvar_mod
+
+        if any(c.lower() == "list" for c in args.cvars):
+            for d in cvar_mod.list_cvars():
+                print(f"{d.name:40s} [{d.kind}] {d.help}")
+            return 0
+
     app = Application(cfg, scene)
+    for spec in args.cvars:
+        name, _, value = spec.partition("=")
+        cfg2, params2, recompile = cvar_mod.set_cvar(
+            name, value, app.config, app.params
+        )
+        app.params = params2
+        if recompile:
+            # Structural cvar: swap the frozen config (one jit recompile) —
+            # the reference's pipeline-rebuild path (scene_renderer.cpp:134-211).
+            app.reconfigure(cfg2)
     print(f"scene: {app.scene_stats}")
 
     pos, pitch, yaw = default_cam

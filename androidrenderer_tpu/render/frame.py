@@ -116,8 +116,16 @@ def render_frame(
     # the opaque pass excludes them (material_pipelines' masked/translucent variants).
     is_masked = scene.tri_alpha_mode == 1
     is_blend = scene.tri_alpha_mode == 2
+    use_pallas = (
+        config.raster_backend == RasterBackend.PALLAS
+        and band_height is None
+        and (jax.default_backend() == "tpu" or config.pallas_interpret)
+    )
+    # With in-kernel alpha bitmaps (TPU path), masked triangles rasterize IN
+    # the main pass — one Phase A scan, one Mosaic instance, no merge.
+    bitmap_alpha = config.alpha_masking and config.alpha_bitmap and use_pallas
     drop = jnp.zeros_like(setup.valid)
-    if config.alpha_masking:
+    if config.alpha_masking and not bitmap_alpha:
         drop = drop | is_masked
     if config.translucency:
         drop = drop | is_blend
@@ -126,11 +134,6 @@ def render_frame(
     # --- depth prepass + visibility buffer ----------------------------------------
     # The Pallas kernel is the production path; band rendering (multi-chip screen
     # sharding) and the CPU test path use the XLA reduction rasterizer.
-    use_pallas = (
-        config.raster_backend == RasterBackend.PALLAS
-        and band_height is None
-        and (jax.default_backend() == "tpu" or config.pallas_interpret)
-    )
     def _raster_full(su):
         if use_pallas:
             # Window-binned kernel, 32-row windows (round 3): 65.4 vs 69.3 ms
@@ -141,6 +144,7 @@ def render_frame(
                 su, h, w, win_h=32, cap=14, kb=8, unroll=2,
                 num_slabs=auto_slabs_binned(h, w, win_h=32),
                 interpret=config.pallas_interpret,
+                alpha_grid=scene.tri_alpha_grid if bitmap_alpha else None,
             )
         bins = bin_triangles(
             su, tiles_y, config.tiles_x, config.tile_height, config.tile_width,
@@ -197,27 +201,14 @@ def render_frame(
     else:
         depth, vis = _raster_full(setup_opaque)
 
-    if config.alpha_masking:
+    if config.alpha_masking and not bitmap_alpha:
         setup_m = setup._replace(valid=setup.valid & is_masked)
-        if use_pallas and config.alpha_bitmap:
-            # One-pass masked raster: coverage alpha-tests in-kernel against
-            # the baked barycentric bitmaps (no peel layers, no gathers).
-            d_m, v_m = rasterize_binned(
-                setup_m, h, w, win_h=32, cap=14, kb=8, unroll=2,
-                num_slabs=auto_slabs_binned(h, w, win_h=32),
-                interpret=config.pallas_interpret,
-                alpha_grid=scene.tri_alpha_grid,
-            )
-            masked_wins = (v_m >= 0) & (d_m > depth)
-            depth = jnp.where(masked_wins, d_m, depth)
-            vis = jnp.where(masked_wins, v_m, vis)
-        else:
-            depth, vis = rasterize_masked_peeled(
-                scene, setup_m, depth, vis, config.tile_height, config.tile_width,
-                cap=config.max_tris_per_tile, layers=config.alpha_peel_layers,
-                row_offset=row_offset,
-                use_pallas=use_pallas, pallas_interpret=config.pallas_interpret,
-            )
+        depth, vis = rasterize_masked_peeled(
+            scene, setup_m, depth, vis, config.tile_height, config.tile_width,
+            cap=config.max_tris_per_tile, layers=config.alpha_peel_layers,
+            row_offset=row_offset,
+            use_pallas=use_pallas, pallas_interpret=config.pallas_interpret,
+        )
 
     # --- gbuffer resolve ------------------------------------------------------------
     flags = dict(
@@ -329,27 +320,37 @@ def render_frame(
         sub = (
             (lambda a: a[::2, ::2]) if half_gi else (lambda a: a)
         )
-        wp_h, n_h, v_h = sub(gbuf.world_position), sub(gbuf.normal), sub(gbuf.valid)
+        wp_h, n_h, v_h, dep_s = (
+            sub(gbuf.world_position), sub(gbuf.normal), sub(gbuf.valid), sub(depth)
+        )
+        grid_div = (2 if half_gi else 1)
+        fh_grid = (config.render_height // (2 if vrsaa else 1)) // grid_div
         if axis_name is not None:
-            # SSAO taps reach +-9 rows (of its own grid); halo-extend so band
-            # rendering reproduces the full-frame roll (wrap) neighborhoods.
-            halo = 9
+            # SSAO taps reach +-9 rows and the bilateral blur +-2 (on its own
+            # grid); halo-extend with edge semantics — out-of-frame taps are
+            # masked by the global row coordinates (de-wrapped CACAO taps).
+            halo = 11
             gb_h = gbuf._replace(
-                world_position=coll.row_halo(wp_h, halo, axis_name, wrap=True),
-                normal=coll.row_halo(n_h, halo, axis_name, wrap=True),
-                valid=coll.row_halo(v_h, halo, axis_name, wrap=True),
+                world_position=coll.row_halo(wp_h, halo, axis_name, wrap=False),
+                normal=coll.row_halo(n_h, halo, axis_name, wrap=False),
+                valid=coll.row_halo(v_h, halo, axis_name, wrap=False),
+                depth=coll.row_halo(dep_s, halo, axis_name, wrap=False),
             )
             ao = lighting.ssao(
                 gb_h, jnp.asarray(view.position), view.z_near,
                 radius=params.ssao_radius, bias=params.ssao_bias,
                 intensity=params.ssao_intensity,
+                row0=row_offset // grid_div - halo, full_height=fh_grid,
             )[halo:-halo]
         else:
-            gb_h = gbuf._replace(world_position=wp_h, normal=n_h, valid=v_h)
+            gb_h = gbuf._replace(
+                world_position=wp_h, normal=n_h, valid=v_h, depth=dep_s
+            )
             ao = lighting.ssao(
                 gb_h, jnp.asarray(view.position), view.z_near,
                 radius=params.ssao_radius, bias=params.ssao_bias,
                 intensity=params.ssao_intensity,
+                row0=0, full_height=fh_grid,
             )
         if half_gi:
             from androidrenderer_tpu.ops.upsample import bilateral_upsample_2x

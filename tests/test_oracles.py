@@ -242,20 +242,42 @@ def test_ssao_vs_float64_oracle():
     )
     prod = np.asarray(ssao(gbuf, jnp.zeros(3), 0.05))[..., 0]
 
-    # Oracle: the Alchemy-style estimator with explicit loops (float64).
+    # Oracle: the Alchemy-style estimator with de-wrapped taps, live-tap
+    # normalization, and the separable depth-aware bilateral blur — explicit
+    # float64 loops over pixels and taps.
     radius, bias, intensity = 0.5, 0.02, 1.0
     occ = np.zeros((h, w))
-    taps = 0
+    live = np.zeros((h, w))
+    yy = np.arange(h)[:, None]
+    xx = np.arange(w)[None, :]
     for rr in (2, 5, 9):
         for dy, dx in ((0, rr), (0, -rr), (rr, 0), (-rr, 0), (rr, rr),
                        (-rr, rr), (rr, -rr), (-rr, -rr)):
             q = np.roll(wp.astype(np.float64), (dy, dx), axis=(0, 1))
+            inb = (yy - dy >= 0) & (yy - dy < h) & (xx - dx >= 0) & (xx - dx < w)
             v = q - wp
             d2 = np.sum(v * v, axis=-1)
             vn = np.sum(v * nrm, axis=-1)
             contrib = np.maximum(vn - bias, 0.0) / (d2 + 1e-4)
             w_r = np.clip(1.0 - d2 / (radius * radius), 0.0, 1.0)
-            occ += contrib * w_r * np.sqrt(d2)
-            taps += 1
-    oracle = np.clip(1.0 - intensity * occ / taps * 8.0, 0.0, 1.0)
-    np.testing.assert_allclose(prod, oracle, rtol=2e-4, atol=2e-5)
+            occ += np.where(inb, contrib * w_r * np.sqrt(d2), 0.0)
+            live += inb
+    oracle = np.clip(1.0 - intensity * occ / np.maximum(live, 1.0) * 8.0, 0.0, 1.0)
+    dep = np.ones((h, w))
+    for axis in (0, 1):
+        num = oracle.copy()
+        den = np.ones_like(oracle)
+        for o in (-2, -1, 1, 2):
+            sh = (o, 0) if axis == 0 else (0, o)
+            a_s = np.roll(oracle, sh, axis=(0, 1))
+            d_s = np.roll(dep, sh, axis=(0, 1))
+            inb = (
+                (yy - o >= 0) & (yy - o < h) if axis == 0
+                else np.broadcast_to((xx - o >= 0) & (xx - o < w), oracle.shape)
+            )
+            rel = np.abs(d_s - dep) / (np.abs(dep) + 1e-6)
+            wgt = np.where(inb, (0.9 if abs(o) == 1 else 0.6) / (1.0 + 64.0 * rel), 0.0)
+            num = num + a_s * wgt
+            den = den + wgt
+        oracle = num / den
+    np.testing.assert_allclose(prod, oracle, rtol=5e-4, atol=5e-5)

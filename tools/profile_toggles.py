@@ -57,14 +57,23 @@ def main():
     from androidrenderer_tpu.scene.procedural import courtyard_scene
 
     w, h = 1920, 1088
+    # Base mirrors bench.py's raster-only config (round 3: honest scene —
+    # masked foliage + normal/MR maps ON).
     base = RenderConfig(
         render_width=w, render_height=h, output_width=w, output_height=h,
         tile_height=32, tile_width=128, max_tris_per_tile=4096,
-        alpha_masking=False, translucency=False,
-        use_normal_maps=False, use_mr_textures=False, use_emission=False,
+        alpha_masking=True, translucency=False,
+        use_normal_maps=True, use_mr_textures=True, use_emission=False,
     )
     variants = {
         "base": base,
+        "nomask": base.replace(alpha_masking=False),
+        "maskpeel": base.replace(alpha_bitmap=False),
+        "nonrm": base.replace(use_normal_maps=False),
+        "nomr": base.replace(use_mr_textures=False),
+        "fullrategi": base.replace(
+            gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, half_rate_gi=False
+        ),
         "noshadow": base.replace(shadow_mode=ShadowMode.OFF),
         "nobloom": base.replace(bloom=False),
         "noocc": base.replace(occlusion_culling=False),
