@@ -153,6 +153,94 @@ def render_rsm(
     return _resolve_rsm(scene, setup, vis)
 
 
+def inject_all(
+    radiance: jnp.ndarray,  # (C, 3, 4, R, R, R)
+    gv: jnp.ndarray,  # (C, 4, R, R, R)
+    vpl_parts,  # per cascade: (pos (K,3), normal, flux, mask)
+    surfel_parts,  # per cascade: (pos, normal, mask) — RSM texel occluders
+    shared_surfels,  # (pos, normal, mask) injected into EVERY cascade, or None
+    emissive,  # (pos, normal, flux, mask) into every cascade, or None
+    mins: jnp.ndarray,  # (C, 3)
+    cells: jnp.ndarray,  # (C,)
+    resolution: int,
+):
+    """All cascades' VPL/GV injection as ONE scatter-add + ONE scatter-max.
+
+    The per-cascade loop issued 4-5 small scatters per cascade plus a dense
+    `.at[c].set` volume copy each — per-scatter fixed cost dominates at these
+    row counts on TPU (docs/ROADMAP.md cost model). Flattening every source's
+    (cascade-offset) cell indices into the (C*R^3,) row space batches the whole
+    injection into two scatters."""
+    c_n = radiance.shape[0]
+    r = resolution
+    r3 = r**3
+
+    def flat_idx(pos, mask, c):
+        cell = jnp.floor((pos - mins[c]) / cells[c]).astype(jnp.int32)
+        inb = mask & jnp.all((cell >= 0) & (cell < r), axis=-1)
+        local = (cell[:, 2] * r + cell[:, 1]) * r + cell[:, 0]
+        return jnp.where(inb, c * r3 + local, c_n * r3), inb
+
+    add_idx, add_rows = [], []
+    max_idx, max_rows = [], []
+    for c in range(c_n):
+        p, n, flux, mask = vpl_parts[c]
+        # Radiance: half-cell normal offset against self-light (vpl bias).
+        ai, ainb = flat_idx(p + n * (0.5 * cells[c]), mask, c)
+        lobe = sh.sh_cosine_lobe(n)
+        contrib = (flux[:, :, None] * lobe[:, None, :]).reshape(-1, 12)
+        add_idx.append(ai)
+        add_rows.append(jnp.where(ainb[:, None], contrib, 0.0))
+        # GV occlusion from the VPLs (unbiased position).
+        gi, ginb = flat_idx(p, mask, c)
+        max_idx.append(gi)
+        max_rows.append(
+            jnp.where(ginb[:, None], jnp.abs(sh.sh_cosine_lobe(n)), 0.0)
+        )
+        sp, sn, sv = surfel_parts[c]
+        si, sinb = flat_idx(sp, sv, c)
+        max_idx.append(si)
+        max_rows.append(
+            jnp.where(sinb[:, None], jnp.abs(sh.sh_cosine_lobe(sn)), 0.0)
+        )
+        if shared_surfels is not None:
+            hp, hn, hv = shared_surfels
+            hi, hinb = flat_idx(hp, hv, c)
+            max_idx.append(hi)
+            max_rows.append(
+                jnp.where(hinb[:, None], jnp.abs(sh.sh_cosine_lobe(hn)), 0.0)
+            )
+        if emissive is not None:
+            ep, en, ef, em = emissive
+            ei, einb = flat_idx(ep + en * (0.5 * cells[c]), em, c)
+            elobe = sh.sh_cosine_lobe(en)
+            add_idx.append(ei)
+            add_rows.append(
+                jnp.where(
+                    einb[:, None], (ef[:, :, None] * elobe[:, None, :]).reshape(-1, 12),
+                    0.0,
+                )
+            )
+            egi, eginb = flat_idx(ep, em, c)
+            max_idx.append(egi)
+            max_rows.append(
+                jnp.where(eginb[:, None], jnp.abs(sh.sh_cosine_lobe(en)), 0.0)
+            )
+
+    rad_rows = radiance.reshape(c_n, 12, r3).transpose(0, 2, 1).reshape(c_n * r3, 12)
+    rad_rows = rad_rows.at[jnp.concatenate(add_idx)].add(
+        jnp.concatenate(add_rows), mode="drop"
+    )
+    radiance = rad_rows.reshape(c_n, r3, 12).transpose(0, 2, 1).reshape(radiance.shape)
+
+    gv_rows = gv.reshape(c_n, 4, r3).transpose(0, 2, 1).reshape(c_n * r3, 4)
+    gv_rows = gv_rows.at[jnp.concatenate(max_idx)].max(
+        jnp.concatenate(max_rows), mode="drop"
+    )
+    gv = gv_rows.reshape(c_n, r3, 4).transpose(0, 2, 1).reshape(gv.shape)
+    return radiance, gv
+
+
 def extract_vpls(
     albedo: jnp.ndarray,  # (R, R, 3)
     normal: jnp.ndarray,
@@ -492,6 +580,8 @@ def build_lpv(
         double_sided=scene.tri_double_sided, tri_valid=scene.tri_valid,
     )
 
+    vpl_parts = []
+    surfel_parts = []
     for c in range(num_cascades):
         m = _ortho_from_sphere(centers[c], radii[c], scene.sun_direction)
         setup_i = derive_ortho_setup(setup_rsm, m_canon, m, rsm_resolution)
@@ -499,33 +589,23 @@ def build_lpv(
         albedo, nrm, wpos, val = _resolve_rsm(
             scene, setup_i, vis_c, use_base_textures=use_base_textures
         )
-        p, n, flux, mask = extract_vpls(albedo, nrm, wpos, val, scene.sun_color)
-        rc, gc = inject(
-            radiance[c], gv[c], p, n, flux, mask, mins[c], cells[c], resolution
-        )
+        vpl_parts.append(extract_vpls(albedo, nrm, wpos, val, scene.sun_color))
         # GV from RSM depth: EVERY sun-visible texel is an occluder surfel
         # (gv_injection path, cpp:932-968) — much denser than the VPL subset.
-        gc = inject_gv_surfels(
-            gc, wpos.reshape(-1, 3), nrm.reshape(-1, 3), val.reshape(-1),
-            mins[c], cells[c], resolution,
+        surfel_parts.append(
+            (wpos.reshape(-1, 3), nrm.reshape(-1, 3), val.reshape(-1))
         )
-        # GV from scene-view depth: camera-visible geometry the sun never sees
-        # (inject_scene_depth_into_gv, cpp:1065-1128) — without it light leaks
-        # through sun-shadowed walls.
-        if scene_view_surfels is not None:
-            sp, sn, sv = scene_view_surfels
-            gc = inject_gv_surfels(gc, sp, sn, sv, mins[c], cells[c], resolution)
-        # Emissive mesh-light point clouds (render_scene.cpp:257-310).
-        ep = scene.emissive_points
-        if ep.shape[0] > 1:
-            emask = (
-                jnp.arange(ep.shape[0]) < scene.emissive_point_count
-            )
-            rc, gc = inject(
-                rc, gc, ep[:, 0:3], ep[:, 3:6], ep[:, 6:9], emask, mins[c], cells[c],
-                resolution,
-            )
-        radiance = radiance.at[c].set(rc)
-        gv = gv.at[c].set(gc)
+    # Emissive mesh-light point clouds (render_scene.cpp:257-310); scene-view
+    # depth surfels guard against light leaking through sun-shadowed walls
+    # (inject_scene_depth_into_gv, cpp:1065-1128).
+    ep = scene.emissive_points
+    emissive = None
+    if ep.shape[0] > 1:
+        emask = jnp.arange(ep.shape[0]) < scene.emissive_point_count
+        emissive = (ep[:, 0:3], ep[:, 3:6], ep[:, 6:9], emask)
+    radiance, gv = inject_all(
+        radiance, gv, vpl_parts, surfel_parts, scene_view_surfels, emissive,
+        mins, cells, resolution,
+    )
     radiance = propagate(radiance, gv, num_steps)
     return LPVVolumes(radiance=radiance, gv=gv, mins=mins, cell_sizes=cells)

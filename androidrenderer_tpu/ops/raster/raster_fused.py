@@ -517,6 +517,7 @@ def rasterize_hybrid(
     depth_only: bool = False,
     affine_z: bool = False,
     interpret: bool = False,
+    backend: str = "fused",  # "fused" | "binned" window kernel for the big tris
     **fused_kwargs,
 ):
     """Hybrid splat + window raster — same contract/bit-exactness as
@@ -566,17 +567,25 @@ def rasterize_hybrid(
     )
 
     setup_big = setup._replace(valid=setup.valid & ~single)
+    if backend == "binned":
+        from androidrenderer_tpu.ops.raster.raster_binned import rasterize_binned
+
+        def _kernel(**kw):
+            return rasterize_binned(
+                setup_big, height, width, num_slabs=num_slabs,
+                affine_z=affine_z, interpret=interpret, **fused_kwargs, **kw,
+            )
+    else:
+        def _kernel(**kw):
+            return rasterize_fused(
+                setup_big, height, width, num_slabs=num_slabs,
+                affine_z=affine_z, interpret=interpret, **fused_kwargs, **kw,
+            )
     if depth_only:
-        depth_big = rasterize_fused(
-            setup_big, height, width, num_slabs=num_slabs, depth_only=True,
-            affine_z=affine_z, interpret=interpret, **fused_kwargs,
-        )
+        depth_big = _kernel(depth_only=True)
         return jnp.maximum(depth_big, depth_splat.reshape(height, width))
 
-    depth_big, vis_big = rasterize_fused(
-        setup_big, height, width, num_slabs=num_slabs,
-        affine_z=affine_z, interpret=interpret, **fused_kwargs,
-    )
+    depth_big, vis_big = _kernel()
     depth = jnp.maximum(depth_big, depth_splat.reshape(height, width))
     # Splat winners: the splat whose z equals the final per-pixel depth; equal-z
     # splats resolve to the highest id (scatter-max), and splat-vs-kernel equal-z

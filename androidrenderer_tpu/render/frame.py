@@ -372,8 +372,12 @@ def render_frame(
     if config.gi_mode == GIMode.LPV and full_features:
         def _gi_raster(setup_, hh, ww):
             if use_pallas and ww % 128 == 0:
-                # Window-binned kernel: parity speed with the fused kernel at
-                # RSM scale, ~10x faster Mosaic compile (see shadow.py note).
+                # Window-binned kernel. Negative results here (round 3): the
+                # splat+kernel hybrid measured 39.4 vs 39.8 ms but costs a 393 s
+                # Mosaic compile — at RSM scale only 15% of live triangles are
+                # single-pixel (median bbox 3 px), so the scalar Phase A scan
+                # (~20 ms/cascade) remains either way. The 4 RSM rasters are
+                # ~100 of the ~153 ms LPV delta; propagation itself is ~12 ms.
                 return rasterize_binned(
                     setup_, hh, ww, win_h=16, cap=64,
                     num_slabs=auto_slabs_binned(hh, ww, win_h=16),

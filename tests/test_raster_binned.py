@@ -191,3 +191,20 @@ def test_binned_alpha_bitmap_vs_peeled():
     assert agree > 0.97, f"coverage agreement {agree:.3f}"
     assert cov_bm.sum() > 50  # holes exist but foliage is present
     assert cov_bm.sum() < cov_ref.size * 0.9  # and holes actually punched
+
+
+def test_hybrid_binned_matches_xla():
+    """Splat + binned-kernel hybrid == XLA raster (single-px tris via scatter)."""
+    from androidrenderer_tpu.ops.raster.raster_fused import rasterize_hybrid
+
+    verts, tris = random_scene(6, n_tris=80)
+    setup = _setup_for(verts, tris, True)
+    depth_ref, vis_ref = _xla_ref(setup)
+    depth, vis = rasterize_hybrid(
+        setup, H, W, backend="binned", num_slabs=2, chunk=32, interpret=True
+    )
+    # Splat (XLA) and kernel lower the same formulas with different FMA
+    # contraction: a few-ULP depth tolerance, vis flips only at those pixels.
+    np.testing.assert_allclose(np.asarray(depth), depth_ref, rtol=5e-6, atol=1e-9)
+    disagree = np.asarray(vis) != vis_ref
+    assert (disagree & (np.asarray(depth) == depth_ref)).sum() == 0

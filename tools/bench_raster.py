@@ -97,6 +97,26 @@ def main():
                 su, h, w, num_slabs=auto_slabs(h, w, depth_only=depth_only),
                 depth_only=depth_only, affine_z=affine,
             )
+        elif name == "hybrid":
+            from androidrenderer_tpu.ops.raster.raster_fused import rasterize_hybrid
+            from androidrenderer_tpu.ops.raster.raster_binned import (
+                auto_slabs_binned as asb,
+            )
+            kernels[name] = lambda su: rasterize_hybrid(
+                su, h, w, backend="binned", win_h=16, cap=64,
+                num_slabs=asb(h, w, depth_only=depth_only, win_h=16),
+                depth_only=depth_only, affine_z=affine,
+            )
+        elif name == "hybrid32":
+            from androidrenderer_tpu.ops.raster.raster_fused import rasterize_hybrid
+            from androidrenderer_tpu.ops.raster.raster_binned import (
+                auto_slabs_binned as asb,
+            )
+            kernels[name] = lambda su: rasterize_hybrid(
+                su, h, w, backend="binned", win_h=32, cap=8, kb=4, unroll=2,
+                num_slabs=asb(h, w, depth_only=depth_only, win_h=32),
+                depth_only=depth_only, affine_z=affine,
+            )
         elif name.startswith("fusedkb"):
             kb = int(name[7:])
             kernels[name] = lambda su, kb=kb: rasterize_fused(

@@ -71,6 +71,13 @@ def main():
         "maskpeel": base.replace(alpha_bitmap=False),
         "nonrm": base.replace(use_normal_maps=False),
         "nomr": base.replace(use_mr_textures=False),
+        # Everything off: raster + setup + resolve core + sun BRDF + tonemap.
+        "flat": base.replace(
+            shadow_mode=ShadowMode.OFF, sky=False, bloom=False,
+            occlusion_culling=False, alpha_masking=False,
+            use_base_textures=False, use_normal_maps=False,
+            use_mr_textures=False,
+        ),
         "fullrategi": base.replace(
             gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, half_rate_gi=False
         ),
