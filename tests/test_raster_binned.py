@@ -143,9 +143,12 @@ def test_binned_z_limit_peeling():
     # layer's — legitimate peel-boundary pixels. Production peels with the SAME
     # kernel for every layer, so those flips never occur in the real path;
     # here, accept mismatches only at the boundary (z within 1 ULP of z_limit).
-    bad = ~np.isclose(depth, depth_ref, rtol=1e-6, atol=1e-9)
-    at_boundary = np.isclose(
-        np.where(depth > 0, depth, depth_ref), np.asarray(zlim), rtol=2e-6
+    # Second-layer fragments chain two evaluations (q, r, divide) through
+    # different FMA contractions — up to a few ULP of depth difference.
+    bad = ~np.isclose(depth, depth_ref, rtol=5e-6, atol=1e-9)
+    zl = np.asarray(zlim)
+    at_boundary = np.isclose(depth, zl, rtol=4e-6) | np.isclose(
+        depth_ref, zl, rtol=4e-6
     )
     assert (bad & ~at_boundary).sum() == 0
     assert bad.mean() < 0.05
