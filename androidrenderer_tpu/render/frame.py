@@ -518,17 +518,31 @@ def render_frame(
         )
 
         setup_b = setup._replace(valid=setup.valid & is_blend)
-        bins_b = bin_triangles(
-            setup_b, tiles_y, config.tiles_x, config.tile_height, config.tile_width,
-            cap=config.max_tris_per_tile, tile_row_offset=tile_row_offset,
-        )
+        if not use_pallas:
+            bins_b = bin_triangles(
+                setup_b, tiles_y, config.tiles_x, config.tile_height,
+                config.tile_width,
+                cap=config.max_tris_per_tile, tile_row_offset=tile_row_offset,
+            )
         z_lim = jnp.full((h, w), jnp.inf, jnp.float32)
         layers = []
-        for _ in range(config.translucent_layers):
-            d_t = _rd(setup_b, bins_b, h, w, config.tile_height, config.tile_width,
-                      row_offset=row_offset, z_limit=z_lim)
-            v_t = _rv(setup_b, bins_b, d_t, config.tile_height, config.tile_width,
-                      row_offset=row_offset, z_limit=z_lim)
+        for layer_i in range(config.translucent_layers):
+            if use_pallas:
+                # Same Pallas z_limit peeling as the masked path — the XLA
+                # reduction raster costs seconds/layer at 1080p.
+                d_t, v_t = rasterize_binned(
+                    setup_b, h, w, win_h=32, cap=14, kb=8, unroll=2,
+                    num_slabs=auto_slabs_binned(
+                        h, w, win_h=32, with_z_limit=layer_i > 0
+                    ),
+                    interpret=config.pallas_interpret,
+                    z_limit=None if layer_i == 0 else z_lim,
+                )
+            else:
+                d_t = _rd(setup_b, bins_b, h, w, config.tile_height,
+                          config.tile_width, row_offset=row_offset, z_limit=z_lim)
+                v_t = _rv(setup_b, bins_b, d_t, config.tile_height,
+                          config.tile_width, row_offset=row_offset, z_limit=z_lim)
             gb_t = resolve_gbuffer(
                 scene, setup_b, v_t, d_t, row_offset=row_offset,
                 use_base_textures=config.use_base_textures,

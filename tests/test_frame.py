@@ -116,3 +116,40 @@ def test_courtyard_smoke():
     assert np.isfinite(np.asarray(out.hdr)).all()
     assert (np.asarray(out.visibility) >= 0).mean() > 0.3
     assert img.std() > 10.0  # actual visual structure
+
+
+def test_pallas_frame_with_alpha_bitmap_matches_xla_peel():
+    """Full frame through the interpret-mode Pallas path (window-binned kernel,
+    in-kernel alpha bitmaps, masked-in-main raster) vs the XLA peel path: the
+    two alpha strategies must agree on coverage except at lattice-quantized
+    leaf edges (the documented alpha_bitmap divergence)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from androidrenderer_tpu.camera import Camera
+    from androidrenderer_tpu.config import RasterBackend, RenderConfig, RenderParams, ShadowMode
+    from androidrenderer_tpu.render import initial_temporal_state, make_renderer
+    from androidrenderer_tpu.scene.procedural import alpha_test_scene
+
+    scene, _ = alpha_test_scene().build(with_bvh=False)
+    w = h = 128
+    base = dict(
+        render_width=w, render_height=h, output_width=w, output_height=h,
+        tile_height=32, tile_width=128, max_tris_per_tile=512,
+        shadow_mode=ShadowMode.OFF, sky=False, bloom=False,
+        occlusion_culling=False, translucency=False,
+        use_normal_maps=False, use_mr_textures=False, use_emission=False,
+    )
+    cam = Camera(fov_degrees=75.0, aspect=1.0, render_resolution=(w, h))
+    cam.set_position([0.0, 1.0, -3.0])
+    view = cam.view_data()
+    params = RenderParams.default()
+
+    cfg_p = RenderConfig(**base, raster_backend=RasterBackend.PALLAS,
+                         pallas_interpret=True, alpha_bitmap=True)
+    cfg_x = RenderConfig(**base, raster_backend=RasterBackend.XLA)
+    out_p, _ = make_renderer(cfg_p)(scene, view, params, initial_temporal_state(h, w))
+    out_x, _ = make_renderer(cfg_x)(scene, view, params, initial_temporal_state(h, w))
+    cov_p = np.asarray(out_p.visibility) >= 0
+    cov_x = np.asarray(out_x.visibility) >= 0
+    agree = (cov_p == cov_x).mean()
+    assert agree > 0.97, f"coverage agreement {agree:.3f}"
