@@ -158,6 +158,13 @@ class RenderConfig:
     # fraction of output pixels; quads past the budget keep their coarse shade.
     vrsaa_budget: float = 0.25
 
+    # Profiling-only stubs (tools/profile_toggles.py): replace the raster or the
+    # gbuffer resolve with shape-identical synthetic data so whole-frame toggle
+    # deltas isolate each stage's in-frame cost (per-call timings are poisoned by
+    # dispatch latency on this platform — docs/ROADMAP.md). Never set in production.
+    debug_stub_raster: bool = False
+    debug_stub_resolve: bool = False
+
     # Raster engine tiling (TPU-specific; lane-friendly 8x128 multiples).
     tile_height: int = 32
     tile_width: int = 128

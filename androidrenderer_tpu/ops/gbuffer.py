@@ -56,8 +56,10 @@ ATTR_CHANNELS = 16  # uv(2) normal(3) tangent(4) color(3) position(3) pad(1)
 # yields value * s, divided back out by 1/s — i.e. they fall out of the
 # interpolation for free. Texture metadata packs (start/START_ALIGN) * 16 +
 # log2(base size) into ONE float per slot (exact in f32 up to pools of ~16 GB;
-# 1-ULP round-trip error << 0.5 so round() recovers it) — keeping the plane row
-# at 30 channels; widening it to 34 measured +200 ms/frame on the 2M-row gather.
+# 1-ULP round-trip error << 0.5 so round() recovers it). Round-3 microbench
+# (tools/microbench_gather.py): gather width is ~free up to >= 87 f32; what the
+# round-2 "width cliff" actually measured was the (N, 3, C) slice-gather layout
+# (206 ms vs 26 ms flat at 2M px) — the table is stored FLAT (N, 3C) now.
 CONST_CHANNELS = 12
 
 
@@ -106,9 +108,15 @@ def pack_attribute_planes(scene: SceneArrays, setup: TriangleSetup) -> jnp.ndarr
     )  # (N, 12)
     # Multiply by the s-plane so the per-pixel divide by s(p) cancels exactly.
     const_planes = consts[:, None, :] * s_plane[:, :, None]
-    return jnp.concatenate(
+    table = jnp.concatenate(
         [planes, s_plane[:, :, None], const_planes], axis=2
     )  # (N, 3, A+1+K)
+    # Stored FLAT: a (N, 3, C) table makes the resolve's per-pixel gather a
+    # multi-dim slice, which measures 206 ms vs 26 ms for the identical flat
+    # (N, 3C) row gather at 2M px (tools/microbench_gather.py) — width is free
+    # up to >= 87 f32; the dims of the slice are what kill it.
+    n = table.shape[0]
+    return table.reshape(n, 3 * table.shape[2])
 
 
 def resolve_gbuffer(
@@ -133,7 +141,10 @@ def resolve_gbuffer(
 
     if attr_planes is None:
         attr_planes = pack_attribute_planes(scene, setup)
-    pl = attr_planes[tid]  # (..., 3, A+1+K) — the one big gather
+    # The one big gather: FLAT (N, 3C) rows (a (N, 3, C) slice gather is 8x
+    # slower — see pack_attribute_planes), reshaped back per pixel.
+    pl = attr_planes[tid]
+    pl = pl.reshape(pl.shape[:-1] + (3, pl.shape[-1] // 3))  # (..., 3, A+1+K)
     if pixel_coords is None:
         height, width = vis.shape
         px = jnp.arange(width, dtype=jnp.float32)[None, :, None]

@@ -38,9 +38,11 @@ from androidrenderer_tpu.ops.raster.setup import triangle_setup, transform_to_cl
 SA_DIRECT = 0.4006696846
 SA_SIDE = 0.4234413544
 
-_DIRS = jnp.array(
+# numpy (not jnp): module-level device arrays would commit the jax backend at
+# import time, breaking later jax_platforms overrides (headless --platform cpu).
+_DIRS = np.array(
     [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
-    dtype=jnp.float32,
+    dtype=np.float32,
 )
 
 

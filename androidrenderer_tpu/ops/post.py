@@ -8,8 +8,10 @@ then gamma 1/2.2.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-LUMA_WEIGHTS = jnp.array([0.2126, 0.7152, 0.0722], dtype=jnp.float32)
+# numpy: a module-level jnp constant commits the backend at import time.
+LUMA_WEIGHTS = np.array([0.2126, 0.7152, 0.0722], dtype=np.float32)
 
 
 def luminance(color: jnp.ndarray) -> jnp.ndarray:

@@ -292,7 +292,10 @@ def sample_probes(
                         (duv * DEPTH_RES).astype(jnp.int32), 0, DEPTH_RES - 1
                     )
                     didx = dt[..., 1] * DEPTH_RES + dt[..., 0]
-                    moments = state.depth[ci][slot, didx]  # (H, W, 2)
+                    # Single-axis flat gather: 2-axis advanced indexing lowers
+                    # to the slow multi-dim gather form (microbench_gather.py).
+                    dtab = state.depth[ci].reshape(-1, 2)
+                    moments = dtab[slot * (DEPTH_RES * DEPTH_RES) + didx]  # (H, W, 2)
                     mean = moments[..., 0:1]
                     var = jnp.maximum(moments[..., 1:2] - mean * mean, 1e-4)
                     delta = jnp.maximum(dist - mean, 0.0)
@@ -302,7 +305,8 @@ def sample_probes(
                     iuv = dir_to_oct_uv(normal)
                     it = jnp.clip((iuv * IRR_RES).astype(jnp.int32), 0, IRR_RES - 1)
                     iidx = it[..., 1] * IRR_RES + it[..., 0]
-                    e = state.irradiance[ci][slot, iidx]  # (H, W, 3)
+                    itab = state.irradiance[ci].reshape(-1, 3)
+                    e = itab[slot * (IRR_RES * IRR_RES) + iidx]  # (H, W, 3)
                     wgt = tw * bw * vis
                     irr = irr + e * wgt
                     wsum = wsum + wgt

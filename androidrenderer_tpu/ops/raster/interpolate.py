@@ -43,8 +43,16 @@ def compute_barycentrics(
     valid = vis >= 0
     tid = jnp.maximum(vis, 0)
 
-    edge = setup.edge[tid]  # (H, W, 3, 3)
-    q = setup.q[tid]  # (H, W, 3)
+    # ONE flat 15-wide row gather: a (N, 3, 3) slice gather runs ~8x slower
+    # than the identical flat-row gather at screen scale (microbench_gather.py);
+    # concatenating edge+q per triangle keeps this at a single fast gather.
+    n = setup.edge.shape[0]
+    table = jnp.concatenate(
+        [setup.edge.reshape(n, 9), setup.q.reshape(n, 3)], axis=1
+    )  # (N, 12)
+    row = table[tid]  # (H, W, 12)
+    edge = row[..., :9].reshape(row.shape[:-1] + (3, 3))  # (H, W, 3, 3)
+    q = row[..., 9:12]  # (H, W, 3)
     px = jnp.arange(width, dtype=jnp.float32)[None, :, None]
     py = (jnp.arange(height, dtype=jnp.float32) + row_offset)[:, None, None]
 

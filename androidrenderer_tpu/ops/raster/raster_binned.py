@@ -11,10 +11,14 @@ This kernel keeps Phase A (in-kernel touch expansion — no XLA gathers) but sta
 touches into PER-WINDOW bins instead of one flat list:
 
   Phase A: for each triangle row-strip, emit the triangle's local id into the
-  SMEM bin of every (win_h x 128) window it touches. A window's first touch of
-  the chunk appends the window to a dirty list (counts[w] == -1 sentinel).
+  SMEM bin of every (win_h x 128) window it touches. Emission is the scalar
+  hot path (~45-65 cyc/touch round 3), so it does the bare minimum — count
+  read, bin write, count write; the dirty-window list is NOT maintained per
+  touch but rebuilt at drain time by scanning the few-hundred-entry counts
+  array (nwin scalar reads per chunk, ~free).
 
-  Phase B (end of chunk): walk the dirty list in batches of K windows.
+  Phase B (end of chunk): scan counts -> dirty list, then walk it in batches
+  of K windows.
     1. issue all K window loads      (no intervening stores -> independent,
                                       the ~150-cycle latencies overlap)
     2. per window, fold its binned touches into a REGISTER accumulator —
@@ -78,7 +82,7 @@ def _binned_kernel(
     zlim_ref = rest.pop(0) if has_z_limit else None
     depth_ref = rest.pop(0)
     vis_ref = None if depth_only else rest.pop(0)
-    bins_ref, counts_ref, dirty_ref, nd_ref = rest
+    bins_ref, counts_ref, dirty_ref = rest
 
     s = pl.program_id(0)
     c = pl.program_id(1)
@@ -93,11 +97,10 @@ def _binned_kernel(
             vis_ref[:, :] = jnp.full((slab_h, width), -1, jnp.int32)
 
         def ci(i, _):
-            counts_ref[i] = -1
+            counts_ref[i] = 0
             return 0
 
-        jax.lax.fori_loop(0, nwin, ci, 0)
-        nd_ref[0] = 0
+        jax.lax.fori_loop(0, nwin + 1, ci, 0)  # +1: the dummy dead-emit row
 
     slab_row0 = s * rows_per_slab  # global window-row index of the slab's first row
     slab_y0 = (s * slab_h).astype(jnp.float32)
@@ -216,11 +219,20 @@ def _binned_kernel(
         depth_ref[pl.ds(y, win_h), pl.ds(x, WIN_W)] = zacc
         if not depth_only:
             vis_ref[pl.ds(y, win_h), pl.ds(x, WIN_W)] = vacc
-        counts_ref[w] = 0  # stays on the dirty list
+        counts_ref[w] = 0  # re-dirtied automatically if more touches land
 
     def drain_all():
-        """End-of-chunk drain: K-window batches, loads before stores."""
-        nd = nd_ref[0]
+        """End-of-chunk drain: K-window batches, loads before stores.
+
+        The dirty list is rebuilt here from counts (nwin scalar reads, ~free)
+        instead of being maintained per touch in emit — emission is the scalar
+        hot path and the append machinery cost ~5 ops/touch."""
+
+        def scanw(w, nd):
+            dirty_ref[nd] = w
+            return nd + (counts_ref[w] > 0).astype(jnp.int32)
+
+        nd = jax.lax.fori_loop(0, nwin, scanw, 0)
 
         def batch(bi, _):
             base = bi * kb
@@ -229,8 +241,8 @@ def _binned_kernel(
                 idx = base + j
                 live = idx < nd
                 dw = jnp.where(live, dirty_ref[jnp.minimum(idx, nwin - 1)], 0)
-                row = dw >> 4
-                col = dw & 15
+                row = dw // ncols  # static divisor — compiles to shifts/mults
+                col = dw - row * ncols
                 y = pl.multiple_of(row * win_h, win_h)
                 x = pl.multiple_of(col * WIN_W, WIN_W)
                 if debug_mode == 1:  # Phase A cost only: no window traffic
@@ -260,7 +272,7 @@ def _binned_kernel(
 
                 @pl.when(live)
                 def _(w=w):
-                    counts_ref[w] = -1
+                    counts_ref[w] = 0
 
             if debug_mode != 1:
                 for j in range(kb):
@@ -275,7 +287,6 @@ def _binned_kernel(
             return 0
 
         jax.lax.fori_loop(0, pl.cdiv(nd, kb), batch, 0)
-        nd_ref[0] = 0
 
     def emit(row, col, k, real=None):
         """Branchless touch emission (the measured Phase A cost is scalar-core
@@ -285,20 +296,13 @@ def _binned_kernel(
         ``real=None`` emits unconditionally; a bool ``real`` redirects dead
         emits to a DUMMY bin row (index nwin) whose count grows unchecked (the
         bins write clamps to its last slot) and which is never drained — so
-        conditional call sites cost a select instead of a branch. The dirty
-        append is unconditional too: the slot is written every time, but the
-        cursor only advances for first touches of real windows."""
+        conditional call sites cost a select instead of a branch. No dirty-list
+        maintenance here: drain_all rebuilds it from counts (emission is the
+        scalar hot path; the append machinery cost ~5 ops/touch)."""
         w = row * ncols + col
         if real is not None:
             w = jnp.where(real, w, nwin)
-        cnt0 = counts_ref[w]
-        cnt = jnp.maximum(cnt0, 0)
-        new = cnt0 < 0
-        if real is not None:
-            new = new & real
-        nd = nd_ref[0]
-        dirty_ref[nd] = (row << 4) | col
-        nd_ref[0] = nd + new.astype(jnp.int32)
+        cnt = counts_ref[w]
         bins_ref[w * cap + jnp.minimum(cnt, cap - 1)] = k
         counts_ref[w] = cnt + 1
 
@@ -520,9 +524,8 @@ def rasterize_binned(
 
     scratch = [
         pltpu.SMEM(((nwin + 1) * cap,), jnp.int32),  # bins (+1 dummy row)
-        pltpu.SMEM((nwin + 1,), jnp.int32),  # counts (-1 = not dirty)
-        pltpu.SMEM((nwin + 1,), jnp.int32),  # dirty window list (row<<4 | col)
-        pltpu.SMEM((1,), jnp.int32),  # dirty count
+        pltpu.SMEM((nwin + 1,), jnp.int32),  # counts (0 = clean)
+        pltpu.SMEM((nwin + 1,), jnp.int32),  # dirty window list (raw w index)
     ]
     in_specs = [
         pl.BlockSpec(

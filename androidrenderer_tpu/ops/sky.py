@@ -14,17 +14,18 @@ follow Hillaire's earth preset.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from androidrenderer_tpu.ops.brdf import normalize
 
 # Hillaire earth-atmosphere preset.
 GROUND_RADIUS_MM = 6.360  # megameters
 ATMO_RADIUS_MM = 6.460
-RAYLEIGH_SCATTER = jnp.array([5.802, 13.558, 33.1])  # per Mm
+RAYLEIGH_SCATTER = np.array([5.802, 13.558, 33.1], np.float32)  # per Mm
 RAYLEIGH_ABSORB = 0.0
 MIE_SCATTER = 3.996
 MIE_ABSORB = 4.4
-OZONE_ABSORB = jnp.array([0.650, 1.881, 0.085])
+OZONE_ABSORB = np.array([0.650, 1.881, 0.085], np.float32)
 GROUND_ALBEDO = 0.3
 
 

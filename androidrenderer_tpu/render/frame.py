@@ -160,7 +160,20 @@ def render_frame(
         )
         return d, v
 
-    if config.occlusion_culling and full_features:
+    if config.debug_stub_raster:
+        # Profiling stub: pseudo-random visibility ids (realistic random-gather
+        # behavior downstream) + analytic depth; no raster/binning runs at all.
+        n_tri = scene.tri_indices.shape[0]
+        m = 1
+        while m * 2 <= n_tri:
+            m *= 2
+        yy = jnp.arange(h, dtype=jnp.int32)[:, None]
+        xx = jnp.arange(w, dtype=jnp.int32)[None, :]
+        vis = (yy * 7919 + xx * 104729) & (m - 1)
+        depth = 0.05 + 0.9 * jnp.abs(jnp.sin(
+            (yy * 0.013 + xx * 0.007).astype(jnp.float32)
+        ))
+    elif config.occlusion_culling and full_features:
         # Two-phase HiZ occlusion culling (depth_culling_phase.cpp:182-241):
         # 1) draw last-frame-visible, 2) build the HiZ pyramid from that depth,
         # 3) re-test everything, 4) draw the newly visible, merge (max — exact).
@@ -246,6 +259,24 @@ def render_frame(
         gbuf = resolve_gbuffer(
             scene, setup, vis, depth, attr_planes=attr_planes,
             pixel_coords=(px_g, py_g), **flags,
+        )
+    elif config.debug_stub_resolve:
+        # Profiling stub: shape-identical GBuffer from elementwise math only —
+        # no attribute-plane pack, no plane gather, no texture sampling.
+        zz = depth[..., None]
+        xyz = jnp.concatenate(
+            [zz * 3.0, zz * zz, jnp.cos(zz)], axis=-1
+        )
+        one = jnp.ones((h, w, 1), jnp.float32)
+        gbuf = GBuffer(
+            base_color=jnp.abs(jnp.sin(xyz)),
+            normal=xyz / jnp.sqrt(jnp.sum(xyz * xyz, axis=-1, keepdims=True) + 1e-6),
+            roughness=0.5 * one,
+            metalness=0.1 * one,
+            emission=jnp.zeros((h, w, 3), jnp.float32),
+            world_position=xyz * 4.0,
+            depth=depth,
+            valid=vis >= 0,
         )
     else:
         gbuf = resolve_gbuffer(

@@ -53,7 +53,10 @@ def update_primitive_transforms(
 ) -> SceneArrays:
     """Pure update: new SceneArrays with every transform-dependent array rebuilt."""
     vp = dyn.vertex_prim
-    m = transforms[vp]  # (V, 4, 4) — one 16-wide gather per vertex
+    # Flat 16-wide row gather then reshape — a (P, 4, 4) slice gather lowers to
+    # the ~8x slower multi-dim gather form (tools/microbench_gather.py).
+    p = transforms.shape[0]
+    m = transforms.reshape(p, 16)[vp].reshape(vp.shape[0], 4, 4)  # (V, 4, 4)
 
     def xform(base, rows):  # broadcast FMAs (batched tiny matmuls are a TPU trap)
         return (

@@ -78,6 +78,28 @@ def main():
             use_base_textures=False, use_normal_maps=False,
             use_mr_textures=False,
         ),
+        # Stage-stub decompositions of the flat core (trustworthy in-frame deltas):
+        # flat - flat_sr = raster cost; flat_sr - flat_srr = resolve-core cost;
+        # flat_srr itself = setup + planes pack + BRDF + tonemap + dispatch floor.
+        "flat_sr": base.replace(
+            shadow_mode=ShadowMode.OFF, sky=False, bloom=False,
+            occlusion_culling=False, alpha_masking=False,
+            use_base_textures=False, use_normal_maps=False,
+            use_mr_textures=False, debug_stub_raster=True,
+        ),
+        "flat_sres": base.replace(
+            shadow_mode=ShadowMode.OFF, sky=False, bloom=False,
+            occlusion_culling=False, alpha_masking=False,
+            use_base_textures=False, use_normal_maps=False,
+            use_mr_textures=False, debug_stub_resolve=True,
+        ),
+        "flat_srr": base.replace(
+            shadow_mode=ShadowMode.OFF, sky=False, bloom=False,
+            occlusion_culling=False, alpha_masking=False,
+            use_base_textures=False, use_normal_maps=False,
+            use_mr_textures=False, debug_stub_raster=True,
+            debug_stub_resolve=True,
+        ),
         "fullrategi": base.replace(
             gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, half_rate_gi=False
         ),
