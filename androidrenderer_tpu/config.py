@@ -126,6 +126,11 @@ class RenderConfig:
     # algorithm is resolution-independent.
     num_shadow_cascades: int = 4
     shadow_cascade_resolution: int = 1024
+    # Cascades >= this index rasterize the vertex-clustered proxy mesh
+    # (scene/proxy.py) instead of full geometry — far cascades cover 32-128 m
+    # where sub-cell silhouette detail is below a shadow texel. Set >=
+    # num_shadow_cascades to disable. Documented divergence (docs/PARITY.md).
+    shadow_proxy_from_cascade: int = 2
     shadow_cascade_split_lambda: float = 0.95
     shadow_max_distance: float = 128.0
 
@@ -135,6 +140,9 @@ class RenderConfig:
     lpv_resolution: int = 32
     lpv_cell_size: float = 0.25
     lpv_rsm_resolution: int = 128
+    # RSM flux/normal/depth rasters use the proxy mesh: 128^2 texels are meters
+    # wide, far coarser than the proxy's cell size. Documented divergence.
+    rsm_proxy: bool = True
     lpv_num_propagation_steps: int = 32
     lpv_behind_camera_percent: float = 0.1
 

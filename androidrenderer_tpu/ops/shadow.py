@@ -222,16 +222,30 @@ def render_shadow_cascades(
     use_pallas: bool = False,
     pallas_interpret: bool = False,
     double_sided: jnp.ndarray | None = None,  # (N,) — material sidedness
+    proxy=None,  # scene.proxy.ProxyMesh | None — decimated far-cascade geometry
+    proxy_from_cascade: int = 10**9,  # cascades >= this index rasterize the proxy
 ) -> jnp.ndarray:
     """(C, R, R) reversed-Z shadow depth maps — batched depth-only raster.
 
     Back-facing (w.r.t. the light) single-sided triangles are culled: for closed
-    meshes this is exact, and it doubles the span-narrowed kernel's throughput."""
+    meshes this is exact, and it doubles the span-narrowed kernel's throughput.
+
+    ``proxy``/``proxy_from_cascade``: far cascades cover 32-128 m, where one
+    shadow texel spans ~3-13 cm — below the proxy's cluster cell. The binned
+    kernel is scalar-Phase-A (per-triangle) bound, so rasterizing ~8-10x fewer
+    proxy triangles there cuts the pass nearly proportionally. The reference
+    rasterizes full geometry into every cascade on HW (directional_light.cpp:
+    305-326); this LOD split is the documented TPU-idiomatic divergence
+    (scene/proxy.py)."""
     if double_sided is None:
         double_sided = jnp.ones(tri_indices.shape[0], dtype=bool)
     from androidrenderer_tpu.ops.raster.raster_binned import (
         auto_slabs_binned, rasterize_binned,
     )
+
+    num_cascades = int(cascades.matrices.shape[0])
+    k_proxy = min(max(int(proxy_from_cascade), 0), num_cascades)
+    use_proxy = proxy is not None and k_proxy < num_cascades
 
     def one_setup(mat):
         clip = transform_to_clip(positions, mat)
@@ -240,17 +254,26 @@ def render_shadow_cascades(
             tri_valid=tri_valid,
         )
 
+    def one_setup_proxy(mat):
+        clip = transform_to_clip(proxy.positions, mat)
+        return triangle_setup(
+            clip, proxy.tri_indices, resolution, resolution,
+            double_sided=proxy.tri_double_sided, tri_valid=proxy.tri_valid,
+        )
+
     if use_pallas:
         # ONE triangle setup in the canonical union frame; per-cascade setups derive
         # by affine coefficient transforms (all cascades share the light basis, so
         # this costs a handful of (N,)-wide FMAs instead of 4x gather-heavy setups —
         # measured 338 -> ~130 ms on the bench view).
-        setup_c = one_setup(cascades.canonical)
         mc = cascades.canonical
+        setup_c = one_setup(mc) if k_proxy > 0 or not use_proxy else None
+        setup_p = one_setup_proxy(mc) if use_proxy else None
         maps = []
-        for i in range(cascades.matrices.shape[0]):
+        for i in range(num_cascades):
+            src = setup_p if (use_proxy and i >= k_proxy) else setup_c
             setup_i = derive_ortho_setup(
-                setup_c, mc, cascades.matrices[i], resolution
+                src, mc, cascades.matrices[i], resolution
             )
             maps.append(
                 # Window-binned kernel (round 3): beats the fused kernel at
@@ -273,8 +296,7 @@ def render_shadow_cascades(
             )
         return jnp.stack(maps)
 
-    def one(mat):
-        setup = one_setup(mat)
+    def _one(setup):
         bins = bin_triangles(
             setup, resolution // tile_h, resolution // tile_w, tile_h, tile_w, cap
         )
@@ -282,7 +304,18 @@ def render_shadow_cascades(
             setup, bins, resolution, resolution, tile_h, tile_w, chunk=64
         )
 
-    return jax.vmap(one)(cascades.matrices)
+    if not use_proxy:
+        return jax.vmap(lambda m: _one(one_setup(m)))(cascades.matrices)
+    # Keep the full-geometry vmap over ALL cascades so the near maps are
+    # bit-identical to the non-proxy run (a size-k vmap reassociates fp32
+    # differently from a size-C one — measured 2e-6 drift, enough to flip PCF
+    # texel snapping). The discarded far full-rasters only cost in this
+    # XLA fallback/oracle path; production is the per-cascade Pallas loop.
+    full_maps = jax.vmap(lambda m: _one(one_setup(m)))(cascades.matrices)
+    prox_maps = jax.vmap(lambda m: _one(one_setup_proxy(m)))(
+        cascades.matrices[k_proxy:]
+    )
+    return jnp.concatenate([full_maps[:k_proxy], prox_maps], axis=0)
 
 
 def _pack_pcf_taps(shadow_maps: jnp.ndarray) -> jnp.ndarray:

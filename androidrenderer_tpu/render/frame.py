@@ -309,6 +309,8 @@ def render_frame(
             cap=config.max_tris_per_tile,
             use_pallas=use_pallas, pallas_interpret=config.pallas_interpret,
             double_sided=scene.tri_double_sided,
+            proxy=scene.proxy,
+            proxy_from_cascade=config.shadow_proxy_from_cascade,
         )
         l = -scene.sun_direction / jnp.linalg.norm(scene.sun_direction)
         ndotl = jnp.clip(
@@ -436,8 +438,19 @@ def render_frame(
             # replicated); gather the ~1 MB subsampled set over ICI. Max-combine
             # injection is order-independent, so band order is fine.
             sv = tuple(coll.gather_rows(x, axis_name) for x in sv)
+        # RSM rasters are scalar-Phase-A (per-triangle) bound and their 128^2
+        # texels are meters wide — rasterize the vertex-clustered proxy there
+        # (scene/proxy.py; ~8-10x fewer triangles, flux/normal detail below a
+        # texel either way). Documented divergence from the reference's full-
+        # geometry RSM pass (light_propagation_volume.cpp:548-617).
+        if config.rsm_proxy:
+            from androidrenderer_tpu.scene.proxy import swap_in_proxy
+
+            gi_scene = swap_in_proxy(scene)
+        else:
+            gi_scene = scene
         volumes = lpv_ops.build_lpv(
-            scene, jnp.asarray(view.position), cam_forward, _gi_raster,
+            gi_scene, jnp.asarray(view.position), cam_forward, _gi_raster,
             config.lpv_num_cascades, config.lpv_resolution, config.lpv_cell_size,
             config.lpv_rsm_resolution, config.lpv_num_propagation_steps,
             config.lpv_behind_camera_percent,

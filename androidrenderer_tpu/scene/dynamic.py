@@ -44,6 +44,12 @@ class DynamicSceneData(NamedTuple):
     vertex_prim: jnp.ndarray  # (V,) i32 primitive owning each vertex
     base_bounds: jnp.ndarray  # (P, 4) object-space sphere [center, radius]
     level_slots: List[jnp.ndarray]  # preorder slots per BVH level (static topo)
+    # Object-space cluster means for the proxy mesh (scene/proxy.py). Clusters
+    # never span primitives, so the mean commutes with the per-primitive affine
+    # transform: world proxy vertex = M_prim @ object cluster mean, EXACTLY the
+    # world-rebuilt cluster mean.
+    proxy_base_positions: jnp.ndarray  # (Vp, 3)
+    proxy_base_normals: jnp.ndarray  # (Vp, 3)
 
 
 def update_primitive_transforms(
@@ -96,6 +102,15 @@ def update_primitive_transforms(
         prim_bounds[:np_]
     )
 
+    # Proxy geometry rides the same transforms (cluster means commute with the
+    # per-primitive affine — see DynamicSceneData).
+    pvp = scene.proxy.vertex_prim
+    pm = transforms.reshape(p, 16)[pvp].reshape(pvp.shape[0], 4, 4)
+    ppos = xform(dyn.proxy_base_positions, pm[:, :3, :3]) + pm[:, :3, 3]
+    pnrm = xform(dyn.proxy_base_normals, nmat[pvp])
+    pnrm = pnrm / jnp.maximum(jnp.linalg.norm(pnrm, axis=-1, keepdims=True), 1e-12)
+    proxy = scene.proxy._replace(positions=ppos, normals=pnrm)
+
     bvh = refit_bvh(scene.bvh, positions, scene.tri_indices, dyn.level_slots)
     return scene._replace(
         positions=positions,
@@ -103,6 +118,7 @@ def update_primitive_transforms(
         tangents=tangents,
         prim_bounds=prim_bounds,
         bvh=bvh,
+        proxy=proxy,
     )
 
 
@@ -169,14 +185,30 @@ def make_dynamic_data(render_scene, scene: SceneArrays) -> DynamicSceneData:
 
     from androidrenderer_tpu.scene.bvh import complete_tree_level_slots
 
+    # Object-space cluster means for the proxy (same vertex order as the bake,
+    # so proxy_host["inv"] maps directly).
+    inv = render_scene.proxy_host["inv"]
+    vp_n = render_scene.proxy_host["num_clusters"]
+    vp_pad = render_scene.proxy_host["padded_vertices"]
+    nrm = np.concatenate(all_nrm)
+
+    def cluster_mean(vals):
+        acc = np.zeros((vp_pad, vals.shape[1]), np.float64)
+        np.add.at(acc, inv, vals.astype(np.float64))
+        cnt = np.zeros((vp_pad,), np.float64)
+        np.add.at(cnt, inv, 1.0)
+        return jnp.asarray((acc / np.maximum(cnt[:, None], 1.0)).astype(np.float32))
+
     p = int(scene.bvh.slot_tri.shape[0]) // LEAF_SIZE
     return DynamicSceneData(
         base_positions=pad(pos.astype(np.float32)),
-        base_normals=pad(np.concatenate(all_nrm).astype(np.float32)),
+        base_normals=pad(nrm.astype(np.float32)),
         base_tangents=pad(np.concatenate(all_tan).astype(np.float32)),
         vertex_prim=pad(np.concatenate(vp)),
         base_bounds=jnp.asarray(np.stack(bounds).astype(np.float32)),
         level_slots=[jnp.asarray(s) for s in complete_tree_level_slots(p)],
+        proxy_base_positions=cluster_mean(pos),
+        proxy_base_normals=cluster_mean(nrm),
     )
 
 

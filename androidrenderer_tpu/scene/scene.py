@@ -27,6 +27,7 @@ from androidrenderer_tpu.scene.material_storage import (
 )
 from androidrenderer_tpu.scene.mesh_storage import MAX_POINT_CLOUD_POINTS, MeshStorage
 from androidrenderer_tpu.scene.bvh import LEAF_SIZE, build_bvh
+from androidrenderer_tpu.scene.proxy import ProxyMesh, build_proxy_mesh
 from androidrenderer_tpu.ops.rt.traverse import DeviceBVH
 from androidrenderer_tpu.ops.rt import traverse as _traverse
 
@@ -92,6 +93,11 @@ class SceneArrays(NamedTuple):
     emissive_point_count: jnp.ndarray  # () i32
     # Acceleration structure (RaytracingScene analog) — preorder skip-link BVH.
     bvh: DeviceBVH
+    # Vertex-clustered proxy geometry for triangle-rate-bound passes (RSM, far
+    # shadow cascades) — scene/proxy.py. The reference rasterizes full geometry
+    # everywhere on HW; the TPU-idiomatic fix for scalar-Phase-A-bound targets
+    # whose texels cannot resolve the detail is LOD.
+    proxy: "ProxyMesh"
 
 
 
@@ -188,9 +194,11 @@ class RenderScene:
         self.sun_color = (np.asarray(color, np.float32) * intensity).astype(np.float32)
 
     # ------------------------------------------------------------------ build
-    def build(self, pad: int = 512, with_bvh: bool = True) -> Tuple[SceneArrays, dict]:
+    def build(
+        self, pad: int = 512, with_bvh: bool = True, proxy_cell_size: float = 0.25
+    ) -> Tuple[SceneArrays, dict]:
         """Bake to device arrays. Returns (scene_arrays, stats)."""
-        all_pos, all_nrm, all_tan, all_uv, all_col = [], [], [], [], []
+        all_pos, all_nrm, all_tan, all_uv, all_col, all_vp = [], [], [], [], [], []
         all_tri, all_mat, all_prim, all_dbl, all_alpha = [], [], [], [], []
         prim_bounds, prim_range = [], []
         vtx_base = 0
@@ -217,6 +225,7 @@ class RenderScene:
             all_tan.append(np.concatenate([tan_xyz, tan_w], axis=1).astype(np.float32))
             all_uv.append(self.meshes.uvs[s:e])
             all_col.append(self.meshes.colors[s:e])
+            all_vp.append(np.full(mesh.num_vertices, pid, np.int32))
 
             tris = self.meshes.mesh_triangles(prim.mesh_id) - mesh.first_vertex + vtx_base
             ntri = tris.shape[0]
@@ -326,6 +335,12 @@ class RenderScene:
             np.concatenate(all_alpha), np.concatenate(all_mat), tri_indices,
             np.concatenate(all_uv), mat_params, self.materials._images,
         )
+        proxy, self.proxy_host = build_proxy_mesh(
+            positions, np.concatenate(all_nrm), np.concatenate(all_uv),
+            np.concatenate(all_col), np.concatenate(all_vp), tri_indices,
+            np.concatenate(all_mat), np.concatenate(all_dbl),
+            cell_size=proxy_cell_size,
+        )
         scene = SceneArrays(
             positions=jnp.asarray(_pad_rows(positions, pv)),
             normals=jnp.asarray(_pad_rows(np.concatenate(all_nrm), pv)),
@@ -359,6 +374,7 @@ class RenderScene:
             emissive_points=jnp.asarray(epts),
             emissive_point_count=jnp.int32(ecount),
             bvh=device_bvh,
+            proxy=proxy,
         )
         stats = {
             "num_vertices": nv,
@@ -368,6 +384,7 @@ class RenderScene:
             "num_textures": self.materials.num_textures,
             "num_masked_triangles": int((np.concatenate(all_alpha) == 1).sum()),
             "num_blend_triangles": int((np.concatenate(all_alpha) == 2).sum()),
+            "num_proxy_triangles": int(self.proxy_host["num_triangles"]),
         }
         return scene, stats
 

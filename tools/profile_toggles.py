@@ -117,6 +117,14 @@ def main():
         "parity": base.replace(
             gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA
         ),
+        # Proxy-LOD ablations (scene/proxy.py): full geometry in far cascades /
+        # RSM instead of the vertex-clustered proxy.
+        "noproxy_shadow": base.replace(shadow_proxy_from_cascade=10**6),
+        "noproxy_rsm": base.replace(gi_mode=GIMode.LPV, rsm_proxy=False),
+        "noproxy": base.replace(
+            gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
+            shadow_proxy_from_cascade=10**6, rsm_proxy=False,
+        ),
         # LPV decomposition variants
         "lpv_steps0": base.replace(gi_mode=GIMode.LPV, lpv_num_propagation_steps=0),
         "lpv_steps8": base.replace(gi_mode=GIMode.LPV, lpv_num_propagation_steps=8),
