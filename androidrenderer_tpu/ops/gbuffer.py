@@ -183,11 +183,15 @@ def resolve_gbuffer(
             lod_uv + tex_log2b[..., k].astype(jnp.float32)
         )
 
-    if use_base_textures:
+    # ONE material gather: the triple pool row carries base (trilinear-fused)
+    # + normal + metal-rough at the shared level — collapsing what was 3
+    # screen-sized gathers (~15-27 ms each) into 1 (sample_material_fused).
+    if use_base_textures or use_normal_maps or use_mr_textures:
         s0, b0, lod0 = slot(0)
-        # Single-gather trilinear (the mip-pair pool rows); a second 2M-row
-        # gather costs ~27-45 ms/frame.
-        base_s = tex.sample_trilinear_fused(scene.textures, s0, b0, uv, lod0)
+        base_s, nrm_s, mr_s = tex.sample_material_fused(
+            scene.textures, s0, b0, uv, lod0
+        )
+    if use_base_textures:
         base_rgb = srgb_to_linear(base_s[..., :3])
     else:
         base_rgb = 1.0
@@ -196,13 +200,7 @@ def resolve_gbuffer(
     # Normal mapping (gltf_basic_pbr.slang TBN path) — compiled out for scenes
     # without normal maps, like the reference's shader variants.
     if use_normal_maps:
-        s1, b1, lod1 = slot(1)
-        # Integer-LOD slots sample bilinear — sample_trilinear with a floored
-        # lod still issued a second (zero-weight) gather.
-        nrm_s = tex.sample_bilinear(
-            scene.textures, s1, b1, uv, jnp.floor(lod1).astype(jnp.int32),
-        )
-        n_ts = nrm_s[..., :3] * 2.0 - 1.0
+        n_ts = nrm_s * 2.0 - 1.0
         t = tan4[..., :3]
         t_len2 = jnp.sum(t * t, axis=-1, keepdims=True)
         has_tangent = t_len2 > 1e-8
@@ -216,14 +214,11 @@ def resolve_gbuffer(
         normal = geo_n
 
     # Metal/rough: glTF metallicRoughness texture (G = roughness, B = metalness) —
-    # the same channels the reference's gbuffer data target carries.
+    # the same channels the reference's gbuffer data target carries; the triple
+    # row stores them as [G, B].
     if use_mr_textures:
-        s2, b2, lod2 = slot(2)
-        mr_s = tex.sample_bilinear(
-            scene.textures, s2, b2, uv, jnp.floor(lod2).astype(jnp.int32)
-        )
-        roughness = (mr_s[..., 1:2]) * rough_f
-        metalness = (mr_s[..., 2:3]) * metal_f
+        roughness = (mr_s[..., 0:1]) * rough_f
+        metalness = (mr_s[..., 1:2]) * metal_f
     else:
         roughness = rough_f
         metalness = metal_f

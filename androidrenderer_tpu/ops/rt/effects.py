@@ -276,9 +276,13 @@ def rtgi(
                 )
 
             albedo = srgb_to_linear(samp(0)[:, :3]) * base_f * vc
-            mr_s = samp(2)
-            rough = jnp.clip(mr_s[:, 1] * mr_f[:, 1], 0.045, 1.0)
-            metal = mr_s[:, 2] * mr_f[:, 0]
+            # Metal-rough from the triple row's dedicated channels ([G, B]).
+            mr_s = tex.sample_mr_bilinear(
+                scene.textures, scene.tex_start[tex_ids[:, 2]],
+                scene.tex_log2b[tex_ids[:, 2]], huv, lod0,
+            )
+            rough = jnp.clip(mr_s[:, 0] * mr_f[:, 1], 0.045, 1.0)
+            metal = mr_s[:, 1] * mr_f[:, 0]
             emission = srgb_to_linear(samp(3)[:, :3]) * emission_f
         else:
             albedo = base_f * vc

@@ -3,11 +3,14 @@
 The reference binds a bindless texture array and samples with HW trilinear filtering +
 a global mip bias (texture_descriptor_pool.hpp:16-46, view_data.hpp
 material_texture_mip_bias). Here the pool is ONE flat mip-packed texel array
-(R, 16) u8 holding every texture at its native power-of-two resolution
-(material_storage.pack_texture_pool): texel (t, level, y, x) lives at flat row
-``start_t + (4*b^2 - 4*s^2)/3 + y*s + x`` (b = texture base size, s = b >> level),
-and the 16 channels carry the 2x2 wrap-footprint's four RGBA texels, so bilinear
-filtering is ONE gather with computed indices and no branching on level or size.
+(R, 72) u8 holding every MATERIAL TRIPLE (base + normal + metal-rough) at its
+native power-of-two resolution (material_storage.pack_texture_pool): texel
+(entry, level, y, x) lives at flat row
+``start_t + (4*b^2 - 4*s^2)/3 + y*s + x`` (b = entry base size, s = b >> level).
+Channels 0:16 carry the base 2x2 wrap-footprint's four RGBA texels (bilinear =
+ONE gather), 16:52 the next level's 3x3 (single-gather trilinear), 52:64 /
+64:72 the normal and metal-rough 2x2 footprints — a whole material resolves
+from one gather with no branching on level or size (sample_material_fused).
 
 Per-sample metadata is (start, log2b) — integers small enough to ride the gbuffer's
 attribute-plane constants (start is 1024-row aligned and carried /1024 so the f32
@@ -173,6 +176,133 @@ def sample_trilinear_fused(
     cbot = d10 + (d11 - d10) * fxc
     coarse = ctop + (cbot - ctop) * fyc
     return fine + (coarse - fine) * fl
+
+
+def sample_material_fused(
+    pool: jnp.ndarray,  # (R, 72) u8 material-triple pool (material_storage)
+    start: jnp.ndarray,
+    log2b: jnp.ndarray,
+    uv: jnp.ndarray,
+    lod: jnp.ndarray,  # (...,) f32 fractional level of detail
+):
+    """(base (..., 4), normal (..., 3), metal_rough (..., 2)) — ONE gather.
+
+    Base resolves with the fused-trilinear scheme (channels 0:52,
+    sample_trilinear_fused semantics, bit-identical); the normal map and
+    metal-rough maps resolve BILINEAR at floor(lod) from channels 52:64 /
+    64:72 — exactly the integer-LOD semantics the per-slot samplers used,
+    because every map in a triple shares the base's size (bake-time resample).
+    Collapses the gbuffer resolve's 3 texture gathers into 1 (each 2M-row
+    gather is ~15-27 ms/frame)."""
+    log2b = log2b.astype(jnp.int32)
+    lodc = jnp.clip(lod, 0.0, log2b.astype(jnp.float32))
+    level = jnp.floor(lodc).astype(jnp.int32)
+    fl = (lodc - level.astype(jnp.float32))[..., None]
+    b = jnp.left_shift(jnp.int32(1), log2b)
+    size = jnp.right_shift(b, level)
+    sizef = size.astype(jnp.float32)
+    mip_off = ((b * b - size * size) * 4) // 3
+
+    u = uv[..., 0] - jnp.floor(uv[..., 0])
+    v = uv[..., 1] - jnp.floor(uv[..., 1])
+    x = u * sizef - 0.5
+    y = v * sizef - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = x0.astype(jnp.int32) & (size - 1)
+    y0i = y0.astype(jnp.int32) & (size - 1)
+
+    taps = pool[start + mip_off + y0i * size + x0i].astype(jnp.float32) * (
+        1.0 / 255.0
+    )
+
+    def bilerp(c00, c01, c10, c11):
+        top = c00 + (c01 - c00) * fx
+        bot = c10 + (c11 - c10) * fx
+        return top + (bot - top) * fy
+
+    fine = bilerp(
+        taps[..., 0:4], taps[..., 4:8], taps[..., 8:12], taps[..., 12:16]
+    )
+
+    # Coarse base level from the row's 3x3 block (sample_trilinear_fused math).
+    s1 = jnp.maximum(jnp.right_shift(size, 1), 1)
+    s1f = s1.astype(jnp.float32)
+    xc = u * s1f - 0.5
+    yc = v * s1f - 0.5
+    xc0 = jnp.floor(xc)
+    yc0 = jnp.floor(yc)
+    fxc = (xc - xc0)[..., None]
+    fyc = (yc - yc0)[..., None]
+    last = level >= log2b
+    kx = jnp.where(last, x0i, jnp.right_shift(x0i, 1))
+    ky = jnp.where(last, y0i, jnp.right_shift(y0i, 1))
+    sc = jnp.where(last, size, s1)
+    xc0i = xc0.astype(jnp.int32) & (sc - 1)
+    yc0i = yc0.astype(jnp.int32) & (sc - 1)
+    ox1 = (((xc0i - kx + 1) & (sc - 1)) == 1)[..., None]
+    oy1 = (((yc0i - ky + 1) & (sc - 1)) == 1)[..., None]
+
+    def cell(i, j):
+        o = 16 + (i * 3 + j) * 4
+        return taps[..., o : o + 4]
+
+    def pick(di, dj):
+        r0 = jnp.where(ox1, cell(0 + di, 1 + dj), cell(0 + di, 0 + dj))
+        r1 = jnp.where(ox1, cell(1 + di, 1 + dj), cell(1 + di, 0 + dj))
+        return jnp.where(oy1, r1, r0)
+
+    ctop = pick(0, 0) + (pick(0, 1) - pick(0, 0)) * fxc
+    cbot = pick(1, 0) + (pick(1, 1) - pick(1, 0)) * fxc
+    coarse = ctop + (cbot - ctop) * fyc
+    base = fine + (coarse - fine) * fl
+
+    nrm = bilerp(
+        taps[..., 52:55], taps[..., 55:58], taps[..., 58:61], taps[..., 61:64]
+    )
+    mr = bilerp(
+        taps[..., 64:66], taps[..., 66:68], taps[..., 68:70], taps[..., 70:72]
+    )
+    return base, nrm, mr
+
+
+def sample_mr_bilinear(
+    pool: jnp.ndarray,  # (R, 72) u8 material-triple pool
+    start: jnp.ndarray,
+    log2b: jnp.ndarray,
+    uv: jnp.ndarray,
+    level: jnp.ndarray,  # (...,) i32 mip level
+) -> jnp.ndarray:
+    """Metal-rough bilinear from the triple row's 64:72 channels — (..., 2)
+    [G = roughness, B = metalness] (glTF metallicRoughness channel order)."""
+    log2b = log2b.astype(jnp.int32)
+    level = jnp.clip(level.astype(jnp.int32), 0, log2b)
+    b = jnp.left_shift(jnp.int32(1), log2b)
+    size = jnp.right_shift(b, level)
+    sizef = size.astype(jnp.float32)
+    mip_off = ((b * b - size * size) * 4) // 3
+    u = uv[..., 0] - jnp.floor(uv[..., 0])
+    v = uv[..., 1] - jnp.floor(uv[..., 1])
+    x = u * sizef - 0.5
+    y = v * sizef - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = x0.astype(jnp.int32) & (size - 1)
+    y0i = y0.astype(jnp.int32) & (size - 1)
+    taps = pool[start + mip_off + y0i * size + x0i].astype(jnp.float32) * (
+        1.0 / 255.0
+    )
+    c00 = taps[..., 64:66]
+    c01 = taps[..., 66:68]
+    c10 = taps[..., 68:70]
+    c11 = taps[..., 70:72]
+    top = c00 + (c01 - c00) * fx
+    bot = c10 + (c11 - c10) * fx
+    return top + (bot - top) * fy
 
 
 def compute_lod_uv(

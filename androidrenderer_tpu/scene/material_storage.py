@@ -144,6 +144,12 @@ class MaterialStorage:
         tex_ids[:, 1] = FLAT_NORMAL_TEXTURE
         alpha = arr((2,))  # [mode, cutoff]
         double_sided = np.zeros((m,), dtype=bool)
+        # Device-side pool-entry slots (material-triple pool; entry 0 = the
+        # all-defaults triple, valid for pad rows). ``texture_ids`` stays the
+        # raw HOST image indices (alpha-grid bakes index self._images with it).
+        _, eids = self._texture_entries()
+        entry_ids = np.zeros((m, 4), dtype=np.int32)
+        entry_ids[: eids.shape[0]] = eids
 
         for i, mat in enumerate(self.materials):
             base_color[i] = mat.base_color_factor
@@ -163,43 +169,96 @@ class MaterialStorage:
             "metal_rough_factor": metal_rough,
             "emission_factor": emission,
             "texture_ids": tex_ids,
+            "entry_ids": entry_ids,
             "alpha": alpha,
             "double_sided": double_sided,
         }
 
-    POOL_CHANNELS = 52  # 2x2 of level L (16) + 3x3 of level L+1 (36)
+    # Material-packed rows: base 2x2 of level L (16) + base 3x3 of level L+1
+    # (36) + normal-map 2x2 RGB (12) + metal-rough 2x2 [G=rough, B=metal] (8).
+    # One pool entry per unique (base, normal, metal_rough) MATERIAL triple, so
+    # the gbuffer resolve's base-trilinear + normal + MR fetches collapse into
+    # ONE gather (each extra 2M-row gather is ~15-27 ms/frame on this TPU;
+    # flat-row gather WIDTH is ~free to >= 87 f32 — tools/microbench_gather.py).
+    POOL_CHANNELS = 72
+
+    def _texture_entries(self):
+        """Unique (primary, normal, metal_rough) image triples + per-material
+        pool-entry slots (M, 4) [triple, triple, triple, emission_entry].
+
+        Entry 0 is the all-defaults triple (white / flat normal / white), the
+        backend's default-resource analog. Emission textures become entries
+        whose PRIMARY slot is the emission image (sampled via the base 0:16
+        channels), so every pool consumer shares one addressing scheme."""
+        entries: List[tuple] = []
+        emap: dict = {}
+
+        def entry(b, n, m):
+            key = (b, n, m)
+            if key not in emap:
+                emap[key] = len(entries)
+                entries.append(key)
+            return emap[key]
+
+        entry(WHITE_TEXTURE, FLAT_NORMAL_TEXTURE, WHITE_TEXTURE)
+        ids = []
+        for mat in self.materials:
+            t = entry(
+                mat.base_color_texture, mat.normal_texture, mat.metal_rough_texture
+            )
+            e = entry(mat.emission_texture, FLAT_NORMAL_TEXTURE, WHITE_TEXTURE)
+            ids.append([t, t, t, e])
+        return entries, np.asarray(ids, np.int32).reshape(len(ids), 4)
 
     def pack_texture_pool(self):
-        """(pool (R, 52) u8, start (T,) i32, log2b (T,) i32) — ONE flat
-        tap-packed texel pool with every texture's full mip chain at native
-        resolution.
+        """(pool (R, 72) u8, start (E,) i32, log2b (E,) i32) — ONE flat
+        tap-packed MATERIAL-triple pool with full mip chains at native
+        resolution (entries from ``_texture_entries``).
 
-        A texel row at (texture t, level l, y, x) lives at flat row
+        A texel row at (entry t, level l, y, x) lives at flat row
         ``start[t] + (4*b^2 - 4*s^2)/3 + y*s + x`` with b = 1 << log2b[t] and
-        s = b >> l. Channels 0:16 carry the 2x2 wrap-neighborhood's RGBA texels
-        (bilinear = ONE gather, ops/texture.py); channels 16:52 carry the NEXT
-        level's 3x3 wrap-neighborhood centered at (y>>1, x>>1), which always
-        contains the next level's bilinear footprint — so TRILINEAR filtering
-        is also ONE gather (sample_trilinear_fused; a second 2M-row gather is
-        ~27-45 ms/frame on this TPU). The last level packs itself (the lod
-        clamp makes its blend weight zero)."""
-        starts = np.zeros(len(self._images), np.int32)
-        log2b = np.zeros(len(self._images), np.int32)
+        s = b >> l. Channels 0:16 carry the base image's 2x2 wrap-neighborhood
+        RGBA texels (bilinear = ONE gather, ops/texture.py); channels 16:52
+        carry the base's NEXT level 3x3 wrap-neighborhood centered at
+        (y>>1, x>>1) — TRILINEAR filtering in the same single gather
+        (sample_trilinear_fused). Channels 52:64 / 64:72 carry the material's
+        normal map (RGB) and metal-rough ([G, B]) 2x2 footprints at the SAME
+        level: maps are resampled to the triple's max size at bake, so the
+        per-slot mip level coincides with the base's and the whole material
+        resolves from one row (sample_material_fused). The last level packs
+        itself (the lod clamp makes its blend weight zero)."""
+        entries, _ = self._texture_entries()
+        starts = np.zeros(len(entries), np.int32)
+        log2b = np.zeros(len(entries), np.int32)
         chunks = []
         acc = 0
-        for t, img in enumerate(self._images):
-            b = img.shape[0]
+        for t, (bi, ni, mi) in enumerate(entries):
+            imgs = [self._images[bi], self._images[ni], self._images[mi]]
+            b = max(im.shape[0] for im in imgs)
+            base, nrm, mr = (
+                im if im.shape[0] == b else _resample_to_square(im, b)
+                for im in imgs
+            )
             log2b[t] = int(b).bit_length() - 1
             starts[t] = acc
-            mips = [m[0] for m in build_mip_chain(img[None])]  # [(s, s, 4)]
+            bmips = [m[0] for m in build_mip_chain(base[None])]
+            nmips = [m[0] for m in build_mip_chain(nrm[None])]
+            mmips = [m[0] for m in build_mip_chain(mr[None])]
             rows = []
-            for li, m in enumerate(mips):
-                s_l = m.shape[0]
+
+            def quad(m, ch):
+                """2x2 wrap footprint, ``ch`` channels per tap (c00 c01 c10 c11)."""
                 x1 = np.roll(m, -1, axis=1)
                 y1 = np.roll(m, -1, axis=0)
                 xy = np.roll(x1, -1, axis=0)
-                packed = np.concatenate([m, x1, y1, xy], axis=-1)  # (s, s, 16)
-                nxt = mips[li + 1] if li + 1 < len(mips) else m
+                return np.concatenate(
+                    [m[..., ch], x1[..., ch], y1[..., ch], xy[..., ch]], axis=-1
+                )
+
+            for li, m in enumerate(bmips):
+                s_l = m.shape[0]
+                packed = quad(m, slice(0, 4))  # (s, s, 16)
+                nxt = bmips[li + 1] if li + 1 < len(bmips) else m
                 s_n = nxt.shape[0]
                 yy = np.arange(s_l) >> (0 if nxt is m else 1)
                 xx = yy  # square textures: same index mapping per axis
@@ -209,7 +268,12 @@ class MaterialStorage:
                         by = (yy[:, None] + dy) & (s_n - 1)
                         bx = (xx[None, :] + dx) & (s_n - 1)
                         blocks.append(nxt[by, bx])  # (s, s, 4)
-                packed = np.concatenate([packed] + blocks, axis=-1)  # (s, s, 52)
+                packed = np.concatenate(
+                    [packed]
+                    + blocks
+                    + [quad(nmips[li], slice(0, 3)), quad(mmips[li], slice(1, 3))],
+                    axis=-1,
+                )  # (s, s, 72)
                 rows.append(packed.reshape(-1, self.POOL_CHANNELS))
             chunk = np.concatenate(rows, axis=0)
             pad = (-chunk.shape[0] - acc) % START_ALIGN

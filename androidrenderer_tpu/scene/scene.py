@@ -75,15 +75,19 @@ class SceneArrays(NamedTuple):
     mat_base_color: jnp.ndarray  # (M, 4) f32
     mat_metal_rough: jnp.ndarray  # (M, 2) f32
     mat_emission: jnp.ndarray  # (M, 3) f32
-    mat_texture_ids: jnp.ndarray  # (M, 4) i32 [base, normal, metal_rough, emission]
+    # Pool-ENTRY slots [triple, triple, triple, emission]: slots 0..2 share one
+    # material-triple entry (base + normal + MR in one row — one gather/pixel),
+    # slot 3 is the emission image's own entry (base-layout channels).
+    mat_texture_ids: jnp.ndarray  # (M, 4) i32
     mat_alpha: jnp.ndarray  # (M, 2) f32 [mode, cutoff]
     mat_double_sided: jnp.ndarray  # (M,) bool
-    # Texture pool, ONE flat mip-packed tap-packed texel array (R, 52) u8 with
-    # mip-pair rows (2x2 of level L + 3x3 of level L+1 — single-gather trilinear)
-    # per-texture native resolutions (material_storage.pack_texture_pool).
+    # Texture pool, ONE flat mip-packed tap-packed texel array (R, 72) u8 with
+    # material-triple rows (base 2x2 of level L + 3x3 of level L+1 + normal RGB
+    # 2x2 + metal-rough 2x2) at native resolutions
+    # (material_storage.pack_texture_pool).
     textures: jnp.ndarray
-    tex_start: jnp.ndarray  # (T,) i32 flat row of each texture's mip-0 texel (0,0)
-    tex_log2b: jnp.ndarray  # (T,) i32 log2 of each texture's base size
+    tex_start: jnp.ndarray  # (E,) i32 flat row of each entry's mip-0 texel (0,0)
+    tex_log2b: jnp.ndarray  # (E,) i32 log2 of each entry's base size
     # Lighting environment.
     sun_direction: jnp.ndarray  # (3,) f32 — direction the light TRAVELS (sun -> world)
     sun_color: jnp.ndarray  # (3,) f32 premultiplied color * intensity
@@ -362,7 +366,7 @@ class RenderScene:
             mat_base_color=jnp.asarray(mat_params["base_color_factor"]),
             mat_metal_rough=jnp.asarray(mat_params["metal_rough_factor"]),
             mat_emission=jnp.asarray(mat_params["emission_factor"]),
-            mat_texture_ids=jnp.asarray(mat_params["texture_ids"]),
+            mat_texture_ids=jnp.asarray(mat_params["entry_ids"]),
             mat_alpha=jnp.asarray(mat_params["alpha"]),
             mat_double_sided=jnp.asarray(mat_params["double_sided"]),
             textures=jnp.asarray(tex_pool),

@@ -47,6 +47,13 @@ def main() -> int:
         use_normal_maps=True, use_mr_textures=True, use_emission=False,
         # Parity features (the frame the 16 ms target is defined against).
         gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
+        # Two-phase HiZ occlusion culling is EXACT here (bit-identical output,
+        # tests/test_occlusion.py) and a measured net pessimization at this
+        # scene's occlusion rate (+36 ms: HiZ build + sphere re-test + the
+        # second raster's fixed cost exceed the touches it saves). The flagship
+        # config therefore renders the identical image without it; it stays on
+        # by default for occlusion-heavy interiors and in the driver dryrun.
+        occlusion_culling=False,
     )
 
     # detail=13 => 309,912 triangles incl. 14% alpha-masked foliage

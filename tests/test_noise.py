@@ -52,19 +52,74 @@ def test_trilinear_fused_matches_two_gather():
     from androidrenderer_tpu.ops import texture as tex
     from androidrenderer_tpu.scene.material_storage import MaterialStorage
 
+    from androidrenderer_tpu.scene.material_storage import Material
+
     rng = np.random.default_rng(0)
     ms = MaterialStorage()
-    ms.add_texture(rng.integers(0, 256, (64, 64, 4)).astype(np.uint8))
-    ms.add_texture(rng.integers(0, 256, (16, 16, 4)).astype(np.uint8))
+    t1 = ms.add_texture(rng.integers(0, 256, (64, 64, 4)).astype(np.uint8))
+    t2 = ms.add_texture(rng.integers(0, 256, (16, 16, 4)).astype(np.uint8))
+    ms.add_material(Material(np.ones(4, np.float32), base_color_texture=t1))
+    ms.add_material(Material(np.ones(4, np.float32), base_color_texture=t2))
     pool, starts, log2b = ms.pack_texture_pool()
     pool = jnp.asarray(pool)
 
     n = 4096
     uv = jnp.asarray(rng.uniform(-2, 3, (n, 2)).astype(np.float32))
     lod = jnp.asarray(rng.uniform(-1, 8, (n,)).astype(np.float32))
-    for t in (2, 3):  # skip default white/flat-normal at 0/1
+    for t in (1, 2):  # material-triple entries (0 = the all-defaults triple)
         st = jnp.full((n,), starts[t], jnp.int32)
         lb = jnp.full((n,), log2b[t], jnp.int32)
         a = np.asarray(tex.sample_trilinear(pool, st, lb, uv, lod))
         b = np.asarray(tex.sample_trilinear_fused(pool, st, lb, uv, lod))
         np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_material_fused_matches_per_map_sampling():
+    """sample_material_fused == base trilinear + per-map bilinear at floor(lod).
+
+    The normal / metal-rough maps are registered as BASE textures of sibling
+    materials, so their per-map reference path samples the same images through
+    the base channels of their own triple entries (sizes equal => the triple
+    bake stores them untouched)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from androidrenderer_tpu.ops import texture as tex
+    from androidrenderer_tpu.scene.material_storage import Material, MaterialStorage
+
+    rng = np.random.default_rng(3)
+    ms = MaterialStorage()
+    tb = ms.add_texture(rng.integers(0, 256, (32, 32, 4)).astype(np.uint8))
+    tn = ms.add_texture(rng.integers(0, 256, (32, 32, 4)).astype(np.uint8))
+    tm = ms.add_texture(rng.integers(0, 256, (32, 32, 4)).astype(np.uint8))
+    one = np.ones(4, np.float32)
+    ms.add_material(Material(one, base_color_texture=tb, normal_texture=tn,
+                             metal_rough_texture=tm))  # entry 1 (the triple)
+    ms.add_material(Material(one, base_color_texture=tn))  # entry 2: nrm as base
+    ms.add_material(Material(one, base_color_texture=tm))  # entry 3: mr as base
+    pool, starts, log2b = ms.pack_texture_pool()
+    pool = jnp.asarray(pool)
+
+    n = 4096
+    uv = jnp.asarray(rng.uniform(-2, 3, (n, 2)).astype(np.float32))
+    lod = jnp.asarray(rng.uniform(-1, 7, (n,)).astype(np.float32))
+
+    def meta(e):
+        return (jnp.full((n,), starts[e], jnp.int32),
+                jnp.full((n,), log2b[e], jnp.int32))
+
+    st, lb = meta(1)
+    base, nrm, mr = tex.sample_material_fused(pool, st, lb, uv, lod)
+
+    ref_base = tex.sample_trilinear_fused(pool, st, lb, uv, lod)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(ref_base), atol=1e-6)
+
+    level = jnp.floor(jnp.clip(lod, 0.0, 5.0)).astype(jnp.int32)
+    stn, lbn = meta(2)
+    ref_nrm = tex.sample_bilinear(pool, stn, lbn, uv, level)[..., :3]
+    np.testing.assert_allclose(np.asarray(nrm), np.asarray(ref_nrm), atol=1e-6)
+
+    stm, lbm = meta(3)
+    ref_mr = tex.sample_bilinear(pool, stm, lbm, uv, level)[..., 1:3]
+    np.testing.assert_allclose(np.asarray(mr), np.asarray(ref_mr), atol=1e-6)
+    ref_mr2 = tex.sample_mr_bilinear(pool, st, lb, uv, level)
+    np.testing.assert_allclose(np.asarray(mr), np.asarray(ref_mr2), atol=1e-6)
