@@ -66,7 +66,10 @@ def temporal_accumulate(
     """(accumulated, new_history) — reprojected exponential accumulation with a
     3x3 neighborhood clamp (rejects ghosting on disocclusion), mirroring
     taa_resolve's band-mode contract (full-frame history, optional row halo)."""
-    from androidrenderer_tpu.ops.taa import _bilinear_sample, _neighborhood_minmax
+    from androidrenderer_tpu.ops.taa import (
+        _bilinear_sample_packed,
+        _neighborhood_minmax,
+    )
 
     h, w, _ = signal.shape
     h_full = history.shape[0]
@@ -77,7 +80,8 @@ def temporal_accumulate(
         axis=-1,
     )
     prev_uv = uv - mv
-    hist = _bilinear_sample(history, prev_uv)
+    # R11G11B10-packed fetch (16-byte gather rows; see taa._bilinear_sample_packed).
+    hist = _bilinear_sample_packed(history, prev_uv)
     if signal_halo is not None:
         mn, mx = _neighborhood_minmax(signal_halo)
         mn, mx = mn[1:-1], mx[1:-1]

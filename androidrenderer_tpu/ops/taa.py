@@ -37,6 +37,75 @@ def motion_vectors(
     return jnp.where(valid[..., None], mv, 0.0)
 
 
+def _encode_r11g11b10(rgb: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3) f32 HDR -> (...,) i32 packed R11G11B10 float (round-to-nearest).
+
+    The 11/10-bit floats are f16 with the mantissa truncated to 6/5 bits
+    (same 5-bit exponent), so encode/decode are f16 bitcasts + shifts. Packing
+    the TAA/RTGI history fetch operand 4x smaller moves its 2M-row gather from
+    the 48-byte-row class (~47 ms) to the 16-byte class (~12 ms): LARGE-table
+    gathers scale with row bytes (tools/microbench_taa4.py), unlike the
+    262k-row resolve table where width is free. R11G11B10 history is also what
+    GPU engines use for TAA accumulation."""
+    import jax
+
+    h = jnp.clip(rgb, 0.0, 64512.0).astype(jnp.float16)
+    bits = jax.lax.bitcast_convert_type(h, jnp.uint16).astype(jnp.uint32)
+    r = ((bits[..., 0] + 8) >> 4) & 0x7FF
+    g = ((bits[..., 1] + 8) >> 4) & 0x7FF
+    b = ((bits[..., 2] + 16) >> 5) & 0x3FF
+    return (r | (g << 11) | (b << 22)).astype(jnp.int32)
+
+
+def _decode_r11g11b10(packed: jnp.ndarray) -> jnp.ndarray:
+    """(...,) i32 packed R11G11B10 -> (..., 3) f32."""
+    import jax
+
+    u = packed.astype(jnp.uint32)
+
+    def f(x):
+        return jax.lax.bitcast_convert_type(
+            x.astype(jnp.uint16), jnp.float16
+        ).astype(jnp.float32)
+
+    r = f((u & 0x7FF) << 4)
+    g = f(((u >> 11) & 0x7FF) << 4)
+    b = f(((u >> 22) & 0x3FF) << 5)
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def _bilinear_sample_packed(img: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear-sample (H, W, 3) f32 at (..., 2) uv through an R11G11B10 row.
+
+    Same tap-packed single-gather scheme as ``_bilinear_sample``, but the four
+    RGB taps ride a (H*W, 4) i32 row — 16 bytes instead of 48, which is the
+    difference between ~12 and ~47 ms for a screen-sized history gather (row
+    BYTES bound for 2M-row operands; tools/microbench_taa4.py)."""
+    h, w, _ = img.shape
+    enc = _encode_r11g11b10(img)  # (H, W) i32
+    x = jnp.clip(uv[..., 0] * w - 0.5, 0.0, w - 1.0)
+    y = jnp.clip(uv[..., 1] * h - 0.5, 0.0, h - 1.0)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    right = jnp.concatenate([enc[:, 1:], enc[:, -1:]], axis=1)
+    down = jnp.concatenate([enc[1:], enc[-1:]], axis=0)
+    down_right = jnp.concatenate([right[1:], right[-1:]], axis=0)
+    packed = jnp.stack([enc, right, down, down_right], axis=-1)  # (H, W, 4)
+    taps = packed.reshape(h * w, 4)[y0i * w + x0i]
+    c00 = _decode_r11g11b10(taps[..., 0])
+    c01 = _decode_r11g11b10(taps[..., 1])
+    c10 = _decode_r11g11b10(taps[..., 2])
+    c11 = _decode_r11g11b10(taps[..., 3])
+    top = c00 + (c01 - c00) * fx
+    bot = c10 + (c11 - c10) * fx
+    return top + (bot - top) * fy
+
+
 def _bilinear_sample(img: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     """Sample (H, W, C) at (H, W, 2) uv (clamped).
 
@@ -108,7 +177,10 @@ def taa_resolve(
         axis=-1,
     )
     prev_uv = uv - mv
-    hist = _bilinear_sample(history, prev_uv)
+    # R11G11B10-packed history fetch (history itself stays f32 in the temporal
+    # state; quantization happens per-fetch and the neighborhood clamp below
+    # bounds it — the visual contract of GPU TAA's R11G11B10 accumulators).
+    hist = _bilinear_sample_packed(history, prev_uv)
     if current_halo is not None:
         mn, mx = _neighborhood_minmax(current_halo)
         mn, mx = mn[1:-1], mx[1:-1]

@@ -76,3 +76,40 @@ def test_render_res_output_res_split():
     assert img.shape == (256, 256, 3)
     assert img.std() > 5.0
     assert np.asarray(out.depth).shape == (128, 128)  # internal render res
+
+
+def test_r11g11b10_history_codec():
+    """Packed-history codec: exact zeros/max, mantissa-bounded relative error
+    (r/g: 6 mantissa bits -> 2^-7 round-to-nearest; b: 5 bits -> 2^-6), and
+    the packed bilinear sampler matches the f32 one within that bound."""
+    import jax.numpy as jnp
+    from androidrenderer_tpu.ops.taa import (
+        _bilinear_sample,
+        _bilinear_sample_packed,
+        _decode_r11g11b10,
+        _encode_r11g11b10,
+    )
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(
+        np.concatenate(
+            [
+                rng.uniform(0, 100, (4096, 3)),
+                rng.uniform(0, 1, (4096, 3)),
+                [[0, 0, 0], [64512, 64512, 64512]],
+            ]
+        ).astype(np.float32)
+    )
+    y = np.asarray(_decode_r11g11b10(_encode_r11g11b10(x)))
+    rel = np.abs(y - np.asarray(x)) / np.maximum(np.asarray(x), 1e-3)
+    # Double rounding (f32 -> f16 m10 -> m6/m5) adds up to a half f16 ulp.
+    assert rel[:, :2].max() <= 2.0 ** -7 + 2.0 ** -11 + 1e-6
+    assert rel[:, 2].max() <= 2.0 ** -6 + 2.0 ** -11 + 1e-6
+    np.testing.assert_array_equal(y[-2], [0, 0, 0])
+    np.testing.assert_array_equal(y[-1], [64512, 64512, 64512])
+
+    img = jnp.asarray(rng.uniform(0, 10, (64, 96, 3)).astype(np.float32))
+    uv = jnp.asarray(rng.uniform(0, 1, (64, 96, 2)).astype(np.float32))
+    a = np.asarray(_bilinear_sample(img, uv))
+    b = np.asarray(_bilinear_sample_packed(img, uv))
+    np.testing.assert_allclose(b, a, rtol=2.0 ** -5, atol=1e-3)

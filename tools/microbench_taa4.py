@@ -50,7 +50,7 @@ def main():
         return jnp.take(
             op, idx, axis=0,
             indices_are_sorted=sorted_,
-            mode="promise_in_bounds" if bounds else "clip",
+            mode="fill" if bounds else "clip",
         )
 
     for sorted_ in (False, True):
@@ -60,7 +60,7 @@ def main():
                 return (taps[:, :3] * 0.999).reshape(H, W, 3)
 
             t = chain(g, img)
-            print(f"f32 sorted={int(sorted_)} inbounds={int(bounds)}   {t:7.2f} ms")
+            print(f"f32 sorted={int(sorted_)} fill={int(bounds)}   {t:7.2f} ms")
 
     def g16(c):
         taps = take(packed12_b16, dyn_idx(c), True, True).astype(jnp.float32)
