@@ -61,6 +61,7 @@ class Application:
             config.render_height, config.render_width,
             probe_cascades=config.probe_cascades, probe_grid=config.probe_grid,
             probe_spacing=config.probe_spacing, max_primitives=config.max_primitives,
+            out_height=config.output_height, out_width=config.output_width,
         )
         self.params = RenderParams.default()
         self.frame_count = 0
@@ -76,6 +77,8 @@ class Application:
         self._renderer = make_renderer(config)
         if (
             old.render_resolution != config.render_resolution
+            or (old.output_width, old.output_height)
+            != (config.output_width, config.output_height)
             or old.probe_cascades != config.probe_cascades
             or old.probe_grid != config.probe_grid
             or old.probe_spacing != config.probe_spacing
@@ -86,6 +89,7 @@ class Application:
                 probe_grid=config.probe_grid,
                 probe_spacing=config.probe_spacing,
                 max_primitives=config.max_primitives,
+                out_height=config.output_height, out_width=config.output_width,
             )
 
     # -- input (flycam) ---------------------------------------------------------

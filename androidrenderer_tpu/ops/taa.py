@@ -200,6 +200,146 @@ def taa_resolve(
     return resolved, resolved
 
 
+def taau_resolve(
+    current: jnp.ndarray,  # (rh, rw, 3) this frame's lit scene (jittered render)
+    history: jnp.ndarray,  # (oh_full, ow, 3) OUTPUT-res accumulation (full frame)
+    history_valid: jnp.ndarray,  # () bool
+    mv: jnp.ndarray,  # (rh, rw, 2) uv motion (resolution-free uv space)
+    jitter: jnp.ndarray,  # (2,) current-frame jitter in render pixels
+    out_h: int,
+    out_w: int,
+    blend: float = 0.1,
+    row_offset=0,  # band rendering: first RENDER row of `current`
+    current_halo: jnp.ndarray | None = None,  # (rh+2, rw, 3) for band clamps
+    # Tuned on the synthetic convergence fixture (tests/test_taau.py):
+    # converged RMSE 0.010 vs 0.079 for single-frame bilinear upscaling.
+    conf_sigma: float = 10.0,  # subpixel-confidence falloff (render px^-2)
+    alpha_floor: float = 0.02,  # min fraction of blend for far samples
+    clamp_pad: float = 0.5,  # clamp-box inflation as a fraction of its size
+):
+    """(resolved (oh, ow, 3), new_history) — temporal UPSCALING resolve.
+
+    The reference's default frame is FSR3 in Quality mode — it renders at
+    output/1.5 per axis and temporally upscales (scene_renderer.cpp:28
+    cvar_anti_aliasing default FSR3; fsr3.cpp:18 quality default; :186
+    set_render_resolution(optimal)). The vendor blob cannot run on TPU; this
+    is the TPU-native equivalent (FSR/TAAU-lite):
+
+    - Current, motion, and the 3x3 clamp box resample render->output through
+      ``jax.image.scale_and_translate`` with the frame's jitter cancelled —
+      a FIXED scale+translate, so XLA lowers it to dense separable work
+      instead of a screen-sized random gather.
+    - The history fetch is the one true gather, R11G11B10-packed (16-byte
+      rows — ~12 ms at 2M rows; see _bilinear_sample_packed).
+    - New samples are confidence-weighted by their subpixel distance to the
+      output pixel (jitter phases sweep the quad, so static scenes converge
+      to the supersampled image like FSR's accumulation).
+
+    Band mode mirrors taa_resolve: ``current`` is a render-res band with a
+    1-row halo, ``history`` the all-gathered full output-res frame, and the
+    returned arrays cover this band's output rows (render rows [r0, r0+rh)
+    -> output rows [r0*oh/rh_full, ...) — bands must split both grids)."""
+    rh, rw, _ = current.shape
+    oh_full = history.shape[0]
+
+    sx = out_w / rw
+    # Per-axis ratios come from the actual resolutions (FSR contract: optimal
+    # render res is ceil(output / 1.5) per axis, so sx and sy can differ by a
+    # rounding texel). Band mode: bands split render and output grids by the
+    # same count, so the full-frame ratio equals the band ratio oh / rh.
+    oh = out_h  # output rows produced here (band rows in band mode)
+    sy = oh / rh
+
+    # Jitter cancellation (camera.py projection_matrix): +jx shifts content
+    # -jx pixels, +jy shifts +jy (y flips through NDC), so the render-space
+    # sample position for output coord o is (o+.5)/s-.5 + (-jx, +jy) —
+    # scale_and_translate's translation t = -d * s.
+    jx = jitter[0]
+    jy = jitter[1]
+    tx = jx * sx
+    ty = -jy * sy
+
+    # Replicated (or band-halo) padding on every side: the jitter-cancelled
+    # resample's kernel reads up to 3 px outside the render grid (lanczos3
+    # radius) and scale_and_translate fills out-of-bounds with ZEROS — an
+    # unpadded call leaves black fringes on jittered edges.
+    K = 3
+    if current_halo is not None:
+        cur_p = current_halo  # (rh+2, rw, 3) real cross-band rows
+    else:
+        cur_p = jnp.concatenate([current[:1], current, current[-1:]], axis=0)
+    mn_p, mx_p = _neighborhood_minmax(cur_p)
+    mv_p = jnp.concatenate([mv[:1], mv, mv[-1:]], axis=0)
+    stacked = jnp.concatenate([cur_p, mn_p, mx_p, mv_p], axis=-1)
+    ep = K - 1  # rows/cols beyond the first replicated/halo ring
+    stacked = jnp.concatenate(
+        [jnp.repeat(stacked[:1], ep, axis=0), stacked,
+         jnp.repeat(stacked[-1:], ep, axis=0)], axis=0
+    )
+    stacked = jnp.concatenate(
+        [jnp.repeat(stacked[:, :1], K, axis=1), stacked,
+         jnp.repeat(stacked[:, -1:], K, axis=1)], axis=1
+    )  # (rh+2K, rw+2K, 11)
+    scale = jnp.stack([jnp.float32(sy), jnp.float32(sx)])
+    trans = jnp.stack([ty - K * sy, tx - K * sx])  # padded coords: t' = t - K*s
+    # Current resamples through lanczos3 — the windowed-sinc reconstruction is
+    # ~4x closer to ground truth than the tent kernel on detail near render
+    # Nyquist (measured on the synthetic convergence fixture), which is what
+    # temporal upscaling exists to recover. The clamp box and motion resample
+    # LINEAR (a ringing min/max box would mis-clamp history).
+    cur_up = jax.image.scale_and_translate(
+        stacked[..., 0:3], (oh, out_w, 3), (0, 1), scale, trans,
+        method="lanczos3", antialias=False,
+    )
+    aux = jax.image.scale_and_translate(
+        stacked[..., 3:11], (oh, out_w, 8), (0, 1), scale, trans,
+        method="linear", antialias=False,
+    )
+    mn_up = aux[..., 0:3]
+    mx_up = aux[..., 3:6]
+    mv_up = aux[..., 6:8]
+    # Lanczos overshoot control: ring suppression against the local box
+    # (FSR's deringing analog) — inflate mildly so legitimate sharpness survives.
+    ring = 0.25 * (mx_up - mn_up)
+    cur_up = jnp.clip(cur_up, mn_up - ring, mx_up + ring)
+
+    px = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) / out_w
+    py = (jnp.arange(oh, dtype=jnp.float32) + 0.5 + row_offset * sy) / oh_full
+    uv = jnp.stack(
+        [jnp.broadcast_to(px[None, :], (oh, out_w)),
+         jnp.broadcast_to(py[:, None], (oh, out_w))],
+        axis=-1,
+    )
+    prev_uv = uv - mv_up
+    hist = _bilinear_sample_packed(history, prev_uv)
+    pad = clamp_pad * (mx_up - mn_up)
+    hist = jnp.clip(hist, mn_up - pad, mx_up + pad)
+
+    # Subpixel confidence: distance (render px) from this output pixel's
+    # jitter-cancelled sample position to the nearest render sample center.
+    ox = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) / sx - 0.5 - jx
+    oy = (jnp.arange(oh, dtype=jnp.float32) + 0.5) / sy - 0.5 + jy
+    dx = ox - jnp.round(ox)
+    dy = oy - jnp.round(oy)
+    d2 = dx[None, :] ** 2 + dy[:, None] ** 2
+    w_new = jnp.exp(-conf_sigma * d2)[..., None]
+
+    on_screen = (
+        (prev_uv[..., 0] >= 0.0)
+        & (prev_uv[..., 0] <= 1.0)
+        & (prev_uv[..., 1] >= 0.0)
+        & (prev_uv[..., 1] <= 1.0)
+    )[..., None]
+    alpha = jnp.where(
+        history_valid,
+        jnp.float32(blend) * (alpha_floor + (1.0 - alpha_floor) * w_new),
+        jnp.float32(1.0),
+    )
+    alpha = jnp.where(on_screen, alpha, 1.0)
+    resolved = hist + (cur_up - hist) * alpha
+    return resolved, resolved
+
+
 def upscale_bilinear(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """Render-res -> output-res (scene_upsample.frag bilinear contract)."""
     if img.shape[0] == out_h and img.shape[1] == out_w:

@@ -660,6 +660,10 @@ def render_frame(
         lit = vrsaa_ops.resolve_quads(lit, lit_f, qy, qx, live)
 
     # --- anti-aliasing: TAA accumulation (the IUpscaler-shaped native path) -----------
+    upscaling = (
+        config.render_width != config.output_width
+        or config.render_height != config.output_height
+    ) and config.aa_mode == AAMode.TAA
     if config.aa_mode == AAMode.TAA and full_features:
         mv = taa_ops.motion_vectors(
             gbuf.world_position, gbuf.valid,
@@ -669,14 +673,42 @@ def render_frame(
             # History reprojection reads cross-band rows: fetch the full history
             # over ICI; the 3x3 clamp needs one neighbor row from each side.
             history_full = coll.gather_rows(temporal.taa_history, axis_name)
-            lit_halo = coll.row_halo(lit, 1, axis_name, wrap=False)
+            lit_halo = (
+                None if upscaling else coll.row_halo(lit, 1, axis_name, wrap=False)
+            )
         else:
             history_full = temporal.taa_history
             lit_halo = None
-        lit, new_history = taa_ops.taa_resolve(
-            lit, history_full, temporal.taa_valid, mv,
-            row_offset=row_offset, current_halo=lit_halo,
-        )
+        if upscaling:
+            # Temporal UPSCALING resolve — the reference's default frame is
+            # FSR3 Quality (render at output/1.5, upscale temporally;
+            # scene_renderer.cpp:28, fsr3.cpp:18). `lit` leaves this block at
+            # OUTPUT resolution; history accumulates at output resolution.
+            # Band mode gathers lit+mv and replicates the dense resample work
+            # (bloom precedent: a band-local scale_and_translate cannot be
+            # bit-identical to the full-frame op, and the dense work is ~ms),
+            # then keeps this device's output band.
+            if axis_name is not None:
+                lit_f = coll.gather_rows(lit, axis_name)
+                mv_f = coll.gather_rows(mv, axis_name)
+            else:
+                lit_f, mv_f = lit, mv
+            lit, new_history = taa_ops.taau_resolve(
+                lit_f, history_full, temporal.taa_valid, mv_f,
+                jnp.asarray(view.jitter),
+                config.output_height, config.output_width,
+            )
+            if axis_name is not None:
+                n_bands = jax.lax.axis_size(axis_name)
+                ob = config.output_height // n_bands
+                r0 = jax.lax.axis_index(axis_name) * ob
+                lit = jax.lax.dynamic_slice_in_dim(lit, r0, ob, 0)
+                new_history = jax.lax.dynamic_slice_in_dim(new_history, r0, ob, 0)
+        else:
+            lit, new_history = taa_ops.taa_resolve(
+                lit, history_full, temporal.taa_valid, mv,
+                row_offset=row_offset, current_halo=lit_halo,
+            )
         taa_state = dict(taa_history=new_history, taa_valid=jnp.array(True))
     else:
         taa_state = {}

@@ -33,9 +33,15 @@ def initial_temporal_state(
     height: int, width: int,
     probe_cascades: int = 2, probe_grid: Tuple[int, int, int] = (16, 8, 16),
     probe_spacing: float = 1.0, max_primitives: int = 65536,
+    out_height: int | None = None, out_width: int | None = None,
 ) -> TemporalState:
+    """``height``/``width`` are the RENDER resolution. With temporal upscaling
+    (TAA + render res != output res) the TAA history accumulates at OUTPUT
+    resolution — pass ``out_height``/``out_width`` (taa_ops.taau_resolve)."""
+    oh = out_height or height
+    ow = out_width or width
     return TemporalState(
-        taa_history=jnp.zeros((height, width, 3), jnp.float32),
+        taa_history=jnp.zeros((oh, ow, 3), jnp.float32),
         taa_valid=jnp.array(False),
         frame_index=jnp.int32(0),
         probes=make_probe_state(probe_cascades, probe_grid, probe_spacing),

@@ -32,11 +32,17 @@ def main() -> int:
     from androidrenderer_tpu.render import initial_temporal_state, make_renderer
     from androidrenderer_tpu.scene.procedural import courtyard_scene
 
-    # 1920x1088 = 15x34 tiles of 128x32 (1088 rows rendered; the extra 8 rows vs
-    # 1080 are <1% more work, counted against us).
+    # Output 1920x1088 (the extra 8 rows vs 1080 are <1% more work, counted
+    # against us). The PARITY frame renders INTERNALLY at 1280x736 and
+    # temporally upscales — the reference's default frame is FSR3 in Quality
+    # mode, i.e. render at output/1.5 per axis and upscale temporally
+    # (scene_renderer.cpp:28 default AA = FSR3; fsr3.cpp:18 Quality;
+    # ops/taa.py::taau_resolve is the TPU-native equivalent, convergence-gated
+    # by tests/test_taau.py). 1280x736 = 10x23 tiles of 128x32.
     width, height = 1920, 1088
+    rw, rh = 1280, 736
     config = RenderConfig(
-        render_width=width, render_height=height,
+        render_width=rw, render_height=rh,
         output_width=width, output_height=height,
         tile_height=32, tile_width=128,
         max_tris_per_tile=4096,
@@ -64,17 +70,19 @@ def main() -> int:
 
     cam = Camera(
         fov_degrees=config.fov_degrees, aspect=width / height,
-        z_near=config.z_near, render_resolution=(width, height),
+        z_near=config.z_near, render_resolution=(rw, rh),
     )
     cam.set_position([0.0, 1.7, 6.0])
     cam.pitch, cam.yaw = -0.05, np.pi
     view = cam.view_data()
     params = RenderParams.default()
-    temporal = initial_temporal_state(height, width)
 
     def measure(cfg, label):
         renderer = make_renderer(cfg)
-        temp = temporal
+        temp = initial_temporal_state(
+            cfg.render_height, cfg.render_width,
+            out_height=cfg.output_height, out_width=cfg.output_width,
+        )
         # Warmup (compile) + 2 cached frames.
         t0 = time.perf_counter()
         out, temp = renderer(scene, view, params, temp)
@@ -102,10 +110,13 @@ def main() -> int:
               f"{[round(t, 2) for t in times]}", file=sys.stderr)
         return ms
 
-    raster_ms = measure(
-        config.replace(gi_mode=GIMode.OFF, ao_mode=AOMode.OFF, aa_mode=AAMode.OFF),
-        "raster-only",
+    # Raster-only mirrors the reference's AA=None mode: NATIVE resolution
+    # (scene_renderer.cpp:135-139 sets render res = output res when AA is off).
+    raster_cfg = config.replace(
+        gi_mode=GIMode.OFF, ao_mode=AOMode.OFF, aa_mode=AAMode.OFF,
+        render_width=width, render_height=height,
     )
+    raster_ms = measure(raster_cfg, "raster-only")
     print(f"# raster_only_frame_ms: {round(raster_ms, 3)}", file=sys.stderr)
     ms = measure(config, "parity (LPV GI + SSAO + TAA)")
 

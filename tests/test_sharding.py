@@ -107,3 +107,46 @@ def test_sharded_rejects_bad_band_split(setup):
             scene, view, RenderParams.default(),
             initial_temporal_state(136, W),
         )
+
+
+def test_sharded_taau_matches_single_device(setup):
+    """Temporal upscaling (render 128x256 -> output 192x384) sharded over 8
+    bands equals the single-device resolve bit-exactly (the dense
+    scale_and_translate work is replicated per device — bloom precedent)."""
+    from androidrenderer_tpu.camera import taa_jitter
+    from androidrenderer_tpu.config import AAMode
+
+    scene, _ = setup
+    ow, oh = 192, 384
+    cfg = CFG.replace(
+        aa_mode=AAMode.TAA, output_width=ow, output_height=oh,
+    )
+    cam = Camera(fov_degrees=75.0, aspect=W / H, render_resolution=(W, H))
+    cam.set_position([0.0, 0.0, 2.2])
+    cam.yaw = np.pi
+
+    def frames(renderer, temporal):
+        out = None
+        c = Camera(fov_degrees=75.0, aspect=W / H, render_resolution=(W, H))
+        c.set_position([0.0, 0.0, 2.2])
+        c.yaw = np.pi
+        for i in range(2):
+            c.set_jitter(taa_jitter(i))
+            out, temporal = renderer(scene, c.view_data(), RenderParams.default(), temporal)
+            c.end_frame()
+        return out
+
+    ref = frames(
+        make_renderer(cfg),
+        initial_temporal_state(H, W, out_height=oh, out_width=ow),
+    )
+
+    devices = jax.devices()
+    mesh = Mesh(np.array(devices[:8]), ("screen",))
+    temporal = shard_temporal(
+        initial_temporal_state(H, W, out_height=oh, out_width=ow), mesh
+    )
+    out = frames(make_sharded_renderer(cfg, mesh), temporal)
+
+    assert np.asarray(out.image).shape == (oh, ow, 3)
+    np.testing.assert_array_equal(np.asarray(out.image), np.asarray(ref.image))
