@@ -42,6 +42,10 @@ def main(argv=None) -> int:
     ap.add_argument("--no-occlusion", action="store_true")
     ap.add_argument("--render-scale", type=float, default=1.0,
                     help="render-res = scale * output-res (upscaler contract)")
+    ap.add_argument("--interpolate", action="store_true",
+                    help="also write <out>.mid.png, the synthesized midpoint "
+                         "between the last two frames (FSR3 frame-generation "
+                         "analog; requires --aa taa and --frames >= 2)")
     ap.add_argument("--set", action="append", default=[], metavar="CVAR=VALUE",
                     dest="cvars",
                     help="set a cvar by its reference name, e.g. "
@@ -150,11 +154,37 @@ def main(argv=None) -> int:
     app.camera.pitch, app.camera.yaw = pitch, yaw
 
     img = None
+    prev_img = None
     for i in range(args.frames):
+        prev_img = img
         img = app.tick()
         print(f"frame {i}: {app.last_frame_seconds * 1e3:.2f} ms")
         if args.orbit:
             app.rotate(0.0, args.orbit)
+
+    if args.interpolate:
+        if prev_img is None or app._last_outputs.motion is None:
+            print("error: --interpolate needs --frames >= 2 and --aa taa",
+                  file=sys.stderr)
+            return 2
+        import jax.numpy as jnp
+        import numpy as _np
+
+        from androidrenderer_tpu.ops.interpolation import interpolate_frame
+        from androidrenderer_tpu.ops.taa import upscale_bilinear
+
+        # The flow field is this frame's reprojection motion (render res);
+        # frames interpolate at display res, so upscale the flow alongside.
+        mv = upscale_bilinear(app._last_outputs.motion, h, w)
+        mid = interpolate_frame(
+            jnp.asarray(prev_img, jnp.float32) / 255.0,
+            jnp.asarray(img, jnp.float32) / 255.0,
+            mv, t=0.5,
+        )
+        mid_u8 = _np.clip(_np.asarray(mid) * 255.0 + 0.5, 0, 255).astype(_np.uint8)
+        mid_path = args.out + ".mid.png"
+        save_png(mid_path, mid_u8)
+        print(f"wrote {mid_path}")
 
     if args.visualize:
         import numpy as _np

@@ -58,6 +58,10 @@ class FrameOutputs(NamedTuple):
     # fp32 texel snapping makes the in-jit fit differ from an eager refit by up
     # to one shadow texel, so parity harnesses must consume these, not recompute.
     csm: object = None
+    # (H, W, 2) uv-space reprojection motion (None unless TAA ran) — the flow
+    # field frame interpolation consumes (ops/interpolation.py, the FSR3
+    # frame-generation analog).
+    motion: object = None
 
 
 def render_frame(
@@ -755,6 +759,7 @@ def render_frame(
     outputs = FrameOutputs(
         image=image, hdr=lit, depth=depth, visibility=vis, gbuffer=gbuf,
         csm=cascades if config.shadow_mode == ShadowMode.CSM else None,
+        motion=mv if (config.aa_mode == AAMode.TAA and full_features) else None,
     )
     return outputs, next_temporal
 

@@ -27,6 +27,7 @@ def time_config(config, scene, view, params, chain=10, reps=3):
         config.render_height, config.render_width,
         probe_cascades=config.probe_cascades, probe_grid=config.probe_grid,
         probe_spacing=config.probe_spacing, max_primitives=config.max_primitives,
+        out_height=config.output_height, out_width=config.output_width,
     )
     renderer = make_renderer(config)
     t0 = time.perf_counter()
@@ -116,6 +117,41 @@ def main():
         "probes": base.replace(gi_mode=GIMode.PROBES),
         "parity": base.replace(
             gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA
+        ),
+        # UPSCALED family — bench.py's parity frame (render 1280x736 ->
+        # output 1920x1088, the reference's FSR3-Quality default). Read these
+        # as absolute times / deltas vs parity_up, not vs base.
+        "parity_up": base.replace(
+            render_width=1280, render_height=736,
+            gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
+            occlusion_culling=False,
+        ),
+        "parity_up_noshadow": base.replace(
+            render_width=1280, render_height=736,
+            gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
+            occlusion_culling=False, shadow_mode=ShadowMode.OFF,
+        ),
+        "parity_up_shadow512": base.replace(
+            render_width=1280, render_height=736,
+            gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
+            occlusion_culling=False, shadow_cascade_resolution=512,
+        ),
+        "parity_up_nogi": base.replace(
+            render_width=1280, render_height=736,
+            ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
+            occlusion_culling=False,
+        ),
+        "parity_up_noaa": base.replace(
+            render_width=1280, render_height=736,
+            gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO,
+            occlusion_culling=False,
+        ),
+        "parity_up_flat": base.replace(
+            render_width=1280, render_height=736,
+            occlusion_culling=False, shadow_mode=ShadowMode.OFF,
+            sky=False, bloom=False, alpha_masking=False,
+            use_base_textures=False, use_normal_maps=False,
+            use_mr_textures=False,
         ),
         # Proxy-LOD ablations (scene/proxy.py): full geometry in far cascades /
         # RSM instead of the vertex-clustered proxy.
