@@ -42,6 +42,12 @@ def main(argv=None) -> int:
     ap.add_argument("--no-occlusion", action="store_true")
     ap.add_argument("--render-scale", type=float, default=1.0,
                     help="render-res = scale * output-res (upscaler contract)")
+    ap.add_argument("--aa-quality", default=None,
+                    choices=["native", "quality", "balanced", "performance",
+                             "ultra-performance"],
+                    help="upscaler quality mode (FSR3 r.FSR3.Quality analog; "
+                         "fsr3.cpp:220-232): sets --render-scale to 1/1.0, "
+                         "1/1.5, 1/1.7, 1/2, 1/3; implies --aa taa")
     ap.add_argument("--interpolate", action="store_true",
                     help="also write <out>.mid.png, the synthesized midpoint "
                          "between the last two frames (FSR3 frame-generation "
@@ -94,6 +100,12 @@ def main(argv=None) -> int:
 
     from androidrenderer_tpu.config import AAMode, AOMode, GIMode, ShadowMode
 
+    if args.aa_quality:
+        args.aa = "taa"
+        args.render_scale = {
+            "native": 1.0, "quality": 1 / 1.5, "balanced": 1 / 1.7,
+            "performance": 0.5, "ultra-performance": 1 / 3.0,
+        }[args.aa_quality]
     rw, rh = w, h
     if args.aa == "vrsaa":
         rw, rh = 2 * w, 2 * h  # VRSAA contract: geometry at 2x output res
