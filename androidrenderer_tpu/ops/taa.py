@@ -47,8 +47,6 @@ def _encode_r11g11b10(rgb: jnp.ndarray) -> jnp.ndarray:
     gathers scale with row bytes (tools/microbench_taa4.py), unlike the
     262k-row resolve table where width is free. R11G11B10 history is also what
     GPU engines use for TAA accumulation."""
-    import jax
-
     h = jnp.clip(rgb, 0.0, 64512.0).astype(jnp.float16)
     bits = jax.lax.bitcast_convert_type(h, jnp.uint16).astype(jnp.uint32)
     r = ((bits[..., 0] + 8) >> 4) & 0x7FF
@@ -59,8 +57,6 @@ def _encode_r11g11b10(rgb: jnp.ndarray) -> jnp.ndarray:
 
 def _decode_r11g11b10(packed: jnp.ndarray) -> jnp.ndarray:
     """(...,) i32 packed R11G11B10 -> (..., 3) f32."""
-    import jax
-
     u = packed.astype(jnp.uint32)
 
     def f(x):

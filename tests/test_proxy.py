@@ -120,3 +120,34 @@ def test_dynamic_update_moves_proxy_exactly():
         np.asarray(scene.proxy.normals[:nv]),
         atol=2e-5,
     )
+
+
+def test_dynamic_update_rotates_proxy_exactly():
+    """Cluster means commute with any per-primitive AFFINE map, not just
+    translation: rotating a primitive rigidly rotates its proxy clusters."""
+    rs = cornell_scene()
+    scene, _ = rs.build()
+    dyn = make_dynamic_data(rs, scene)
+    t0 = np.asarray(initial_transforms(rs)).copy()
+
+    th = 0.7
+    rot = np.array(
+        [[np.cos(th), 0, np.sin(th)], [0, 1, 0], [-np.sin(th), 0, np.cos(th)]],
+        np.float32,
+    )
+    t1 = t0.copy()
+    for p in range(t1.shape[0]):
+        t1[p, :3, :3] = rot @ t1[p, :3, :3]
+        t1[p, :3, 3] = rot @ t1[p, :3, 3]
+    s_rot = jax.jit(update_primitive_transforms)(scene, dyn, jnp.asarray(t1))
+
+    nv = rs.proxy_host["num_clusters"]
+    expect = np.asarray(scene.proxy.positions[:nv]) @ rot.T
+    np.testing.assert_allclose(
+        np.asarray(s_rot.proxy.positions[:nv]), expect, atol=3e-5
+    )
+    # Normals rotate rigidly too (orthonormal map => inverse-transpose = rot).
+    expect_n = np.asarray(scene.proxy.normals[:nv]) @ rot.T
+    np.testing.assert_allclose(
+        np.asarray(s_rot.proxy.normals[:nv]), expect_n, atol=3e-5
+    )

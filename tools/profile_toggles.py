@@ -136,6 +136,31 @@ def main():
             gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
             occlusion_culling=False, shadow_cascade_resolution=512,
         ),
+        "parity_up_csm1": base.replace(
+            render_width=1280, render_height=736,
+            gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
+            occlusion_culling=False, num_shadow_cascades=1,
+        ),
+        "parity_up_csm2": base.replace(
+            render_width=1280, render_height=736,
+            gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
+            occlusion_culling=False, num_shadow_cascades=2,
+        ),
+        "parity_up_proxyall": base.replace(
+            render_width=1280, render_height=736,
+            gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
+            occlusion_culling=False, shadow_proxy_from_cascade=0,
+        ),
+        "parity_up_lpv_steps8": base.replace(
+            render_width=1280, render_height=736,
+            gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
+            occlusion_culling=False, lpv_num_propagation_steps=8,
+        ),
+        "parity_up_lpv_c2": base.replace(
+            render_width=1280, render_height=736,
+            gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
+            occlusion_culling=False, lpv_num_cascades=2,
+        ),
         "parity_up_nogi": base.replace(
             render_width=1280, render_height=736,
             ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
