@@ -131,35 +131,48 @@ def _bake_alpha_grids(alpha_modes, tri_mat, tri_indices, uvs, mat_params, images
     tex_ids = mat_params["texture_ids"][:, 0]
     cutoffs = mat_params["alpha"][:, 1]
     afac = mat_params["base_color_factor"][:, 3]
-    for t in masked:
-        i0, i1, i2 = tri_indices[t]
-        uv = (
-            L0[..., None] * uvs[i0] + L1[..., None] * uvs[i1]
-            + L2[..., None] * uvs[i2]
-        )  # (g, g, 2)
-        img = images[tex_ids[tri_mat[t]]]
+    word_weights = (np.int64(1) << np.arange(32, dtype=np.int64))[None, None, :]
+    # Vectorized over triangles, batched per texture (the per-triangle Python
+    # loop cost ~7.5 s of the 310k-tri bake — 90+% of RenderScene.build).
+    masked_tex = tex_ids[tri_mat[masked]]
+    for ti in np.unique(masked_tex):
+        sel_all = masked[masked_tex == ti]
+        img = images[ti]
         size = img.shape[0]
-        x = uv[..., 0] * size - 0.5
-        y = uv[..., 1] * size - 0.5
-        x0 = np.floor(x).astype(np.int64)
-        y0 = np.floor(y).astype(np.int64)
-        fx = x - x0
-        fy = y - y0
         a = img[..., 3].astype(np.float64) / 255.0
+        aflat = np.ascontiguousarray(a.reshape(-1))
+        for s0 in range(0, sel_all.size, 2048):  # chunked: keeps taps in cache
+            sel = sel_all[s0 : s0 + 2048]
+            tri = tri_indices[sel]  # (M, 3)
+            uv = (
+                L0[None, ..., None] * uvs[tri[:, 0], None, None, :]
+                + L1[None, ..., None] * uvs[tri[:, 1], None, None, :]
+                + L2[None, ..., None] * uvs[tri[:, 2], None, None, :]
+            )  # (M, g, g, 2)
+            x = uv[..., 0] * size - 0.5
+            y = uv[..., 1] * size - 0.5
+            x0 = np.floor(x).astype(np.int64)
+            y0 = np.floor(y).astype(np.int64)
+            fx = x - x0
+            fy = y - y0
 
-        def tap(yy, xx):
-            return a[yy % size, xx % size]
+            def tap(yy, xx):
+                # Textures are power-of-two square: wrap via mask, flat gather.
+                return aflat[((yy & (size - 1)) << size.bit_length() - 1)
+                             + (xx & (size - 1))]
 
-        al = (
-            tap(y0, x0) * (1 - fx) * (1 - fy) + tap(y0, x0 + 1) * fx * (1 - fy)
-            + tap(y0 + 1, x0) * (1 - fx) * fy + tap(y0 + 1, x0 + 1) * fx * fy
-        ) * afac[tri_mat[t]]
-        bits = (al >= cutoffs[tri_mat[t]]).reshape(-1)  # idx = v*16 + u
-        words = np.zeros(8, np.int64)
-        idx = np.nonzero(bits)[0]
-        np.bitwise_or.at(words, idx >> 5, np.int64(1) << (idx & 31))
-        # sign-extend into i32 range
-        grids[t] = np.where(words >= 2**31, words - 2**32, words)
+            al = (
+                tap(y0, x0) * (1 - fx) * (1 - fy)
+                + tap(y0, x0 + 1) * fx * (1 - fy)
+                + tap(y0 + 1, x0) * (1 - fx) * fy
+                + tap(y0 + 1, x0 + 1) * fx * fy
+            ) * afac[tri_mat[sel], None, None]
+            bits = al >= cutoffs[tri_mat[sel], None, None]  # (M, g, g)
+            # idx = v*16 + u: flatten (g, g) -> 256 bits -> 8 u32 words.
+            words = (
+                (bits.reshape(len(sel), 8, 32) * word_weights).sum(axis=2)
+            )
+            grids[sel] = np.where(words >= 2**31, words - 2**32, words)
     return grids.astype(np.int32)
 
 
