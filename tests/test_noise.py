@@ -123,3 +123,42 @@ def test_material_fused_matches_per_map_sampling():
     np.testing.assert_allclose(np.asarray(mr), np.asarray(ref_mr), atol=1e-6)
     ref_mr2 = tex.sample_mr_bilinear(pool, st, lb, uv, level)
     np.testing.assert_allclose(np.asarray(mr), np.asarray(ref_mr2), atol=1e-6)
+
+
+def test_material_triple_mixed_sizes_resample():
+    """A triple whose normal/MR maps differ in size from the base resamples
+    them to the triple's max size at bake — sampling must match the base-path
+    sampling of the pre-resampled image."""
+    import numpy as np
+    import jax.numpy as jnp
+    from androidrenderer_tpu.ops import texture as tex
+    from androidrenderer_tpu.scene.material_storage import (
+        Material, MaterialStorage, _resample_to_square,
+    )
+
+    rng = np.random.default_rng(7)
+    ms = MaterialStorage()
+    base64 = rng.integers(0, 256, (64, 64, 4)).astype(np.uint8)
+    nrm16 = rng.integers(0, 256, (16, 16, 4)).astype(np.uint8)
+    tb = ms.add_texture(base64)
+    tn = ms.add_texture(nrm16)
+    one = np.ones(4, np.float32)
+    ms.add_material(Material(one, base_color_texture=tb, normal_texture=tn))
+    # Reference: the UPSAMPLED normal registered as a base texture.
+    tn_up = ms.add_texture(_resample_to_square(nrm16, 64))
+    ms.add_material(Material(one, base_color_texture=tn_up))
+    pool, starts, log2b = ms.pack_texture_pool()
+    pool = jnp.asarray(pool)
+    assert log2b[1] == 6  # triple size = max(64, 16) = 64
+
+    n = 2048
+    uv = jnp.asarray(rng.uniform(-1, 2, (n, 2)).astype(np.float32))
+    lod = jnp.asarray(rng.uniform(0, 6, (n,)).astype(np.float32))
+    st = jnp.full((n,), starts[1], jnp.int32)
+    lb = jnp.full((n,), log2b[1], jnp.int32)
+    _, nrm, _ = tex.sample_material_fused(pool, st, lb, uv, lod)
+
+    level = jnp.floor(lod).astype(jnp.int32)
+    st2 = jnp.full((n,), starts[2], jnp.int32)
+    ref = tex.sample_bilinear(pool, st2, lb, uv, level)[..., :3]
+    np.testing.assert_allclose(np.asarray(nrm), np.asarray(ref), atol=1e-6)
