@@ -231,10 +231,11 @@ def taau_resolve(
       output pixel (jitter phases sweep the quad, so static scenes converge
       to the supersampled image like FSR's accumulation).
 
-    Band mode mirrors taa_resolve: ``current`` is a render-res band with a
-    1-row halo, ``history`` the all-gathered full output-res frame, and the
-    returned arrays cover this band's output rows (render rows [r0, r0+rh)
-    -> output rows [r0*oh/rh_full, ...) — bands must split both grids)."""
+    Sharded rendering does NOT call this per band: render/frame.py gathers
+    lit+mv and runs the resolve replicated on the full frame (the bloom
+    precedent — a band-local scale_and_translate is not bit-identical to the
+    full-frame op), then slices output bands. ``row_offset``/``current_halo``
+    remain for band callers that accept the reassociation."""
     rh, rw, _ = current.shape
     oh_full = history.shape[0]
 

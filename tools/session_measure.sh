@@ -1,0 +1,54 @@
+#!/bin/bash
+# One-shot measurement agenda (run when the TPU tunnel is back; keep the host
+# otherwise QUIET — concurrent jobs poison compile times).
+set -x
+cd /root/repo
+
+# 1. Phase A structure probe: scan floor (d3) + pa_unroll amortization.
+timeout 2400 python - <<'EOF' 2>&1 | grep -v WARNING
+import sys, time
+sys.path.insert(0, "/root/repo")
+import numpy as np, jax, jax.numpy as jnp
+from androidrenderer_tpu.camera import Camera
+from androidrenderer_tpu.ops.raster import transform_to_clip, triangle_setup
+from androidrenderer_tpu.ops.raster.raster_binned import rasterize_binned, auto_slabs_binned
+from androidrenderer_tpu.scene.procedural import courtyard_scene
+
+h, w = 1088, 1920
+scene, stats = courtyard_scene(column_rings=4, detail=13).build()
+cam = Camera(fov_degrees=75.0, aspect=w/h, render_resolution=(w, h))
+cam.set_position([0.0, 1.7, 6.0]); cam.pitch, cam.yaw = -0.05, np.pi
+view = cam.view_data()
+pos = scene.positions; tri = scene.tri_indices; valid = scene.tri_valid
+vp = jnp.asarray(view.view_proj)
+
+def make(dm=0, pu=1, wh=32):
+    ns = auto_slabs_binned(h, w, win_h=wh)
+    def run(seed):
+        clip = transform_to_clip(pos + seed * 1e-30, vp)
+        su = triangle_setup(clip, tri, w, h, double_sided=scene.tri_double_sided, tri_valid=valid)
+        d, v = rasterize_binned(su, h, w, win_h=wh, cap=14, kb=8, unroll=2, num_slabs=ns, debug_mode=dm, pa_unroll=pu)
+        return d[0, 0] + v[0, 0].astype(jnp.float32)
+    @jax.jit
+    def chain(x):
+        for _ in range(10):
+            x = run(x)
+        return x
+    return chain
+
+for name, dm, pu, wh in [
+    ("d3 scan floor", 3, 1, 32), ("d3 unroll4", 3, 4, 32),
+    ("d1 PhaseA", 1, 1, 32), ("d1 unroll4", 1, 4, 32), ("d1 unroll8", 1, 8, 32),
+    ("full unroll1", 0, 1, 32), ("full unroll4", 0, 4, 32),
+    ("full win16", 0, 4, 16), ("full win64", 0, 4, 64),
+]:
+    fn = make(dm, pu, wh)
+    t0 = time.perf_counter(); np.asarray(fn(jnp.float32(0.0))); c = time.perf_counter() - t0
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter(); np.asarray(fn(jnp.float32(0.0))); ts.append((time.perf_counter()-t0)*1e3/10)
+    print(f"{name:14s} {min(ts):7.2f} ms/raster (compile {c:.0f}s)")
+EOF
+
+# 2. CSM + LPV decomposition of the upscaled parity frame.
+timeout 4800 python tools/profile_toggles.py --configs parity_up,parity_up_csm1,parity_up_csm2,parity_up_proxyall,parity_up_lpv_steps8,parity_up_lpv_c2 2>&1 | grep -v WARNING
