@@ -62,7 +62,9 @@ REC = 24
 
 def _binned_kernel(
     count_ref,  # (1,) i32 scalar prefetch — live triangle count
+    range_ref,  # (num_slabs*num_chunks,) i32 prefetch — lo | hi_excl<<16 per chunk
     recs_ref,  # (1, 1, CHUNK*24) f32 SMEM, flat records
+    desc_ref,  # (1, 1, CHUNK) i32 SMEM — per-(slab, tri) emit descriptors
     *rest,  # [grid_ref,] [zlim_ref,] depth_ref, [vis_ref,] bins, counts, dirty, nd
     slab_h: int,
     width: int,
@@ -73,6 +75,7 @@ def _binned_kernel(
     affine_z: bool,
     win_h: int,
     unroll: int,
+    pa_unroll: int,
     debug_mode: int,
     has_z_limit: bool,
     has_alpha_grid: bool,
@@ -288,7 +291,7 @@ def _binned_kernel(
 
         jax.lax.fori_loop(0, pl.cdiv(nd, kb), batch, 0)
 
-    def emit(row, col, k, real=None):
+    def emit_w(w, k, real=None):
         """Branchless touch emission (the measured Phase A cost is scalar-core
         BRANCHES, not SMEM traffic — ~90 ms/frame with pl.when-based emit at
         bench scale, vs ~50 with this formulation).
@@ -299,7 +302,6 @@ def _binned_kernel(
         conditional call sites cost a select instead of a branch. No dirty-list
         maintenance here: drain_all rebuilds it from counts (emission is the
         scalar hot path; the append machinery cost ~5 ops/touch)."""
-        w = row * ncols + col
         if real is not None:
             w = jnp.where(real, w, nwin)
         cnt = counts_ref[w]
@@ -312,33 +314,42 @@ def _binned_kernel(
 
         @pl.when(full)
         def _():
-            drain_one(row, col)
+            # Rare (bin overflow): the div by the static ncols is shifts/mults.
+            drain_one(w // ncols, w - (w // ncols) * ncols)
+
+    def emit(row, col, k, real=None):
+        emit_w(row * ncols + col, k, real)
 
     def tri_body(k, _):
-        # Packed window bbox: ONE record read + shifts replaces four f32 reads,
-        # converts, and divides; invalid triangles pack ty0 > ty1 so the single
-        # slab-overlap test also skips them (no separate sid branch).
-        wp = rd(k, 23).astype(jnp.int32)
-        ty0 = jnp.maximum(wp & 255, slab_row0)
-        ty1 = jnp.minimum((wp >> 8) & 255, slab_row0 + rows_per_slab - 1)
+        # Per-(slab, triangle) descriptor, precomputed VECTORIZED in XLA
+        # (rasterize_binned): 0 = skip (invalid / no slab overlap), bit 15 =
+        # big triangle (span loop below), else a SMALL triangle's first window
+        # id + 1 with bit 14 = also-emit-next-column. The descriptor read
+        # replaces the packed-bbox decode + slab clip + small classification
+        # (~15 scalar ops) with one SMEM read + two branches; smalls are the
+        # vast majority at every target, so Phase A drops to the append cost.
+        d = desc_ref[0, 0, k]
+        if debug_mode == 3:  # loop + desc-read floor: one write, no RMW
+            bins_ref[(nwin + 1) * cap - 1] = d
+            return 0
 
-        @pl.when(ty1 >= ty0)
+        @pl.when(d != 0)
         def _():
-            cx0 = (wp >> 16) & 15
-            cx1 = (wp >> 20) & 15
-            small = (ty1 == ty0) & (cx1 - cx0 <= 1)
+            small = d < (1 << 15)
 
-            # Fast path: bbox-window emission, no span math, no coeff reads.
-            # The second emit is unconditional (dummy-binned when the bbox
-            # spans one column) — a select, not a branch.
             @pl.when(small)
             def _():
-                r0 = ty0 - slab_row0
-                emit(r0, cx0, k)
-                emit(r0, cx0 + 1, k, real=cx1 > cx0)
+                w0 = (d & 0x3FFF) - 1
+                emit_w(w0, k)
+                emit_w(w0 + 1, k, real=(d & (1 << 14)) != 0)
 
             @pl.when(~small)
             def _():
+                wp = rd(k, 23).astype(jnp.int32)
+                ty0 = jnp.maximum(wp & 255, slab_row0)
+                ty1 = jnp.minimum((wp >> 8) & 255, slab_row0 + rows_per_slab - 1)
+                cx0 = (wp >> 16) & 15
+                cx1 = (wp >> 20) & 15
                 sid = rd(k, 18)
                 bx0 = rd(k, 19)
                 bx1 = rd(k, 21)
@@ -403,11 +414,31 @@ def _binned_kernel(
 
         return 0
 
-    n_here = jnp.clip(count_ref[0] - chunk_base, 0, chunk)
-    jax.lax.fori_loop(0, n_here, tri_body, 0)
+    # Live-range windowing: [lo, hi) bounds the chunk's desc != 0 triangles for
+    # THIS slab (both pa_unroll-aligned, precomputed vectorized in XLA). Chunks
+    # with no slab-overlapping triangle cost nothing; frustum-culled prefixes/
+    # suffixes (CSM near cascades cull most of the scene, and mesh-order ids are
+    # spatially coherent) skip at zero Phase-A cost instead of a desc==0 branch
+    # per triangle.
+    rng = range_ref[s * pl.num_programs(1) + c]
+    lo = rng & 0xFFFF
+    hi = rng >> 16
+    if pa_unroll > 1:
+        def tri_block(i, _):
+            for j in range(pa_unroll):
+                tri_body(lo + i * pa_unroll + j, 0)
+            return 0
+
+        jax.lax.fori_loop(0, (hi - lo) // pa_unroll, tri_block, 0)
+    else:
+        jax.lax.fori_loop(lo, hi, tri_body, 0)
     # Phase B must run before the record window advances (coefficients are read
-    # from the CURRENT chunk during the fold).
-    drain_all()
+    # from the CURRENT chunk during the fold). A chunk with no live triangles
+    # emitted nothing and the previous drain left counts clean, so even the
+    # nwin-read dirty scan is skipped — dead chunks cost only the grid step.
+    @pl.when(hi > lo)
+    def _():
+        drain_all()
 
 
 def auto_slabs_binned(
@@ -442,7 +473,8 @@ def rasterize_binned(
     interpret: bool = False,
     win_h: int = 8,
     unroll: int = 4,
-    debug_mode: int = 0,  # 1 = Phase A only, 2 = window RMWs without eval
+    pa_unroll: int = 1,  # Phase A triangles per loop iteration
+    debug_mode: int = 0,  # 1 = Phase A only, 2 = RMWs without eval, 3 = scan floor
     z_limit: jnp.ndarray | None = None,  # (H, W) reversed-Z upper bound (peel)
     alpha_grid: jnp.ndarray | None = None,  # (N, 8) i32 barycentric alpha bitmaps
 ):
@@ -494,6 +526,40 @@ def rasterize_binned(
     ncols = width // WIN_W
     nwin = (slab_h // win_h) * ncols
 
+    # Per-(slab, triangle) emit descriptors, computed VECTORIZED here so the
+    # kernel's scalar Phase A skips the bbox decode / slab clip / small
+    # classification entirely: 0 = skip, bit 15 = big-triangle span path,
+    # else (first window id + 1) | (emit-second-column << 14). Smalls (1
+    # window row, <= 2 columns) are the vast majority at every target.
+    rows_per_slab = slab_h // win_h
+    slab0 = (jnp.arange(num_slabs, dtype=jnp.int32) * rows_per_slab)[:, None]
+    ty0v = ty0[None, :]
+    ty1v = ty1[None, :]
+    in_slab = live[None, :] & (ty1v >= slab0) & (ty0v <= slab0 + rows_per_slab - 1)
+    small = (ty0v == ty1v) & ((cx1 - cx0) <= 1)[None, :]
+    w0 = (ty0v - slab0) * ncols + cx0[None, :]
+    two = (cx1 > cx0)[None, :].astype(jnp.int32)
+    desc = jnp.where(
+        in_slab,
+        jnp.where(small, (w0 + 1) | (two << 14), 1 << 15),
+        0,
+    ).astype(jnp.int32)
+    if pad:
+        desc = jnp.pad(desc, ((0, 0), (0, pad)))
+    desc = desc.reshape(num_slabs * num_chunks, 1, chunk)
+
+    # Per-(slab, chunk) live range lo | hi_excl<<16, pa_unroll-aligned (chunk is
+    # a power-of-two multiple of pa_unroll, so rounding hi up stays <= chunk).
+    if pa_unroll & (pa_unroll - 1) or chunk % pa_unroll:
+        raise ValueError("pa_unroll must be a power of two dividing chunk")
+    live_d = desc[:, 0, :] != 0  # (S*C, chunk)
+    kidx = jnp.arange(chunk, dtype=jnp.int32)[None, :]
+    lo = jnp.min(jnp.where(live_d, kidx, chunk), axis=-1)
+    hi = jnp.max(jnp.where(live_d, kidx + 1, 0), axis=-1)
+    lo = jnp.minimum(lo & ~(pa_unroll - 1), hi)
+    hi = -(-hi // pa_unroll) * pa_unroll
+    ranges = (lo | (hi << 16)).astype(jnp.int32)
+
     kernel = functools.partial(
         _binned_kernel,
         slab_h=slab_h,
@@ -505,6 +571,7 @@ def rasterize_binned(
         affine_z=affine_z,
         win_h=win_h,
         unroll=unroll,
+        pa_unroll=pa_unroll,
         debug_mode=debug_mode,
         has_z_limit=z_limit is not None,
         has_alpha_grid=alpha_grid is not None,
@@ -531,8 +598,13 @@ def rasterize_binned(
         pl.BlockSpec(
             (1, 1, chunk * REC), lambda s, c, *_: (c, 0, 0), memory_space=pltpu.SMEM
         ),
+        pl.BlockSpec(
+            (1, 1, chunk),
+            lambda s, c, *_: (s * num_chunks + c, 0, 0),
+            memory_space=pltpu.SMEM,
+        ),
     ]
-    inputs = [records]
+    inputs = [records, desc]
     if alpha_grid is not None:
         ag = alpha_grid.astype(jnp.int32)
         if pad:
@@ -555,7 +627,7 @@ def rasterize_binned(
         )
         inputs.append(zl)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(num_slabs, num_chunks),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -567,7 +639,7 @@ def rasterize_binned(
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(count[None], *inputs)
+    )(count[None], ranges, *inputs)
     if depth_only:
         return result[0][:height]
     return result[0][:height], result[1][:height]

@@ -284,17 +284,25 @@ def taau_resolve(
     # Nyquist (measured on the synthetic convergence fixture), which is what
     # temporal upscaling exists to recover. The clamp box and motion resample
     # LINEAR (a ringing min/max box would mis-clamp history).
+    # bf16 resample for current + clamp box (measured 5.1 -> 3.8 ms lanczos,
+    # tools/microbench_taau.py): ~0.4% quantization on values the clamp_pad/ring
+    # inflation dwarfs, and the temporal accumulation averages out. Motion stays
+    # f32 — an mv quantized at 2^-8 relative misplaces the history fetch by up
+    # to ~0.5 output px, which the convergence fixture catches.
     cur_up = jax.image.scale_and_translate(
-        stacked[..., 0:3], (oh, out_w, 3), (0, 1), scale, trans,
-        method="lanczos3", antialias=False,
-    )
-    aux = jax.image.scale_and_translate(
-        stacked[..., 3:11], (oh, out_w, 8), (0, 1), scale, trans,
+        stacked[..., 0:3].astype(jnp.bfloat16), (oh, out_w, 3), (0, 1),
+        scale, trans, method="lanczos3", antialias=False,
+    ).astype(jnp.float32)
+    box = jax.image.scale_and_translate(
+        stacked[..., 3:9].astype(jnp.bfloat16), (oh, out_w, 6), (0, 1),
+        scale, trans, method="linear", antialias=False,
+    ).astype(jnp.float32)
+    mv_up = jax.image.scale_and_translate(
+        stacked[..., 9:11], (oh, out_w, 2), (0, 1), scale, trans,
         method="linear", antialias=False,
     )
-    mn_up = aux[..., 0:3]
-    mx_up = aux[..., 3:6]
-    mv_up = aux[..., 6:8]
+    mn_up = box[..., 0:3]
+    mx_up = box[..., 3:6]
     # Lanczos overshoot control: ring suppression against the local box
     # (FSR's deringing analog) — inflate mildly so legitimate sharpness survives.
     ring = 0.25 * (mx_up - mn_up)

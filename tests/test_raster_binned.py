@@ -211,3 +211,27 @@ def test_hybrid_binned_matches_xla():
     np.testing.assert_allclose(np.asarray(depth), depth_ref, rtol=5e-6, atol=1e-9)
     disagree = np.asarray(vis) != vis_ref
     assert (disagree & (np.asarray(depth) == depth_ref)).sum() == 0
+
+
+@pytest.mark.parametrize("pa_unroll", [1, 4])
+def test_binned_sparse_validity_range_skip(pa_unroll):
+    """Live-range windowing: mostly-invalid triangle sets (the CSM near-cascade
+    shape after derive_ortho_setup frustum culling) must render identically —
+    dead chunks, dead prefixes/suffixes, and pa_unroll blocks that straddle the
+    live range all reduce to desc == 0 skips."""
+    verts, tris = random_scene(7, n_tris=160)
+    setup = _setup_for(verts, tris, True)
+    # Kill everything except a few scattered ids: chunk 0 fully dead, a lone
+    # live triangle mid-chunk, a live pair at a chunk boundary, one at the end.
+    keep = np.zeros(tris.shape[0], dtype=bool)
+    keep[[37, 63, 64, 100, 159]] = True
+    setup = setup._replace(valid=setup.valid & jnp.asarray(keep))
+    depth_ref, vis_ref = _xla_ref(setup)
+
+    depth, vis = rasterize_binned(
+        setup, H, W, num_slabs=2, chunk=32, cap=6, kb=4, win_h=8,
+        pa_unroll=pa_unroll, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(depth), depth_ref, rtol=1e-6, atol=1e-9)
+    disagree = np.asarray(vis) != vis_ref
+    assert (disagree & (np.asarray(depth) == depth_ref)).sum() == 0

@@ -52,3 +52,43 @@ EOF
 
 # 2. CSM + LPV decomposition of the upscaled parity frame.
 timeout 4800 python tools/profile_toggles.py --configs parity_up,parity_up_csm1,parity_up_csm2,parity_up_proxyall,parity_up_lpv_steps8,parity_up_lpv_c2 2>&1 | grep -v WARNING
+
+# 3. CSM standalone: live-range windowing effect (near cascade culls most of
+# the scene; ranges skip dead chunks/prefixes at zero Phase-A cost).
+timeout 2400 python - <<'EOF' 2>&1 | grep -v WARNING
+import sys, time
+sys.path.insert(0, "/root/repo")
+import numpy as np, jax, jax.numpy as jnp
+from androidrenderer_tpu.camera import Camera
+from androidrenderer_tpu.ops import shadow as shadow_ops
+from androidrenderer_tpu.scene.procedural import courtyard_scene
+
+h, w = 1088, 1920
+scene, stats = courtyard_scene(column_rings=4, detail=13).build()
+cam = Camera(fov_degrees=75.0, aspect=w/h, render_resolution=(w, h))
+cam.set_position([0.0, 1.7, 6.0]); cam.pitch, cam.yaw = -0.05, np.pi
+view = cam.view_data()
+sun = jnp.asarray([0.3, -0.8, 0.4]); sun = sun / jnp.linalg.norm(sun)
+
+@jax.jit
+def csm(seed):
+    cas = shadow_ops.fit_cascades(
+        jnp.asarray(view.inverse_view),
+        view.projection[0, 0], view.projection[1, 1], sun,
+        4, 1024, 0.05, 128.0, 0.95)
+    maps = shadow_ops.render_shadow_cascades(
+        scene.positions + seed * 1e-30, scene.tri_indices, scene.tri_valid,
+        cas, 1024, use_pallas=True, double_sided=scene.tri_double_sided)
+    return maps[:, 0, 0]
+
+@jax.jit
+def chain(x):
+    for i in range(10):
+        x = csm(x.sum())[0]
+    return x
+t0 = time.perf_counter(); np.asarray(chain(jnp.float32(0.0))); c = time.perf_counter()-t0
+ts = []
+for _ in range(3):
+    t0 = time.perf_counter(); np.asarray(chain(jnp.float32(0.0))); ts.append((time.perf_counter()-t0)*1e3/10)
+print(f"CSM 4-cascade pass: {min(ts):.2f} ms (compile {c:.0f}s)")
+EOF
