@@ -120,6 +120,9 @@ class RenderConfig:
     raster_backend: RasterBackend = RasterBackend.PALLAS
     pallas_interpret: bool = False  # interpret-mode Pallas (hermetic CPU tests)
     raster_num_slabs: int = 4
+    # Phase A triangles per Mosaic loop iteration in the binned kernel (power
+    # of two; amortizes the ~97 cyc/iter scalar loop overhead).
+    raster_pa_unroll: int = 1
 
     # Shadow cascade config (directional_light.cpp:28-44: 4 cascades @ 4096^2,
     # lambda 0.95, max distance 128m). TPU default shrinks the cascade resolution; the

@@ -224,6 +224,7 @@ def render_shadow_cascades(
     double_sided: jnp.ndarray | None = None,  # (N,) — material sidedness
     proxy=None,  # scene.proxy.ProxyMesh | None — decimated far-cascade geometry
     proxy_from_cascade: int = 10**9,  # cascades >= this index rasterize the proxy
+    pa_unroll: int = 1,  # binned-kernel Phase A unroll (config.raster_pa_unroll)
 ) -> jnp.ndarray:
     """(C, R, R) reversed-Z shadow depth maps — batched depth-only raster.
 
@@ -285,7 +286,7 @@ def render_shadow_cascades(
                 # win_h=8, XLA scatter-splat.)
                 rasterize_binned(
                     setup_i, resolution, resolution,
-                    win_h=32, cap=8, kb=4, unroll=2,
+                    win_h=32, cap=8, kb=4, unroll=2, pa_unroll=pa_unroll,
                     num_slabs=auto_slabs_binned(
                         resolution, resolution, depth_only=True, win_h=32
                     ),

@@ -147,6 +147,7 @@ def render_frame(
             return rasterize_binned(
                 su, h, w, win_h=32, cap=14, kb=8, unroll=2,
                 num_slabs=auto_slabs_binned(h, w, win_h=32),
+                pa_unroll=config.raster_pa_unroll,
                 interpret=config.pallas_interpret,
                 alpha_grid=scene.tri_alpha_grid if bitmap_alpha else None,
             )
@@ -315,6 +316,7 @@ def render_frame(
             double_sided=scene.tri_double_sided,
             proxy=scene.proxy,
             proxy_from_cascade=config.shadow_proxy_from_cascade,
+            pa_unroll=config.raster_pa_unroll,
         )
         l = -scene.sun_direction / jnp.linalg.norm(scene.sun_direction)
         ndotl = jnp.clip(
@@ -418,6 +420,7 @@ def render_frame(
                 return rasterize_binned(
                     setup_, hh, ww, win_h=16, cap=64,
                     num_slabs=auto_slabs_binned(hh, ww, win_h=16),
+                    pa_unroll=config.raster_pa_unroll,
                     interpret=config.pallas_interpret,
                 )
             th, tw = min(32, hh), min(128, ww)

@@ -191,6 +191,18 @@ def main():
         "lpv_steps8": base.replace(gi_mode=GIMode.LPV, lpv_num_propagation_steps=8),
         "lpv_c1": base.replace(gi_mode=GIMode.LPV, lpv_num_cascades=1),
         "lpv_rsm64": base.replace(gi_mode=GIMode.LPV, lpv_rsm_resolution=64),
+        # Phase A unroll A/B on the upscaled parity frame (raster_binned
+        # pa_unroll — main + CSM + RSM kernels all inherit it).
+        "parity_up_pa4": base.replace(
+            render_width=1280, render_height=736,
+            gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
+            occlusion_culling=False, raster_pa_unroll=4,
+        ),
+        "parity_up_pa8": base.replace(
+            render_width=1280, render_height=736,
+            gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
+            occlusion_culling=False, raster_pa_unroll=8,
+        ),
     }
 
     scene, stats = courtyard_scene(column_rings=4, detail=args.detail).build()
