@@ -29,9 +29,10 @@ from androidrenderer_tpu.scene.scene import SceneArrays
 from androidrenderer_tpu.ops.gbuffer import GBuffer as _GBuffer
 
 
-def _screen_sharded_spec(axis: str, has_csm: bool = False):
+def _screen_sharded_spec(axis: str, has_csm: bool = False, has_motion: bool = False):
     """PartitionSpecs for (FrameOutputs, TemporalState): screen tensors sharded on
-    their row axis, scalars/cascade data replicated."""
+    their row axis, scalars/cascade data replicated. The None-ness of csm/motion
+    must mirror render_frame's outputs exactly (shard_map matches structure)."""
     img = P(axis)  # (H, W, ...) -> rows sharded
 
     csm_spec = None
@@ -43,6 +44,7 @@ def _screen_sharded_spec(axis: str, has_csm: bool = False):
         image=img, hdr=img, depth=img, visibility=img,
         gbuffer=_GBuffer(*([img] * len(_GBuffer._fields))),
         csm=csm_spec,
+        motion=img if has_motion else None,
     )
     from androidrenderer_tpu.ops.probes import ProbeCascades
 
@@ -88,10 +90,12 @@ def render_frame_sharded(
             band_height=band_h, row_offset=row0, axis_name=axis,
         )
 
-    from androidrenderer_tpu.config import ShadowMode
+    from androidrenderer_tpu.config import AAMode, ShadowMode
 
     out_spec, temp_spec = _screen_sharded_spec(
-        axis, has_csm=config.shadow_mode == ShadowMode.CSM
+        axis,
+        has_csm=config.shadow_mode == ShadowMode.CSM,
+        has_motion=config.aa_mode == AAMode.TAA,
     )
     replicated = P()
     fn = jax.shard_map(
