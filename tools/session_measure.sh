@@ -70,25 +70,29 @@ cam.set_position([0.0, 1.7, 6.0]); cam.pitch, cam.yaw = -0.05, np.pi
 view = cam.view_data()
 sun = jnp.asarray([0.3, -0.8, 0.4]); sun = sun / jnp.linalg.norm(sun)
 
-@jax.jit
-def csm(seed):
-    cas = shadow_ops.fit_cascades(
-        jnp.asarray(view.inverse_view),
-        view.projection[0, 0], view.projection[1, 1], sun,
-        4, 1024, 0.05, 128.0, 0.95)
-    maps = shadow_ops.render_shadow_cascades(
-        scene.positions + seed * 1e-30, scene.tri_indices, scene.tri_valid,
-        cas, 1024, use_pallas=True, double_sided=scene.tri_double_sided)
-    return maps[:, 0, 0]
+def make_csm(pa):
+    def csm(seed):
+        cas = shadow_ops.fit_cascades(
+            jnp.asarray(view.inverse_view),
+            view.projection[0, 0], view.projection[1, 1], sun,
+            4, 1024, 0.05, 128.0, 0.95)
+        maps = shadow_ops.render_shadow_cascades(
+            scene.positions + seed * 1e-30, scene.tri_indices, scene.tri_valid,
+            cas, 1024, use_pallas=True, double_sided=scene.tri_double_sided,
+            pa_unroll=pa)
+        return maps[:, 0, 0]
+    @jax.jit
+    def chain(x):
+        for i in range(10):
+            x = csm(x.sum())[0]
+        return x
+    return chain
 
-@jax.jit
-def chain(x):
-    for i in range(10):
-        x = csm(x.sum())[0]
-    return x
-t0 = time.perf_counter(); np.asarray(chain(jnp.float32(0.0))); c = time.perf_counter()-t0
-ts = []
-for _ in range(3):
-    t0 = time.perf_counter(); np.asarray(chain(jnp.float32(0.0))); ts.append((time.perf_counter()-t0)*1e3/10)
-print(f"CSM 4-cascade pass: {min(ts):.2f} ms (compile {c:.0f}s)")
+for pa in (1, 4, 8):
+    fn = make_csm(pa)
+    t0 = time.perf_counter(); np.asarray(fn(jnp.float32(0.0))); c = time.perf_counter()-t0
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter(); np.asarray(fn(jnp.float32(0.0))); ts.append((time.perf_counter()-t0)*1e3/10)
+    print(f"CSM 4-cascade pass pa{pa}: {min(ts):.2f} ms (compile {c:.0f}s)")
 EOF
