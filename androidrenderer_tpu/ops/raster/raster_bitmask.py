@@ -1,0 +1,529 @@
+"""Bitmask-driven rasterizer — kills scalar Phase A entirely.
+
+The window-binned kernel (raster_binned.py) spends its frame budget on Phase A:
+a SCALAR per-triangle scan + SMEM bin append at ~45-65 cycles per (triangle,
+window) touch — the measured ceiling of main raster, CSM, and RSM alike
+(docs/ROADMAP.md round-3 findings). Every attempt to vectorize the append
+failed: the TPU vector unit has no scatter, and XLA-side sorts/scatters each
+cost more than the whole raster (tools/microbench_sort.py).
+
+This kernel inverts the data flow so NOTHING is appended:
+
+  XLA prep (vectorized, dense — build_window_masks): for every (window-row,
+  triangle) compute the exact x-span the binned kernel's span loop would walk
+  (same f32 edge math, widened by a half-pixel guard band so an XLA-vs-Mosaic
+  FMA-contraction ULP can only ADD harmless non-covering candidates, never
+  drop a covering one), convert to a <= 16-bit column mask (width <= 2048 =
+  16 windows of 128), and transpose-pack into per-window WORDS: bit j of
+  words[w, i] says triangle 32*i + j of the chunk touches window w. Two side
+  tables make the kernel's scan proportional to real work: ww[w] = bitmask of
+  nonzero words, cnt[w] = exact touch count (population count, also XLA-side).
+  All of it is elementwise/reshape work XLA fuses to a few HBM passes (~3 ms
+  at 310k triangles — vs ~50 ms of scalar emits it replaces).
+
+  Kernel (per slab x chunk grid step, like raster_binned): for each window
+  batch (kb loads issued before stores so the RMW latencies overlap), a scalar
+  ctz loop walks ww -> nonzero words -> set bits and writes the touch list
+  into ONE chunk-sized SMEM scratch (~10 cycles/touch, no counts RMW, no
+  capacity/overflow machinery), then the register fold from raster_binned
+  (unroll-tree combine, later-id-wins depth ties) retires the touches.
+
+Correctness: touch order per window is ascending (chunk, word, bit) =
+ascending triangle id — identical to the binned kernel's emission order, and
+the combine is exact (compares/selects only), so any grouping yields the same
+result: output is BIT-IDENTICAL to rasterize_binned (tests/test_raster_bitmask
+asserts equality, plus the usual raster_xla ULP-edge contract).
+
+Replaces the reference's hardware rasterizer (scene_renderer.cpp:286-365
+analog) like the binned kernel; same contract/record layout
+(raster_fused.pack_fused_records).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from androidrenderer_tpu.ops.raster.setup import TriangleSetup
+from androidrenderer_tpu.ops.raster.raster_fused import pack_fused_records
+
+WIN_W = 128
+REC = 24
+
+
+def _ctz32(x):
+    """Count trailing zeros of a nonzero int32 (31 - clz(x & -x))."""
+    lsb = jnp.bitwise_and(x, -x)
+    return 31 - jax.lax.clz(lsb)
+
+
+def _bitmask_kernel(
+    count_ref,  # (1,) i32 scalar prefetch (ABI parity; unused)
+    recs_ref,  # (1, 1, CHUNK*24) f32 SMEM, flat records
+    words_ref,  # (1, 1, NWIN*32) i32 SMEM — per-window triangle bitmask words
+    ww_ref,  # (1, 1, NWIN) i32 SMEM — per-window nonzero-word bitmask
+    cnt_ref,  # (1, 1, NWIN) i32 SMEM — per-window exact touch count
+    *rest,  # [grid_ref,] [zlim_ref,] depth_ref, [vis_ref,] list_scratch, dirty
+    slab_h: int,
+    width: int,
+    chunk: int,
+    kb: int,
+    depth_only: bool,
+    affine_z: bool,
+    win_h: int,
+    unroll: int,
+    has_z_limit: bool,
+    has_alpha_grid: bool,
+):
+    rest = list(rest)
+    grid_ref = rest.pop(0) if has_alpha_grid else None
+    zlim_ref = rest.pop(0) if has_z_limit else None
+    depth_ref = rest.pop(0)
+    vis_ref = None if depth_only else rest.pop(0)
+    list_ref, dirty_ref = rest
+
+    c = pl.program_id(1)
+    ncols = width // WIN_W
+    rows_per_slab = slab_h // win_h
+    nwin = rows_per_slab * ncols
+    wpc = chunk // 32  # bitmask words per (window, chunk)
+
+    @pl.when(c == 0)
+    def _init():
+        depth_ref[:, :] = jnp.zeros((slab_h, width), jnp.float32)
+        if not depth_only:
+            vis_ref[:, :] = jnp.full((slab_h, width), -1, jnp.int32)
+
+    chunk_base = c * chunk
+
+    rowf = jax.lax.broadcasted_iota(jnp.int32, (win_h, WIN_W), 0).astype(jnp.float32)
+    colf = jax.lax.broadcasted_iota(jnp.int32, (win_h, WIN_W), 1).astype(jnp.float32)
+    slab_y0 = (pl.program_id(0) * slab_h).astype(jnp.float32)
+
+    def rd(k, i):
+        return recs_ref[0, 0, k * REC + i]
+
+    def build_list(w):
+        """Scalar ctz scan: ww -> nonzero words -> set bits -> list entries.
+
+        ~10 cycles/touch (two ctz loops + one SMEM write), vs the binned
+        kernel's ~45-65-cycle emit (count RMW + bin write + overflow branch).
+        Scalar carries only — Mosaic keeps them in registers."""
+
+        def outer(state):
+            www, n = state
+            j = _ctz32(www)
+            word0 = words_ref[0, 0, w * wpc + j]
+
+            def inner(st):
+                bits, n2 = st
+                b = _ctz32(bits)
+                list_ref[n2] = j * 32 + b
+                return (bits & (bits - 1), n2 + 1)
+
+            def inner_cond(st):
+                return st[0] != 0
+
+            _, n = jax.lax.while_loop(inner_cond, inner, (word0, n))
+            return (www & (www - 1), n)
+
+        def outer_cond(state):
+            return state[0] != 0
+
+        jax.lax.while_loop(outer_cond, outer, (ww_ref[0, 0, w], 0))
+
+    def fold_list(row, col, cnt, zacc, vacc, zlim=None):
+        """Register fold of the window's listed touches (raster_binned's
+        fold_touches with k read from the list scratch)."""
+        gx = colf + (col * WIN_W).astype(jnp.float32)
+        gy = rowf + (row * win_h).astype(jnp.float32) + slab_y0
+
+        def eval_touch(t):
+            live = t < cnt
+            k = jnp.where(live, list_ref[jnp.minimum(t, chunk - 1)], 0)
+            a0 = rd(k, 0)
+            b0 = rd(k, 1)
+            c0 = rd(k, 2)
+            a1 = rd(k, 3)
+            b1 = rd(k, 4)
+            c1 = rd(k, 5)
+            a2 = rd(k, 6)
+            b2 = rd(k, 7)
+            c2 = rd(k, 8)
+            sid = jnp.where(live, rd(k, 18), 0.0)
+            d0 = a0 * gx + b0 * gy + c0
+            d1 = a1 * gx + b1 * gy + c1
+            d2 = a2 * gx + b2 * gy + c2
+            dmax = jnp.maximum(jnp.maximum(d0, d1), d2)
+            dmin = jnp.minimum(jnp.minimum(d0, d1), d2)
+            cov = ((dmax <= 0.0) & (sid != 0.0)) | ((dmin >= 0.0) & (sid < 0.0))
+            if affine_z:
+                z = rd(k, 12) * gx + rd(k, 13) * gy + rd(k, 14)
+            else:
+                qv = rd(k, 12) * gx + rd(k, 13) * gy + rd(k, 14)
+                z = (rd(k, 15) * gx + rd(k, 16) * gy + rd(k, 17)) / qv
+            cov = cov & (z > 0.0) & (z <= 1.0)
+            if has_alpha_grid:
+                sv = d0 + d1 + d2
+                inv_sv = 1.0 / jnp.where(sv == 0.0, 1.0, sv)
+                ui = jnp.clip((d1 * inv_sv * 16.0), 0.0, 15.0).astype(jnp.int32)
+                vi = jnp.clip((d2 * inv_sv * 16.0), 0.0, 15.0).astype(jnp.int32)
+                idx = vi * 16 + ui
+                wsel = idx >> 5
+                word = grid_ref[0, 0, k * 8]
+                for wj in range(1, 8):
+                    word = jnp.where(wsel == wj, grid_ref[0, 0, k * 8 + wj], word)
+                bit = jnp.right_shift(word, idx & 31) & 1
+                cov = cov & (bit == 1)
+            if zlim is not None:
+                cov = cov & (z < zlim)
+            return jnp.where(cov, z, 0.0), chunk_base + k
+
+        def comb(a, b):
+            za, va = a
+            zb, vb = b
+            take = zb >= za
+            if depth_only:
+                return (jnp.maximum(za, zb), va)
+            return (jnp.where(take, zb, za), jnp.where(take, vb, va))
+
+        def block(i, carry):
+            zacc, vacc = carry
+            evals = [eval_touch(i * unroll + j) for j in range(unroll)]
+            while len(evals) > 1:
+                evals = [
+                    comb(evals[p], evals[p + 1]) if p + 1 < len(evals) else evals[p]
+                    for p in range(0, len(evals), 2)
+                ]
+            zb, vb = evals[0]
+            if depth_only:
+                return (jnp.maximum(zacc, zb), vacc)
+            upd = (zb >= zacc) & (zb > 0.0)
+            return (jnp.where(upd, zb, zacc), jnp.where(upd, vb, vacc))
+
+        return jax.lax.fori_loop(0, pl.cdiv(cnt, unroll), block, (zacc, vacc))
+
+    # Dirty-window list from the XLA-precomputed counts (nwin scalar reads,
+    # ~free — same structure as raster_binned.drain_all): only touched windows
+    # pay accumulator load/store traffic; a chunk that touches nothing costs
+    # just this scan.
+    def scanw(w, nd):
+        dirty_ref[nd] = w
+        return nd + (cnt_ref[0, 0, w] > 0).astype(jnp.int32)
+
+    nd = jax.lax.fori_loop(0, nwin, scanw, 0)
+
+    def batch(bi, _):
+        base = bi * kb
+        loaded = []
+        for j in range(kb):
+            idx = base + j
+            live = idx < nd
+            wv = jnp.where(live, dirty_ref[jnp.minimum(idx, nwin - 1)], 0)
+            row = wv // ncols  # static divisor — shifts/mults
+            col = wv - row * ncols
+            y = pl.multiple_of(row * win_h, win_h)
+            x = pl.multiple_of(col * WIN_W, WIN_W)
+            zacc = depth_ref[pl.ds(y, win_h), pl.ds(x, WIN_W)]
+            zlim = (
+                zlim_ref[pl.ds(y, win_h), pl.ds(x, WIN_W)] if has_z_limit else None
+            )
+            vacc = (
+                None if depth_only else vis_ref[pl.ds(y, win_h), pl.ds(x, WIN_W)]
+            )
+            loaded.append((live, wv, row, col, y, x, zacc, vacc, zlim))
+        results = []
+        for j in range(kb):
+            live, wv, row, col, y, x, zacc, vacc, zlim = loaded[j]
+
+            # The list scratch is shared across the batch, so the build+fold
+            # pair runs under ONE predicate per window (build is scalar-cheap;
+            # the kb-batched accumulator loads above still overlap the RMW
+            # latencies, which is what kb exists for).
+            @pl.when(live)
+            def _(wv=wv):
+                build_list(wv)
+
+            cntw = jnp.where(live, cnt_ref[0, 0, wv], 0)
+            zacc, vacc = fold_list(row, col, cntw, zacc, vacc, zlim)
+            results.append((live, y, x, zacc, vacc))
+        for j in range(kb):
+            live, y, x, zacc, vacc = results[j]
+
+            @pl.when(live)
+            def _(y=y, x=x, zacc=zacc, vacc=vacc):
+                depth_ref[pl.ds(y, win_h), pl.ds(x, WIN_W)] = zacc
+                if not depth_only:
+                    vis_ref[pl.ds(y, win_h), pl.ds(x, WIN_W)] = vacc
+
+        return 0
+
+    jax.lax.fori_loop(0, pl.cdiv(nd, kb), batch, 0)
+
+
+def build_window_masks(
+    records: jnp.ndarray,  # (N, 24) f32 packed records (slot 23 = wpack)
+    valid: jnp.ndarray,  # (N,) bool — live triangles (setup.valid & sid != 0)
+    hp: int,
+    width: int,
+    win_h: int,
+    num_slabs: int,
+    chunk: int,
+):
+    """(words (S*C, 1, nwin*32), ww (S*C, 1, nwin), cnt (S*C, 1, nwin)) i32.
+
+    Exact span -> window-column masks, computed DENSE in XLA. The span math
+    mirrors the binned kernel's strip() bounds with a +-0.5 px guard band:
+    FMA-contraction differences between XLA and Mosaic are ULP-scale, so the
+    guard can only add non-covering candidates (harmless — their coverage
+    test fails in the fold), never drop a covering window."""
+    n = records.shape[0]
+    ncols = width // WIN_W
+    rows_per_slab = (hp // num_slabs) // win_h
+    nrows = hp // win_h
+    num_chunks = -(-n // chunk)
+    wpc = chunk // 32  # words per (window, chunk); ww packs wpc bits
+
+    wp = records[:, 23].astype(jnp.int32)
+    ty0 = wp & 255
+    ty1 = (wp >> 8) & 255
+
+    a = records[:, 0:9].reshape(n, 3, 3)  # (N, edge, [a, b, c])
+    ia = records[:, 9:12]  # (N, 3) 1/a per edge
+    sid = records[:, 18]
+    bx0 = records[:, 19]
+    bx1 = records[:, 21]
+
+    r = jnp.arange(nrows, dtype=jnp.float32)[:, None]  # (R, 1)
+    ytf = r * win_h
+    ybf = ytf + (win_h - 1)
+
+    span_lo = jnp.broadcast_to(bx0[None, :], (nrows, n))
+    span_hi = jnp.broadcast_to(bx1[None, :], (nrows, n))
+    for e in range(3):
+        aa = a[:, e, 0][None, :]
+        bb = a[:, e, 1][None, :]
+        cc = a[:, e, 2][None, :]
+        inv = ia[:, e][None, :]
+        bt = -(bb * ytf + cc) * inv
+        bb_ = -(bb * ybf + cc) * inv
+        lo_e = jnp.where(aa < 0.0, jnp.minimum(bt, bb_), bx0[None, :])
+        hi_e = jnp.where(aa > 0.0, jnp.maximum(bt, bb_), bx1[None, :])
+        span_lo = jnp.maximum(span_lo, lo_e)
+        span_hi = jnp.minimum(span_hi, hi_e)
+    dbl = (sid < 0.0)[None, :]
+    span_lo = jnp.where(dbl, bx0[None, :], span_lo)
+    span_hi = jnp.where(dbl, bx1[None, :], span_hi)
+    # Guard band (see docstring) applied to the WINDOW conversion only.
+    wx0 = (jnp.clip(span_lo - 0.5, 0.0, width - 1.0) // WIN_W).astype(jnp.int32)
+    wx1 = (jnp.clip(span_hi + 0.5, 0.0, width - 1.0) // WIN_W).astype(jnp.int32)
+
+    ri = jnp.arange(nrows, dtype=jnp.int32)[:, None]
+    row_live = (
+        valid[None, :]
+        & (span_hi + 0.5 >= span_lo - 0.5)
+        & (ri >= ty0[None, :])
+        & (ri <= ty1[None, :])
+    )
+    colmask = jnp.where(
+        row_live, (1 << (wx1 + 1)) - (1 << wx0), 0
+    ).astype(jnp.int32)  # (R, N), ncols <= 16 bits used
+
+    pad = num_chunks * chunk - n
+    if pad:
+        colmask = jnp.pad(colmask, ((0, 0), (0, pad)))
+    ntot = num_chunks * chunk
+    nwords = ntot // 32
+
+    # Transpose (columns <-> triangle bits): words[r, col, W] bit j =
+    # (colmask[r, 32W + j] >> col) & 1. Pack per column via a shift OR-tree —
+    # elementwise chains XLA fuses to a few passes over the (R, W, 32) block.
+    cm = colmask.reshape(nrows, nwords, 32)
+    per_col = []
+    for col in range(ncols):
+        t = (cm >> col) & 1  # (R, W, 32)
+        stride = 1
+        width_now = 32
+        while width_now > 1:
+            t = t[..., 0::2] | (t[..., 1::2] << stride)
+            stride *= 2
+            width_now //= 2
+        per_col.append(t[..., 0])  # (R, W)
+    words = jnp.stack(per_col, axis=1)  # (R, ncols, W)
+
+    # ww: bitmask of nonzero words per (window, chunk); cnt: exact touches.
+    wz = (words != 0).astype(jnp.int32).reshape(nrows, ncols, num_chunks, wpc)
+    stride = 1
+    t = wz
+    width_now = wpc
+    while width_now > 1:
+        t = t[..., 0::2] | (t[..., 1::2] << stride)
+        stride *= 2
+        width_now //= 2
+    ww = t[..., 0]  # (R, ncols, C)
+    pc = jax.lax.population_count(words.astype(jnp.uint32)).astype(jnp.int32)
+    cnt = jnp.sum(pc.reshape(nrows, ncols, num_chunks, wpc), axis=-1)
+
+    # Kernel block layout: (S*C, 1, nwin*per_win) with slab-major chunk indexing.
+    def to_blocks(x, per_win):
+        x = x.reshape(num_slabs, rows_per_slab, ncols, num_chunks, per_win)
+        x = jnp.transpose(x, (0, 3, 1, 2, 4))
+        return x.reshape(num_slabs * num_chunks, 1, rows_per_slab * ncols * per_win)
+
+    return (
+        to_blocks(words.reshape(nrows, ncols, num_chunks, wpc), wpc),
+        to_blocks(ww[..., None], 1),
+        to_blocks(cnt[..., None], 1),
+    )
+
+
+def rasterize_bitmask(
+    setup: TriangleSetup,
+    height: int,
+    width: int,
+    num_slabs: int = 2,
+    chunk: int = 1024,
+    kb: int = 8,
+    depth_only: bool = False,
+    affine_z: bool = False,
+    interpret: bool = False,
+    win_h: int = 32,
+    unroll: int = 4,
+    z_limit: jnp.ndarray | None = None,
+    alpha_grid: jnp.ndarray | None = None,
+):
+    """(depth (H, W) f32, vis (H, W) i32) — same contract as rasterize_binned;
+    output is bit-identical to it (same eval formulas, same per-window touch
+    order, exact combine)."""
+    if width % WIN_W or width > 16 * WIN_W:
+        raise ValueError(f"width {width} must be a multiple of 128 and <= 2048")
+    if chunk % 32 or chunk > 1024 or (chunk // 32) & (chunk // 32 - 1):
+        raise ValueError(
+            "chunk must be 32 * a power of two, <= 1024 (ww packs chunk/32 bits)"
+        )
+    hp = -(-height // (num_slabs * win_h)) * (num_slabs * win_h)
+    slab_h = hp // num_slabs
+    if hp // win_h > 255:
+        raise ValueError(
+            f"height {height} exceeds the packed window-bbox row field "
+            f"(max {255 * win_h} at win_h={win_h})"
+        )
+
+    records = pack_fused_records(setup, affine_z=affine_z)
+    bbox = setup.bbox
+    ty0 = bbox[:, 1].astype(jnp.int32) // win_h
+    ty1 = bbox[:, 3].astype(jnp.int32) // win_h
+    live = setup.valid & (records[:, 18] != 0.0)
+    wpack = ty0 + (ty1 << 8)
+    wpack = jnp.where(live, wpack, 255)
+    records = records.at[:, 23].set(wpack.astype(jnp.float32))
+
+    n = records.shape[0]
+    count = jnp.int32(n)
+    num_chunks = -(-n // chunk)
+    pad = num_chunks * chunk - n
+
+    words, ww, cnt = build_window_masks(
+        records, live, hp, width, win_h, num_slabs, chunk
+    )
+
+    if pad:
+        records = jnp.pad(records, ((0, pad), (0, 0)))
+    records = records.reshape(num_chunks, 1, chunk * REC)
+
+    ncols = width // WIN_W
+    nwin = (slab_h // win_h) * ncols
+
+    kernel = functools.partial(
+        _bitmask_kernel,
+        slab_h=slab_h,
+        width=width,
+        chunk=chunk,
+        kb=kb,
+        depth_only=depth_only,
+        affine_z=affine_z,
+        win_h=win_h,
+        unroll=unroll,
+        has_z_limit=z_limit is not None,
+        has_alpha_grid=alpha_grid is not None,
+    )
+
+    out_shape = [jax.ShapeDtypeStruct((hp, width), jnp.float32)]
+    out_specs = [
+        pl.BlockSpec((slab_h, width), lambda s, c, *_: (s, 0), memory_space=pltpu.VMEM)
+    ]
+    if not depth_only:
+        out_shape.append(jax.ShapeDtypeStruct((hp, width), jnp.int32))
+        out_specs.append(
+            pl.BlockSpec(
+                (slab_h, width), lambda s, c, *_: (s, 0), memory_space=pltpu.VMEM
+            )
+        )
+
+    in_specs = [
+        pl.BlockSpec(
+            (1, 1, chunk * REC), lambda s, c, *_: (c, 0, 0), memory_space=pltpu.SMEM
+        ),
+        pl.BlockSpec(
+            (1, 1, nwin * (chunk // 32)),
+            lambda s, c, *_: (s * num_chunks + c, 0, 0),
+            memory_space=pltpu.SMEM,
+        ),
+        pl.BlockSpec(
+            (1, 1, nwin),
+            lambda s, c, *_: (s * num_chunks + c, 0, 0),
+            memory_space=pltpu.SMEM,
+        ),
+        pl.BlockSpec(
+            (1, 1, nwin),
+            lambda s, c, *_: (s * num_chunks + c, 0, 0),
+            memory_space=pltpu.SMEM,
+        ),
+    ]
+    inputs = [records, words, ww, cnt]
+    if alpha_grid is not None:
+        ag = alpha_grid.astype(jnp.int32)
+        if pad:
+            ag = jnp.pad(ag, ((0, pad), (0, 0)))
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, chunk * 8), lambda s, c, *_: (c, 0, 0),
+                memory_space=pltpu.SMEM,
+            )
+        )
+        inputs.append(ag.reshape(num_chunks, 1, chunk * 8))
+    if z_limit is not None:
+        zl = z_limit
+        if zl.shape[0] != hp:
+            zl = jnp.pad(zl, ((0, hp - zl.shape[0]), (0, 0)))
+        in_specs.append(
+            pl.BlockSpec(
+                (slab_h, width), lambda s, c, *_: (s, 0), memory_space=pltpu.VMEM
+            )
+        )
+        inputs.append(zl)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_slabs, num_chunks),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.SMEM((chunk,), jnp.int32),  # touch list
+            pltpu.SMEM((nwin + 1,), jnp.int32),  # dirty window list
+        ],
+    )
+
+    result = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(count[None], *inputs)
+    if depth_only:
+        return result[0][:height]
+    return result[0][:height], result[1][:height]

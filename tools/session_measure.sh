@@ -96,3 +96,49 @@ for pa in (1, 4, 8):
         t0 = time.perf_counter(); np.asarray(fn(jnp.float32(0.0))); ts.append((time.perf_counter()-t0)*1e3/10)
     print(f"CSM 4-cascade pass pa{pa}: {min(ts):.2f} ms (compile {c:.0f}s)")
 EOF
+
+# 4. Bitmask-driven kernel vs binned: main raster + CSM-shaped depth-only.
+timeout 2400 python - <<'PYEOF' 2>&1 | grep -v WARNING
+import sys, time
+sys.path.insert(0, "/root/repo")
+import numpy as np, jax, jax.numpy as jnp
+from androidrenderer_tpu.camera import Camera
+from androidrenderer_tpu.ops.raster import transform_to_clip, triangle_setup
+from androidrenderer_tpu.ops.raster.raster_binned import rasterize_binned, auto_slabs_binned
+from androidrenderer_tpu.ops.raster.raster_bitmask import rasterize_bitmask
+from androidrenderer_tpu.scene.procedural import courtyard_scene
+
+h, w = 1088, 1920
+scene, stats = courtyard_scene(column_rings=4, detail=13).build()
+cam = Camera(fov_degrees=75.0, aspect=w/h, render_resolution=(w, h))
+cam.set_position([0.0, 1.7, 6.0]); cam.pitch, cam.yaw = -0.05, np.pi
+view = cam.view_data()
+pos = scene.positions; tri = scene.tri_indices; valid = scene.tri_valid
+vp = jnp.asarray(view.view_proj)
+ns = auto_slabs_binned(h, w, win_h=32)
+
+def make(kind, wh=32):
+    def run(seed):
+        clip = transform_to_clip(pos + seed * 1e-30, vp)
+        su = triangle_setup(clip, tri, w, h, double_sided=scene.tri_double_sided, tri_valid=valid)
+        if kind == "binned":
+            d, v = rasterize_binned(su, h, w, win_h=wh, cap=14, kb=8, unroll=2, num_slabs=ns)
+        else:
+            d, v = rasterize_bitmask(su, h, w, win_h=wh, kb=8, unroll=2, num_slabs=ns)
+        return d[0, 0] + v[0, 0].astype(jnp.float32)
+    @jax.jit
+    def chain(x):
+        for _ in range(10):
+            x = run(x)
+        return x
+    return chain
+
+for name, kind, wh in [("binned32", "binned", 32), ("bitmask32", "bitmask", 32),
+                       ("bitmask16", "bitmask", 16)]:
+    fn = make(kind, wh)
+    t0 = time.perf_counter(); np.asarray(fn(jnp.float32(0.0))); c = time.perf_counter()-t0
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter(); np.asarray(fn(jnp.float32(0.0))); ts.append((time.perf_counter()-t0)*1e3/10)
+    print(f"main {name:10s} {min(ts):7.2f} ms/raster (compile {c:.0f}s)")
+PYEOF
