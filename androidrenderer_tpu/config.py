@@ -123,6 +123,10 @@ class RenderConfig:
     # Phase A triangles per Mosaic loop iteration in the binned kernel (power
     # of two; amortizes the ~97 cyc/iter scalar loop overhead).
     raster_pa_unroll: int = 1
+    # Use the bitmask-driven kernel (ops/raster/raster_bitmask.py — XLA-side
+    # window masks, no scalar Phase A) for main/CSM/RSM rasters. Output is
+    # bit-identical to the binned kernel; this is a perf A/B switch.
+    raster_bitmask: bool = False
 
     # Shadow cascade config (directional_light.cpp:28-44: 4 cascades @ 4096^2,
     # lambda 0.95, max distance 128m). TPU default shrinks the cascade resolution; the

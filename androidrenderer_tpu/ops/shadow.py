@@ -225,6 +225,7 @@ def render_shadow_cascades(
     proxy=None,  # scene.proxy.ProxyMesh | None — decimated far-cascade geometry
     proxy_from_cascade: int = 10**9,  # cascades >= this index rasterize the proxy
     pa_unroll: int = 1,  # binned-kernel Phase A unroll (config.raster_pa_unroll)
+    use_bitmask: bool = False,  # bitmask-driven kernel (config.raster_bitmask)
 ) -> jnp.ndarray:
     """(C, R, R) reversed-Z shadow depth maps — batched depth-only raster.
 
@@ -276,6 +277,23 @@ def render_shadow_cascades(
             setup_i = derive_ortho_setup(
                 src, mc, cascades.matrices[i], resolution
             )
+            ns = auto_slabs_binned(
+                resolution, resolution, depth_only=True, win_h=32
+            )
+            if use_bitmask:
+                from androidrenderer_tpu.ops.raster.raster_bitmask import (
+                    rasterize_bitmask,
+                )
+
+                maps.append(
+                    rasterize_bitmask(
+                        setup_i, resolution, resolution,
+                        win_h=32, kb=4, unroll=2, num_slabs=ns,
+                        depth_only=True, affine_z=True,
+                        interpret=pallas_interpret,
+                    )
+                )
+                continue
             maps.append(
                 # Window-binned kernel (round 3): beats the fused kernel at
                 # cascade scale (36.7 vs 39.3 ms standalone) and Mosaic-compiles
@@ -287,9 +305,7 @@ def render_shadow_cascades(
                 rasterize_binned(
                     setup_i, resolution, resolution,
                     win_h=32, cap=8, kb=4, unroll=2, pa_unroll=pa_unroll,
-                    num_slabs=auto_slabs_binned(
-                        resolution, resolution, depth_only=True, win_h=32
-                    ),
+                    num_slabs=ns,
                     depth_only=True,
                     affine_z=True,
                     interpret=pallas_interpret,

@@ -144,6 +144,17 @@ def render_frame(
             # standalone against the fused kernel at bench scale, and ~2x
             # faster to Mosaic-compile. raster_fused stays as the fallback
             # (tools/bench_raster.py compares them).
+            if config.raster_bitmask:
+                from androidrenderer_tpu.ops.raster.raster_bitmask import (
+                    rasterize_bitmask,
+                )
+
+                return rasterize_bitmask(
+                    su, h, w, win_h=32, kb=8, unroll=2,
+                    num_slabs=auto_slabs_binned(h, w, win_h=32),
+                    interpret=config.pallas_interpret,
+                    alpha_grid=scene.tri_alpha_grid if bitmap_alpha else None,
+                )
             return rasterize_binned(
                 su, h, w, win_h=32, cap=14, kb=8, unroll=2,
                 num_slabs=auto_slabs_binned(h, w, win_h=32),
@@ -317,6 +328,7 @@ def render_frame(
             proxy=scene.proxy,
             proxy_from_cascade=config.shadow_proxy_from_cascade,
             pa_unroll=config.raster_pa_unroll,
+            use_bitmask=config.raster_bitmask,
         )
         l = -scene.sun_direction / jnp.linalg.norm(scene.sun_direction)
         ndotl = jnp.clip(
@@ -417,6 +429,16 @@ def render_frame(
                 # single-pixel (median bbox 3 px), so the scalar Phase A scan
                 # (~20 ms/cascade) remains either way. The 4 RSM rasters are
                 # ~100 of the ~153 ms LPV delta; propagation itself is ~12 ms.
+                if config.raster_bitmask:
+                    from androidrenderer_tpu.ops.raster.raster_bitmask import (
+                        rasterize_bitmask,
+                    )
+
+                    return rasterize_bitmask(
+                        setup_, hh, ww, win_h=16,
+                        num_slabs=auto_slabs_binned(hh, ww, win_h=16),
+                        interpret=config.pallas_interpret,
+                    )
                 return rasterize_binned(
                     setup_, hh, ww, win_h=16, cap=64,
                     num_slabs=auto_slabs_binned(hh, ww, win_h=16),

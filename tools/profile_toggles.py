@@ -203,6 +203,13 @@ def main():
             gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
             occlusion_culling=False, raster_pa_unroll=8,
         ),
+        # Bitmask-driven rasterizer (raster_bitmask.py) whole-frame A/B.
+        "parity_up_bm": base.replace(
+            render_width=1280, render_height=736,
+            gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
+            occlusion_culling=False, raster_bitmask=True,
+        ),
+        "base_bm": base.replace(raster_bitmask=True),
     }
 
     scene, stats = courtyard_scene(column_rings=4, detail=args.detail).build()
