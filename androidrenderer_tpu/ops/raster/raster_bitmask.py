@@ -84,7 +84,7 @@ def _bitmask_kernel(
     zlim_ref = rest.pop(0) if has_z_limit else None
     depth_ref = rest.pop(0)
     vis_ref = None if depth_only else rest.pop(0)
-    list_ref, dirty_ref = rest
+    list_a, list_b, dirty_ref = rest
 
     c = pl.program_id(1)
     ncols = width // WIN_W
@@ -107,12 +107,15 @@ def _bitmask_kernel(
     def rd(k, i):
         return recs_ref[0, 0, k * REC + i]
 
-    def build_list(w):
+    def build_list(w, list_ref):
         """Scalar ctz scan: ww -> nonzero words -> set bits -> list entries.
 
         ~10 cycles/touch (two ctz loops + one SMEM write), vs the binned
         kernel's ~45-65-cycle emit (count RMW + bin write + overflow branch).
-        Scalar carries only — Mosaic keeps them in registers."""
+        Scalar carries only — Mosaic keeps them in registers. The list scratch
+        is double-buffered across the kb batch (list_a/list_b by window parity)
+        so window j+1's scalar build has no dependency on window j's vector
+        fold and the two units can overlap."""
 
         def outer(state):
             www, n = state
@@ -136,7 +139,7 @@ def _bitmask_kernel(
 
         jax.lax.while_loop(outer_cond, outer, (ww_ref[0, 0, w], 0))
 
-    def fold_list(row, col, cnt, zacc, vacc, zlim=None):
+    def fold_list(row, col, cnt, zacc, vacc, list_ref, zlim=None):
         """Register fold of the window's listed touches (raster_binned's
         fold_touches with k read from the list scratch)."""
         gx = colf + (col * WIN_W).astype(jnp.float32)
@@ -240,16 +243,14 @@ def _bitmask_kernel(
         for j in range(kb):
             live, wv, row, col, y, x, zacc, vacc, zlim = loaded[j]
 
-            # The list scratch is shared across the batch, so the build+fold
-            # pair runs under ONE predicate per window (build is scalar-cheap;
-            # the kb-batched accumulator loads above still overlap the RMW
-            # latencies, which is what kb exists for).
+            list_ref = list_a if j % 2 == 0 else list_b
+
             @pl.when(live)
-            def _(wv=wv):
-                build_list(wv)
+            def _(wv=wv, list_ref=list_ref):
+                build_list(wv, list_ref)
 
             cntw = jnp.where(live, cnt_ref[0, 0, wv], 0)
-            zacc, vacc = fold_list(row, col, cntw, zacc, vacc, zlim)
+            zacc, vacc = fold_list(row, col, cntw, zacc, vacc, list_ref, zlim)
             results.append((live, y, x, zacc, vacc))
         for j in range(kb):
             live, y, x, zacc, vacc = results[j]
@@ -513,7 +514,8 @@ def rasterize_bitmask(
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.SMEM((chunk,), jnp.int32),  # touch list
+            pltpu.SMEM((chunk,), jnp.int32),  # touch list (even batch slots)
+            pltpu.SMEM((chunk,), jnp.int32),  # touch list (odd batch slots)
             pltpu.SMEM((nwin + 1,), jnp.int32),  # dirty window list
         ],
     )
