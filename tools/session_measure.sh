@@ -70,7 +70,7 @@ cam.set_position([0.0, 1.7, 6.0]); cam.pitch, cam.yaw = -0.05, np.pi
 view = cam.view_data()
 sun = jnp.asarray([0.3, -0.8, 0.4]); sun = sun / jnp.linalg.norm(sun)
 
-def make_csm(pa):
+def make_csm(pa, bm=False):
     def csm(seed):
         cas = shadow_ops.fit_cascades(
             jnp.asarray(view.inverse_view),
@@ -79,7 +79,7 @@ def make_csm(pa):
         maps = shadow_ops.render_shadow_cascades(
             scene.positions + seed * 1e-30, scene.tri_indices, scene.tri_valid,
             cas, 1024, use_pallas=True, double_sided=scene.tri_double_sided,
-            pa_unroll=pa)
+            pa_unroll=pa, use_bitmask=bm)
         return maps[:, 0, 0]
     @jax.jit
     def chain(x):
@@ -88,13 +88,14 @@ def make_csm(pa):
         return x
     return chain
 
-for pa in (1, 4, 8):
-    fn = make_csm(pa)
+for name, pa, bm in [("pa1", 1, False), ("pa4", 4, False), ("pa8", 8, False),
+                     ("bitmask", 1, True)]:
+    fn = make_csm(pa, bm)
     t0 = time.perf_counter(); np.asarray(fn(jnp.float32(0.0))); c = time.perf_counter()-t0
     ts = []
     for _ in range(3):
         t0 = time.perf_counter(); np.asarray(fn(jnp.float32(0.0))); ts.append((time.perf_counter()-t0)*1e3/10)
-    print(f"CSM 4-cascade pass pa{pa}: {min(ts):.2f} ms (compile {c:.0f}s)")
+    print(f"CSM 4-cascade pass {name}: {min(ts):.2f} ms (compile {c:.0f}s)")
 EOF
 
 # 4. Bitmask-driven kernel vs binned: main raster + CSM-shaped depth-only.
