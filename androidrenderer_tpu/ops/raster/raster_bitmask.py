@@ -55,10 +55,28 @@ WIN_W = 128
 REC = 24
 
 
+# Which count-trailing-zeros lowering the kernel uses. "clz" and "popcount"
+# are single TPU instructions if Mosaic exposes them on the scalar core
+# (unverified off-TPU); "select" is a 10-op portable fallback. Switch here if
+# the Mosaic compile rejects the default.
+CTZ_IMPL = "clz"
+
+
 def _ctz32(x):
-    """Count trailing zeros of a nonzero int32 (31 - clz(x & -x))."""
+    """Count trailing zeros of a nonzero int32."""
     lsb = jnp.bitwise_and(x, -x)
-    return 31 - jax.lax.clz(lsb)
+    if CTZ_IMPL == "clz":
+        return 31 - jax.lax.clz(lsb)
+    if CTZ_IMPL == "popcount":
+        return jax.lax.population_count(lsb - 1)
+    # Portable: binary search with masks/selects.
+    r = jnp.int32(0)
+    r = r | jnp.where((lsb & jnp.int32(0x0000FFFF)) == 0, 16, 0)
+    r = r | jnp.where((lsb & jnp.int32(0x00FF00FF)) == 0, 8, 0)
+    r = r | jnp.where((lsb & jnp.int32(0x0F0F0F0F)) == 0, 4, 0)
+    r = r | jnp.where((lsb & jnp.int32(0x33333333)) == 0, 2, 0)
+    r = r | jnp.where((lsb & jnp.int32(0x55555555)) == 0, 1, 0)
+    return r
 
 
 def _bitmask_kernel(
