@@ -79,6 +79,11 @@ _DEFS: List[CVarDef] = [
     CVarDef("r.HalfRateGI", "structural", "half_rate_gi",
             lambda v: v.lower() in ("1", "true", "on"),
             "half-rate GI/AO + bilateral upsample (VRS coarse-rate analog)"),
+    CVarDef("r.Raster.Bitmask", "structural", "raster_bitmask",
+            lambda v: v.lower() in ("1", "true", "on"),
+            "bitmask-driven raster kernel (no scalar Phase A; bit-identical)"),
+    CVarDef("r.Raster.PaUnroll", "structural", "raster_pa_unroll", int,
+            "binned-kernel Phase A triangles per loop iteration (pow2)"),
     # Runtime cvars (traced RenderParams — no recompile).
     CVarDef("r.Sun.Exposure", "runtime", "sun_exposure", float,
             "direct-light exposure fudge (directional_light.frag:141-149)"),
