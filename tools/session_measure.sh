@@ -135,7 +135,7 @@ def make(kind, wh=32):
     return chain
 
 for name, kind, wh in [("binned32", "binned", 32), ("bitmask32", "bitmask", 32),
-                       ("bitmask16", "bitmask", 16)]:
+                       ("bitmask16", "bitmask", 16), ("bitmask8", "bitmask", 8)]:
     fn = make(kind, wh)
     t0 = time.perf_counter(); np.asarray(fn(jnp.float32(0.0))); c = time.perf_counter()-t0
     ts = []
