@@ -1,6 +1,22 @@
 #!/bin/bash
 # One-shot measurement agenda (run when the TPU tunnel is back; keep the host
 # otherwise QUIET — concurrent jobs poison compile times).
+#
+# DECISION TREE (apply after the numbers land):
+# - If bitmask32/16/8 beats binned32 on the main raster AND the Mosaic compile
+#   succeeds (risk: clz/while_loop in scalar core; if the compile fails try
+#   CTZ_IMPL="popcount" then "select" in raster_bitmask.py):
+#     * flip config.raster_bitmask default to True, set the winning win_h at
+#       the three call sites (frame.py main/RSM, shadow.py cascades),
+#     * rerun one golden file + bench.py, update ROADMAP/README numbers.
+# - Else if pa4/pa8 beats pa1 (step 1 d1/full rows + step 2 parity_up_pa*):
+#     * set config.raster_pa_unroll default to the winner.
+# - CSM step 3: pa1-vs-bitmask delta decides the cascade kernel; the
+#   range-windowing win is (old ~36.7 ms/cascade baseline) vs pa1 now.
+# - Step 2 csm1/csm2/proxyall/lpv_steps8/lpv_c2 quantify the remaining CSM/LPV
+#   quality-vs-time axes; do NOT change those defaults (parity constants) —
+#   record the numbers in ROADMAP for round-4 planning.
+# - Finally: python bench.py (quiet machine) and refresh the round history.
 set -x
 cd /root/repo
 
