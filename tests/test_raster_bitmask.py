@@ -120,3 +120,36 @@ def test_bitmask_alpha_bitmap():
     )
     assert np.array_equal(np.asarray(dm), np.asarray(db))
     assert np.array_equal(np.asarray(vm), np.asarray(vb))
+
+
+def test_bitmask_full_frame_bit_identical():
+    """config.raster_bitmask flips main+CSM+RSM kernels; the full LPV frame
+    must be bit-identical to the binned path (production wiring guarantee)."""
+    from androidrenderer_tpu.camera import Camera
+    from androidrenderer_tpu.config import GIMode, RenderConfig, RenderParams
+    from androidrenderer_tpu.render import initial_temporal_state, make_renderer
+    from androidrenderer_tpu.scene.procedural import cornell_scene
+
+    W2 = H2 = 128
+    scene, _ = cornell_scene().build(with_bvh=False)
+    cam = Camera(fov_degrees=75.0, aspect=1.0, render_resolution=(W2, H2))
+    cam.set_position([0.0, 0.0, 2.2])
+    cam.yaw = np.pi
+    view = cam.view_data()
+    outs = []
+    for bm in (False, True):
+        cfg = RenderConfig(
+            render_width=W2, render_height=H2, output_width=W2, output_height=H2,
+            tile_height=32, tile_width=128, max_tris_per_tile=16384,
+            sky=False, bloom=False, occlusion_culling=False,
+            alpha_masking=False, translucency=False,
+            gi_mode=GIMode.LPV, lpv_num_cascades=2, lpv_resolution=8,
+            lpv_rsm_resolution=32, lpv_num_propagation_steps=4,
+            shadow_cascade_resolution=128, num_shadow_cascades=2,
+            pallas_interpret=True, raster_bitmask=bm,
+        )
+        out, _ = make_renderer(cfg)(
+            scene, view, RenderParams.default(), initial_temporal_state(H2, W2)
+        )
+        outs.append(np.asarray(out.image))
+    assert np.array_equal(outs[0], outs[1])
