@@ -20,6 +20,33 @@
 set -x
 cd /root/repo
 
+# 0. FAIL-FAST: does Mosaic compile the bitmask kernel (clz + while_loop on
+# the scalar core)? If this fails, edit CTZ_IMPL in raster_bitmask.py
+# ("popcount", then "select") and retry before burning time on steps 1-4.
+timeout 900 python - <<'EOF' 2>&1 | grep -v WARNING
+import sys
+sys.path.insert(0, "/root/repo")
+import numpy as np, jax, jax.numpy as jnp
+from androidrenderer_tpu.camera import Camera
+from androidrenderer_tpu.ops.raster import transform_to_clip, triangle_setup
+from androidrenderer_tpu.ops.raster.raster_bitmask import rasterize_bitmask
+from androidrenderer_tpu.ops.raster.raster_binned import rasterize_binned
+from androidrenderer_tpu.scene.procedural import courtyard_scene
+
+h, w = 256, 256
+scene, _ = courtyard_scene().build()
+cam = Camera(fov_degrees=75.0, aspect=1.0, render_resolution=(w, h))
+cam.set_position([0.0, 1.7, 6.0]); cam.pitch, cam.yaw = -0.05, np.pi
+view = cam.view_data()
+clip = transform_to_clip(scene.positions, jnp.asarray(view.view_proj))
+su = triangle_setup(clip, scene.tri_indices, w, h,
+                    double_sided=scene.tri_double_sided, tri_valid=scene.tri_valid)
+d1, v1 = jax.jit(lambda s: rasterize_bitmask(s, h, w, num_slabs=2))(su)
+d2, v2 = jax.jit(lambda s: rasterize_binned(s, h, w, num_slabs=2))(su)
+print("bitmask compiles; equal to binned:",
+      bool(jnp.array_equal(d1, d2)), bool(jnp.array_equal(v1, v2)))
+EOF
+
 # 1. Phase A structure probe: scan floor (d3) + pa_unroll amortization.
 timeout 2400 python - <<'EOF' 2>&1 | grep -v WARNING
 import sys, time
