@@ -153,3 +153,47 @@ def test_bitmask_full_frame_bit_identical():
         )
         outs.append(np.asarray(out.image))
     assert np.array_equal(outs[0], outs[1])
+
+
+@pytest.mark.parametrize("width", [256, 512])
+def test_bitmask_multi_column_windows(width):
+    """ncols > 1 exercises the column-bit packing ((1 << (wx1+1)) - (1 << wx0))
+    and cross-column spans — the W=128 fixtures only ever touch bit 0."""
+    from androidrenderer_tpu.camera import Camera
+    from androidrenderer_tpu.ops.raster import transform_to_clip, triangle_setup
+    from androidrenderer_tpu.ops.raster.binning import bin_triangles
+    from androidrenderer_tpu.ops.raster import rasterize_visibility
+
+    h = 64
+    verts, tris = random_scene(9, n_tris=80)
+    cam = Camera(fov_degrees=75.0, aspect=width / h, render_resolution=(width, h))
+    cam.set_position([0.0, 0.0, 0.0])
+    cam.yaw = np.pi
+    vd = cam.view_data()
+    clip = transform_to_clip(jnp.asarray(verts), jnp.asarray(vd.view_proj))
+    setup = triangle_setup(
+        clip, jnp.asarray(tris), width, h,
+        double_sided=jnp.full((tris.shape[0],), True),
+    )
+    bins = bin_triangles(setup, h // 16, width // 128, 16, 128, cap=128)
+    depth_ref = np.asarray(rasterize_depth(setup, bins, h, width, 16, 128, chunk=32))
+    vis_ref = np.asarray(rasterize_visibility(
+        setup, bins, jnp.asarray(depth_ref), 16, 128, chunk=32))
+
+    depth, vis = rasterize_bitmask(
+        setup, h, width, num_slabs=2, chunk=32, kb=4, win_h=8, interpret=True
+    )
+    # XLA-vs-kernel FMA contraction: ULP-scale depth differences, amplified at
+    # perspective edges where q -> 0 (measured max rel 1.4e-5 on ONE 512-wide
+    # edge pixel; 256-wide max 1.47e-6). The STRICT contract is
+    # kernel-vs-kernel bit equality below.
+    np.testing.assert_allclose(np.asarray(depth), depth_ref, rtol=2e-5, atol=1e-9)
+    disagree = np.asarray(vis) != vis_ref
+    assert (disagree & (np.asarray(depth) == depth_ref)).sum() == 0
+
+    db, vb = rasterize_binned(
+        setup, h, width, num_slabs=2, chunk=32, cap=6, kb=4, win_h=8,
+        interpret=True,
+    )
+    assert np.array_equal(np.asarray(depth), np.asarray(db))
+    assert np.array_equal(np.asarray(vis), np.asarray(vb))
