@@ -5,8 +5,8 @@ assets with toktx/gltfpack — Tools/optimize_gltf.py:1-30). This is a dependenc
 reader for the KTX2 container format (Khronos KTX File Format Specification v2):
 
 - header + level index parse, mip levels returned largest-first as (h, w, 4) u8;
-- supercompression: None (0), ZLIB (3) via stdlib zlib, Zstandard (2) when a zstd
-  module is importable (not in this image — gated with a clear error);
+- supercompression: None (0), Zstandard (2) via the zstandard module (read +
+  write — the scheme toktx emits by default), ZLIB (3) via stdlib zlib;
 - formats: the 8-bit UNORM/SRGB family (R8, RG8, RGB8, RGBA8). GPU block formats
   (BasisLZ/ETC1S, UASTC) need a transcoder and are gated with a clear error —
   bake assets with ``--format rgba8 --zlib`` (tools/make_ktx2.py writes them).
@@ -58,13 +58,8 @@ def _decompress(data: bytes, scheme: int, expect: int) -> bytes:
     if scheme == SUPERCOMPRESSION_ZLIB:
         out = zlib.decompress(data)
     elif scheme == SUPERCOMPRESSION_ZSTD:
-        try:
-            import zstandard  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "KTX2 Zstandard supercompression needs a zstd module (not in this "
-                "image); re-bake with ZLIB: python tools/make_ktx2.py --zlib"
-            ) from e
+        import zstandard
+
         out = zstandard.ZstdDecompressor().decompress(data, max_output_size=expect)
     elif scheme == SUPERCOMPRESSION_BASISLZ:
         raise NotImplementedError(
@@ -151,10 +146,14 @@ def write_ktx2(
         if lv.ndim != 3 or lv.shape[2] != 4:
             raise ValueError("write_ktx2 expects (h, w, 4) u8 levels")
         raw = lv.tobytes()
-        blob = (
-            zlib.compress(raw, 6)
-            if supercompression == SUPERCOMPRESSION_ZLIB else raw
-        )
+        if supercompression == SUPERCOMPRESSION_ZLIB:
+            blob = zlib.compress(raw, 6)
+        elif supercompression == SUPERCOMPRESSION_ZSTD:
+            import zstandard
+
+            blob = zstandard.ZstdCompressor(level=9).compress(raw)
+        else:
+            blob = raw
         # 8-byte align level payloads (mipPadding).
         pad = (-off) % 8
         off += pad

@@ -17,7 +17,8 @@ def _checker(size=32):
 
 
 @pytest.mark.parametrize("scheme", [ktx2.SUPERCOMPRESSION_NONE,
-                                    ktx2.SUPERCOMPRESSION_ZLIB])
+                                    ktx2.SUPERCOMPRESSION_ZLIB,
+                                    ktx2.SUPERCOMPRESSION_ZSTD])
 def test_roundtrip_levels(scheme):
     lv0 = _checker(32)
     lv1 = lv0[::2, ::2].copy()

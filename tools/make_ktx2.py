@@ -23,6 +23,8 @@ def main():
     ap.add_argument("-o", "--output", default=None)
     ap.add_argument("--no-mips", action="store_true")
     ap.add_argument("--no-zlib", action="store_true")
+    ap.add_argument("--zstd", action="store_true",
+                    help="Zstandard supercompression (toktx's default scheme)")
     args = ap.parse_args()
 
     from PIL import Image
@@ -39,8 +41,12 @@ def main():
             cur = cur.reshape(h // 2, 2, w // 2, 2, c).mean(axis=(1, 3))
             levels.append(np.clip(cur + 0.5, 0, 255).astype(np.uint8))
 
-    scheme = (ktx2.SUPERCOMPRESSION_NONE if args.no_zlib
-              else ktx2.SUPERCOMPRESSION_ZLIB)
+    if args.zstd:
+        scheme = ktx2.SUPERCOMPRESSION_ZSTD
+    elif args.no_zlib:
+        scheme = ktx2.SUPERCOMPRESSION_NONE
+    else:
+        scheme = ktx2.SUPERCOMPRESSION_ZLIB
     blob = ktx2.write_ktx2(levels, supercompression=scheme)
     out = args.output or (args.input.rsplit(".", 1)[0] + ".ktx2")
     with open(out, "wb") as f:
