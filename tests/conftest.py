@@ -22,3 +22,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite is compile-dominated (~34-80 min cold;
+# identical jits recompile every run otherwise). Safe on CPU; keyed on HLO, so
+# source changes miss cleanly.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
