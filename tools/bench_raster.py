@@ -124,7 +124,23 @@ def main():
                 depth_only=depth_only, affine_z=affine, kb=kb,
             )
     for name in args.kernels.split(","):
-        if name.startswith("binned"):
+        if name.startswith("bitmask"):
+            from androidrenderer_tpu.ops.raster.raster_bitmask import (
+                rasterize_bitmask,
+            )
+
+            parts = name[7:].split(":")
+            wh = int(parts[0]) if parts[0] else 32
+            kb = int(parts[1]) if len(parts) > 1 else 8
+            ur = int(parts[2]) if len(parts) > 2 else 4
+            kernels[name] = (
+                lambda su, wh=wh, kb=kb, ur=ur: rasterize_bitmask(
+                    su, h, w, win_h=wh, kb=kb, unroll=ur,
+                    num_slabs=auto_slabs_binned(h, w, depth_only=depth_only, win_h=wh),
+                    depth_only=depth_only, affine_z=affine,
+                )
+            )
+        elif name.startswith("binned"):
             parts = name[6:].split(":")
             wh = int(parts[0])
             cap = int(parts[1]) if len(parts) > 1 else 14
