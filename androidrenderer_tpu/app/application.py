@@ -62,6 +62,8 @@ class Application:
             probe_cascades=config.probe_cascades, probe_grid=config.probe_grid,
             probe_spacing=config.probe_spacing, max_primitives=config.max_primitives,
             out_height=config.output_height, out_width=config.output_width,
+            lpv_cascades=config.lpv_num_cascades,
+            lpv_resolution=config.lpv_resolution,
         )
         self.params = RenderParams.default()
         self.frame_count = 0
@@ -82,6 +84,8 @@ class Application:
             or old.probe_cascades != config.probe_cascades
             or old.probe_grid != config.probe_grid
             or old.probe_spacing != config.probe_spacing
+            or old.lpv_num_cascades != config.lpv_num_cascades
+            or old.lpv_resolution != config.lpv_resolution
         ):
             self.temporal = initial_temporal_state(
                 config.render_height, config.render_width,
@@ -90,6 +94,8 @@ class Application:
                 probe_spacing=config.probe_spacing,
                 max_primitives=config.max_primitives,
                 out_height=config.output_height, out_width=config.output_width,
+                lpv_cascades=config.lpv_num_cascades,
+                lpv_resolution=config.lpv_resolution,
             )
 
     # -- input (flycam) ---------------------------------------------------------

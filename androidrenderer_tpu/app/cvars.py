@@ -73,6 +73,9 @@ _DEFS: List[CVarDef] = [
             "lpv_num_propagation_steps", int, ""),
     CVarDef("r.GI.LPV.PercentBehindCamera", "structural",
             "lpv_behind_camera_percent", float, ""),
+    CVarDef("r.GI.LPV.UpdateBudget", "structural", "lpv_update_budget", int,
+            "cascades rebuilt per frame round-robin (0 = all, the reference's "
+            "clear-and-rebuild; ops/lpv.py::update_lpv_staggered)"),
     CVarDef("r.GI.Cache.UpdatesPerFrame", "structural", "probe_budget", int, ""),
     CVarDef("r.GI.NumBounces", "structural", "rtgi_num_bounces", int, ""),
     CVarDef("r.AO.RTAO.SamplesPerPixel", "structural", "rtao_num_samples", int, ""),

@@ -152,6 +152,14 @@ class RenderConfig:
     rsm_proxy: bool = True
     lpv_num_propagation_steps: int = 32
     lpv_behind_camera_percent: float = 0.1
+    # Cascades rebuilt per frame (RSM raster -> VPL -> inject -> propagate),
+    # round-robin; the rest reuse last build's volumes from TemporalState.
+    # 0 (or >= lpv_num_cascades) = every cascade every frame, exactly like the
+    # reference's clear-and-rebuild (light_propagation_volume.cpp:839-926).
+    # 1 = full staggering, the same budgeted-update pattern as the reference's
+    # own irradiance cache (irradiance_cache.cpp:15-19); a static scene reaches
+    # the every-frame steady state after C frames (tests/test_lpv_stagger.py).
+    lpv_update_budget: int = 0
 
     # Irradiance probe cache (irradiance_cache.cpp:15-19: 4 cascades, budgeted
     # updates of 1024 probes/frame).

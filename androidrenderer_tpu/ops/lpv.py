@@ -538,6 +538,63 @@ def apply_lpv(
     return jnp.where((valid & any_inside)[..., None], gi, 0.0)
 
 
+def _canonical_rsm_setup(scene, mins, cells, resolution: int, rsm_resolution: int):
+    """Union sun frame + ONE gather-heavy triangle setup serving every cascade.
+
+    Per-cascade RSM setups derive by affine coefficient transforms
+    (shadow.derive_ortho_setup) — this drops 3 of 4 gather-heavy setups AND culls
+    each cascade's raster to the triangles inside its volume footprint (the
+    reference's multiview RSM pass, light_propagation_volume.cpp:583-617, gets
+    the same effect from HW culling)."""
+    extents = cells * resolution
+    centers = mins + 0.5 * extents[:, None]
+    radii = 0.866026 * extents
+    cu = jnp.mean(centers, axis=0)
+    ru = jnp.max(jnp.linalg.norm(centers - cu, axis=1) + radii)
+    m_canon = _ortho_from_sphere(cu, ru, scene.sun_direction)
+    clip_c = transform_to_clip(scene.positions, m_canon)
+    # Material sidedness, like the reference's rsm PSOs (material_pipelines.cpp):
+    # sun-backfacing single-sided triangles neither make VPLs (their flux points
+    # into the surface) nor cost raster touches.
+    setup_rsm = triangle_setup(
+        clip_c, scene.tri_indices, rsm_resolution, rsm_resolution,
+        double_sided=scene.tri_double_sided, tri_valid=scene.tri_valid,
+    )
+    return m_canon, setup_rsm, centers, radii
+
+
+def _rsm_cascade_parts(
+    scene, setup_rsm, m_canon, center, radius, raster_fn, rsm_resolution: int,
+    use_base_textures: bool,
+):
+    """One cascade's RSM render -> (vpl_parts, surfel_parts) tuples.
+
+    ``center``/``radius`` may be traced (the staggered path selects the cascade
+    by a frame-index-derived id)."""
+    from androidrenderer_tpu.ops.shadow import derive_ortho_setup
+
+    m = _ortho_from_sphere(center, radius, scene.sun_direction)
+    setup_i = derive_ortho_setup(setup_rsm, m_canon, m, rsm_resolution)
+    _, vis_c = raster_fn(setup_i, rsm_resolution, rsm_resolution)
+    albedo, nrm, wpos, val = _resolve_rsm(
+        scene, setup_i, vis_c, use_base_textures=use_base_textures
+    )
+    vpls = extract_vpls(albedo, nrm, wpos, val, scene.sun_color)
+    # GV from RSM depth: EVERY sun-visible texel is an occluder surfel
+    # (gv_injection path, cpp:932-968) — much denser than the VPL subset.
+    surfels = (wpos.reshape(-1, 3), nrm.reshape(-1, 3), val.reshape(-1))
+    return vpls, surfels
+
+
+def _emissive_parts(scene):
+    """Emissive mesh-light point clouds (render_scene.cpp:257-310), or None."""
+    ep = scene.emissive_points
+    if ep.shape[0] <= 1:
+        return None
+    emask = jnp.arange(ep.shape[0]) < scene.emissive_point_count
+    return (ep[:, 0:3], ep[:, 3:6], ep[:, 6:9], emask)
+
+
 def build_lpv(
     scene,
     camera_position: jnp.ndarray,
@@ -560,54 +617,117 @@ def build_lpv(
     radiance = jnp.zeros((num_cascades, 3, 4, resolution, resolution, resolution))
     gv = jnp.zeros((num_cascades, 4, resolution, resolution, resolution))
 
-    # ONE canonical triangle setup in a union sun frame; per-cascade RSM setups
-    # derive by affine coefficient transforms (shadow.derive_ortho_setup) — this
-    # drops 3 of 4 gather-heavy setups AND culls each cascade's raster to the
-    # triangles inside its volume footprint (the reference's multiview RSM pass,
-    # light_propagation_volume.cpp:583-617, gets the same effect from HW culling).
-    from androidrenderer_tpu.ops.shadow import derive_ortho_setup
-
-    extents = cells * resolution
-    centers = mins + 0.5 * extents[:, None]
-    radii = 0.866026 * extents
-    cu = jnp.mean(centers, axis=0)
-    ru = jnp.max(jnp.linalg.norm(centers - cu, axis=1) + radii)
-    m_canon = _ortho_from_sphere(cu, ru, scene.sun_direction)
-    clip_c = transform_to_clip(scene.positions, m_canon)
-    # Material sidedness, like the reference's rsm PSOs (material_pipelines.cpp):
-    # sun-backfacing single-sided triangles neither make VPLs (their flux points
-    # into the surface) nor cost raster touches.
-    setup_rsm = triangle_setup(
-        clip_c, scene.tri_indices, rsm_resolution, rsm_resolution,
-        double_sided=scene.tri_double_sided, tri_valid=scene.tri_valid,
+    m_canon, setup_rsm, centers, radii = _canonical_rsm_setup(
+        scene, mins, cells, resolution, rsm_resolution
     )
 
     vpl_parts = []
     surfel_parts = []
     for c in range(num_cascades):
-        m = _ortho_from_sphere(centers[c], radii[c], scene.sun_direction)
-        setup_i = derive_ortho_setup(setup_rsm, m_canon, m, rsm_resolution)
-        _, vis_c = raster_fn(setup_i, rsm_resolution, rsm_resolution)
-        albedo, nrm, wpos, val = _resolve_rsm(
-            scene, setup_i, vis_c, use_base_textures=use_base_textures
+        vpls, surfels = _rsm_cascade_parts(
+            scene, setup_rsm, m_canon, centers[c], radii[c], raster_fn,
+            rsm_resolution, use_base_textures,
         )
-        vpl_parts.append(extract_vpls(albedo, nrm, wpos, val, scene.sun_color))
-        # GV from RSM depth: EVERY sun-visible texel is an occluder surfel
-        # (gv_injection path, cpp:932-968) — much denser than the VPL subset.
-        surfel_parts.append(
-            (wpos.reshape(-1, 3), nrm.reshape(-1, 3), val.reshape(-1))
-        )
-    # Emissive mesh-light point clouds (render_scene.cpp:257-310); scene-view
-    # depth surfels guard against light leaking through sun-shadowed walls
-    # (inject_scene_depth_into_gv, cpp:1065-1128).
-    ep = scene.emissive_points
-    emissive = None
-    if ep.shape[0] > 1:
-        emask = jnp.arange(ep.shape[0]) < scene.emissive_point_count
-        emissive = (ep[:, 0:3], ep[:, 3:6], ep[:, 6:9], emask)
+        vpl_parts.append(vpls)
+        surfel_parts.append(surfels)
+    # Scene-view depth surfels guard against light leaking through sun-shadowed
+    # walls (inject_scene_depth_into_gv, cpp:1065-1128).
     radiance, gv = inject_all(
-        radiance, gv, vpl_parts, surfel_parts, scene_view_surfels, emissive,
-        mins, cells, resolution,
+        radiance, gv, vpl_parts, surfel_parts, scene_view_surfels,
+        _emissive_parts(scene), mins, cells, resolution,
     )
     radiance = propagate(radiance, gv, num_steps)
     return LPVVolumes(radiance=radiance, gv=gv, mins=mins, cell_sizes=cells)
+
+
+def make_lpv_state(num_cascades: int, resolution: int) -> LPVVolumes:
+    """Empty cached volumes for the staggered path (TemporalState.lpv).
+
+    ``mins`` start at +1e30 so apply_lpv's containment test excludes every pixel
+    from a cascade that has never been built — no separate validity mask."""
+    return LPVVolumes(
+        radiance=jnp.zeros(
+            (num_cascades, 3, 4, resolution, resolution, resolution), jnp.float32
+        ),
+        gv=jnp.zeros((num_cascades, 4, resolution, resolution, resolution),
+                     jnp.float32),
+        mins=jnp.full((num_cascades, 3), 1e30, jnp.float32),
+        cell_sizes=jnp.ones((num_cascades,), jnp.float32),
+    )
+
+
+def update_lpv_staggered(
+    scene,
+    camera_position: jnp.ndarray,
+    camera_forward: jnp.ndarray,
+    raster_fn,
+    state: LPVVolumes,  # cached volumes (make_lpv_state / previous frame)
+    frame_index,  # () i32 traced
+    num_cascades: int,
+    resolution: int,
+    base_cell: float,
+    rsm_resolution: int,
+    num_steps: int,
+    behind_percent: float = 0.1,
+    scene_view_surfels=None,
+    use_base_textures: bool = True,
+    update_budget: int = 1,
+) -> LPVVolumes:
+    """Round-robin cascade updates: rebuild ``update_budget`` cascades this frame
+    (RSM -> VPL -> inject -> propagate, from scratch like build_lpv), keep the
+    rest from ``state`` — each cached cascade applies with the mins/cell it was
+    BUILT with, so a stale cascade lags the camera by at most
+    ceil(C/B)-1 frames instead of sampling a shifted volume.
+
+    The per-cascade pipeline is independent (injection row spaces are disjoint,
+    propagation never crosses cascades), so a static scene reaches the
+    every-frame build's steady state after ceil(C/B) frames
+    (tests/test_lpv_stagger.py gates this). The amortization pattern is the
+    reference's own irradiance-cache budget (irradiance_cache.cpp:15-19)
+    applied to its LPV; the reference itself clears and rebuilds every cascade
+    per frame (light_propagation_volume.cpp:839-926) — set
+    config.lpv_update_budget = 0 for that exact behavior."""
+    b = min(update_budget, num_cascades)
+    mins, cells = cascade_origins(
+        camera_position, camera_forward, num_cascades, resolution, base_cell,
+        behind_percent,
+    )
+    m_canon, setup_rsm, centers, radii = _canonical_rsm_setup(
+        scene, mins, cells, resolution, rsm_resolution
+    )
+    # Cascades updated this frame: b consecutive ids round-robin. j < b <= C so
+    # the slots are distinct; % is by a STATIC divisor (the traced-divisor
+    # integer-division trap does not apply).
+    upd = (frame_index * b + jnp.arange(b, dtype=jnp.int32)) % num_cascades
+    mins_sel = mins[upd]  # (b, 3) — tiny gathers
+    cells_sel = cells[upd]
+
+    vpl_parts = []
+    surfel_parts = []
+    for j in range(b):
+        vpls, surfels = _rsm_cascade_parts(
+            scene, setup_rsm, m_canon, centers[upd[j]], radii[upd[j]], raster_fn,
+            rsm_resolution, use_base_textures,
+        )
+        vpl_parts.append(vpls)
+        surfel_parts.append(surfels)
+
+    radiance_b = jnp.zeros((b, 3, 4, resolution, resolution, resolution))
+    gv_b = jnp.zeros((b, 4, resolution, resolution, resolution))
+    radiance_b, gv_b = inject_all(
+        radiance_b, gv_b, vpl_parts, surfel_parts, scene_view_surfels,
+        _emissive_parts(scene), mins_sel, cells_sel, resolution,
+    )
+    radiance_b = propagate(radiance_b, gv_b, num_steps)
+
+    rad = state.radiance
+    gv = state.gv
+    new_mins = state.mins
+    new_cells = state.cell_sizes
+    for j in range(b):
+        at = (upd[j], 0, 0, 0, 0, 0)
+        rad = jax.lax.dynamic_update_slice(rad, radiance_b[j : j + 1], at)
+        gv = jax.lax.dynamic_update_slice(gv, gv_b[j : j + 1], at[:-1])
+        new_mins = new_mins.at[upd[j]].set(mins_sel[j])
+        new_cells = new_cells.at[upd[j]].set(cells_sel[j])
+    return LPVVolumes(radiance=rad, gv=gv, mins=new_mins, cell_sizes=new_cells)

@@ -46,6 +46,7 @@ def _screen_sharded_spec(axis: str, has_csm: bool = False, has_motion: bool = Fa
         csm=csm_spec,
         motion=img if has_motion else None,
     )
+    from androidrenderer_tpu.ops.lpv import LPVVolumes
     from androidrenderer_tpu.ops.probes import ProbeCascades
 
     temp_spec = TemporalState(
@@ -56,6 +57,9 @@ def _screen_sharded_spec(axis: str, has_csm: bool = False, has_motion: bool = Fa
         prev_visible_prims=P(),
         rtgi_history=img,
         rtgi_valid=P(),
+        # LPV volumes are replicated (every band applies from the same cascade
+        # set; the staggered update's inputs are replicated, so its output is).
+        lpv=LPVVolumes(*([P()] * len(LPVVolumes._fields))),
     )
     return out_spec, temp_spec
 

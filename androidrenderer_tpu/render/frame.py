@@ -478,13 +478,38 @@ def render_frame(
             gi_scene = swap_in_proxy(scene)
         else:
             gi_scene = scene
-        volumes = lpv_ops.build_lpv(
-            gi_scene, jnp.asarray(view.position), cam_forward, _gi_raster,
-            config.lpv_num_cascades, config.lpv_resolution, config.lpv_cell_size,
-            config.lpv_rsm_resolution, config.lpv_num_propagation_steps,
-            config.lpv_behind_camera_percent,
-            scene_view_surfels=sv, use_base_textures=config.use_base_textures,
-        )
+        if 0 < config.lpv_update_budget < config.lpv_num_cascades:
+            # Round-robin cascade rebuilds against cached volumes (the
+            # irradiance-cache budget pattern applied to LPV; exact rebuild of
+            # every cascade when lpv_update_budget == 0 — docs/PARITY.md).
+            want = (config.lpv_num_cascades, 3, 4) + (config.lpv_resolution,) * 3
+            if temporal.lpv.radiance.shape != want:
+                raise ValueError(
+                    f"TemporalState.lpv radiance {temporal.lpv.radiance.shape} != "
+                    f"{want}: initial_temporal_state must be sized with "
+                    "lpv_cascades/lpv_resolution from this config when "
+                    "lpv_update_budget > 0 (a smaller cached volume would "
+                    "silently dynamic_update_slice into a corner)"
+                )
+            volumes = lpv_ops.update_lpv_staggered(
+                gi_scene, jnp.asarray(view.position), cam_forward, _gi_raster,
+                temporal.lpv, temporal.frame_index,
+                config.lpv_num_cascades, config.lpv_resolution,
+                config.lpv_cell_size, config.lpv_rsm_resolution,
+                config.lpv_num_propagation_steps,
+                config.lpv_behind_camera_percent,
+                scene_view_surfels=sv, use_base_textures=config.use_base_textures,
+                update_budget=config.lpv_update_budget,
+            )
+            temporal = temporal._replace(lpv=volumes)
+        else:
+            volumes = lpv_ops.build_lpv(
+                gi_scene, jnp.asarray(view.position), cam_forward, _gi_raster,
+                config.lpv_num_cascades, config.lpv_resolution, config.lpv_cell_size,
+                config.lpv_rsm_resolution, config.lpv_num_propagation_steps,
+                config.lpv_behind_camera_percent,
+                scene_view_surfels=sv, use_base_textures=config.use_base_textures,
+            )
         half_gi = config.half_rate_gi and not vrsaa and h % 2 == 0 and w % 2 == 0
         if half_gi:
             # Half-rate LPV apply (VRS coarse-rate analog): fetch+evaluate the

@@ -12,6 +12,7 @@ from typing import NamedTuple, Tuple
 
 import jax.numpy as jnp
 
+from androidrenderer_tpu.ops.lpv import LPVVolumes, make_lpv_state
 from androidrenderer_tpu.ops.probes import ProbeCascades, make_probe_state
 
 
@@ -27,6 +28,10 @@ class TemporalState(NamedTuple):
     # ops/denoise.py::temporal_accumulate).
     rtgi_history: jnp.ndarray  # (H, W, 3) f32
     rtgi_valid: jnp.ndarray  # () bool
+    # Cached LPV cascade volumes for round-robin updates
+    # (config.lpv_update_budget > 0; ops/lpv.py::update_lpv_staggered).
+    # Untouched (zeros) when staggering is off or GI != LPV.
+    lpv: LPVVolumes
 
 
 def initial_temporal_state(
@@ -34,6 +39,7 @@ def initial_temporal_state(
     probe_cascades: int = 2, probe_grid: Tuple[int, int, int] = (16, 8, 16),
     probe_spacing: float = 1.0, max_primitives: int = 65536,
     out_height: int | None = None, out_width: int | None = None,
+    lpv_cascades: int = 4, lpv_resolution: int = 32,
 ) -> TemporalState:
     """``height``/``width`` are the RENDER resolution. With temporal upscaling
     (TAA + render res != output res) the TAA history accumulates at OUTPUT
@@ -48,4 +54,5 @@ def initial_temporal_state(
         prev_visible_prims=jnp.ones((max_primitives,), bool),
         rtgi_history=jnp.zeros((height, width, 3), jnp.float32),
         rtgi_valid=jnp.array(False),
+        lpv=make_lpv_state(lpv_cascades, lpv_resolution),
     )
