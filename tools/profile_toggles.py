@@ -28,6 +28,8 @@ def time_config(config, scene, view, params, chain=10, reps=3):
         probe_cascades=config.probe_cascades, probe_grid=config.probe_grid,
         probe_spacing=config.probe_spacing, max_primitives=config.max_primitives,
         out_height=config.output_height, out_width=config.output_width,
+        lpv_cascades=config.lpv_num_cascades,
+        lpv_resolution=config.lpv_resolution,
     )
     renderer = make_renderer(config)
     t0 = time.perf_counter()
@@ -160,6 +162,14 @@ def main():
             render_width=1280, render_height=736,
             gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
             occlusion_culling=False, lpv_num_cascades=2,
+        ),
+        # Staggered LPV: rebuild ONE cascade/frame round-robin against cached
+        # volumes (ops/lpv.py::update_lpv_staggered) — amortizes 4 RSM rasters
+        # + inject + propagate to 1/4 of each.
+        "parity_up_lpv_b1": base.replace(
+            render_width=1280, render_height=736,
+            gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
+            occlusion_culling=False, lpv_update_budget=1,
         ),
         "parity_up_nogi": base.replace(
             render_width=1280, render_height=736,

@@ -94,7 +94,7 @@ for name, dm, pu, wh in [
 EOF
 
 # 2. CSM + LPV decomposition of the upscaled parity frame.
-timeout 4800 python tools/profile_toggles.py --configs parity_up,parity_up_pa4,parity_up_pa8,parity_up_csm1,parity_up_csm2,parity_up_proxyall,parity_up_lpv_steps8,parity_up_lpv_c2 2>&1 | grep -v WARNING
+timeout 4800 python tools/profile_toggles.py --configs parity_up,parity_up_pa4,parity_up_pa8,parity_up_csm1,parity_up_csm2,parity_up_proxyall,parity_up_lpv_steps8,parity_up_lpv_c2,parity_up_lpv_b1 2>&1 | grep -v WARNING
 
 # 3. CSM standalone: live-range windowing effect (near cascade culls most of
 # the scene; ranges skip dead chunks/prefixes at zero Phase-A cost).
