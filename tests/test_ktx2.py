@@ -100,10 +100,12 @@ def test_gltf_with_ktx2_texture(tmp_path):
     assert scene.materials.materials[0].base_color_texture == 2
 
 
-def test_optimize_gltf_tool(tmp_path):
+@pytest.mark.parametrize("fmt", ["rgba8", "uastc"])
+def test_optimize_gltf_tool(fmt, tmp_path):
     """tools/optimize_gltf.py (the reference Tools/optimize_gltf.py analog):
-    bakes a GLB's textures to KTX2 + KHR_texture_basisu; the result loads with
-    the same material/texture bindings."""
+    bakes a GLB's textures to KTX2 + KHR_texture_basisu (uastc = the
+    ``gltfpack -tu`` bake the reference documents); the result loads with the
+    same material/texture bindings."""
     import subprocess
     import sys as _sys
 
@@ -111,7 +113,7 @@ def test_optimize_gltf_tool(tmp_path):
     out = tmp_path / "opt"
     r = subprocess.run(
         [_sys.executable, "/root/repo/tools/optimize_gltf.py", src, "-o", str(out),
-         "--max-size", "256"],
+         "--max-size", "256", "--format", fmt],
         capture_output=True, text=True,
     )
     assert r.returncode == 0, r.stderr

@@ -1,10 +1,13 @@
 """Bake an image into a KTX2 container (the optimize_gltf.py analog).
 
 The reference's asset pipeline compresses textures to KTX2 with toktx/gltfpack
-(Tools/optimize_gltf.py:1-30); this tool bakes PNG/JPEG images to the KTX2 subset
-androidrenderer_tpu reads natively (RGBA8 + ZLIB supercompression + full mip chain).
+(Tools/optimize_gltf.py:1-30); this tool bakes PNG/JPEG images to the KTX2
+formats androidrenderer_tpu reads natively: RGBA8 (+ zlib/zstd), ETC1S/BasisLZ
+(toktx --encode etc1s analog, scene/basis_lz.py) and UASTC (gltfpack -tu
+analog, scene/uastc.py), with a full mip chain.
 
-    python tools/make_ktx2.py input.png [-o out.ktx2] [--no-mips] [--no-zlib]
+    python tools/make_ktx2.py input.png [-o out.ktx2] [--no-mips]
+        [--format rgba8|etc1s|uastc] [--zstd | --no-zlib]
 """
 
 from __future__ import annotations
@@ -25,6 +28,8 @@ def main():
     ap.add_argument("--no-zlib", action="store_true")
     ap.add_argument("--zstd", action="store_true",
                     help="Zstandard supercompression (toktx's default scheme)")
+    ap.add_argument("--format", default="rgba8", choices=("rgba8", "etc1s", "uastc"),
+                    help="texel codec (etc1s implies BasisLZ supercompression)")
     args = ap.parse_args()
 
     from PIL import Image
@@ -43,11 +48,11 @@ def main():
 
     if args.zstd:
         scheme = ktx2.SUPERCOMPRESSION_ZSTD
-    elif args.no_zlib:
+    elif args.no_zlib or args.format == "etc1s":
         scheme = ktx2.SUPERCOMPRESSION_NONE
     else:
         scheme = ktx2.SUPERCOMPRESSION_ZLIB
-    blob = ktx2.write_ktx2(levels, supercompression=scheme)
+    blob = ktx2.write_ktx2(levels, supercompression=scheme, fmt=args.format)
     out = args.output or (args.input.rsplit(".", 1)[0] + ".ktx2")
     with open(out, "wb") as f:
         f.write(blob)

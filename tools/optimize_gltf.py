@@ -32,6 +32,9 @@ def main():
                     help="output directory (default: <input>.optimized/)")
     ap.add_argument("--max-size", type=int, default=1024,
                     help="clamp texture resolution (power-of-two)")
+    ap.add_argument("--format", default="rgba8", choices=("rgba8", "etc1s", "uastc"),
+                    help="KTX2 texel codec (uastc = the gltfpack -tu analog, "
+                    "etc1s = toktx --encode etc1s)")
     args = ap.parse_args()
 
     from PIL import Image
@@ -82,7 +85,7 @@ def main():
             cur = cur.reshape(s // 2, 2, s // 2, 2, 4).mean(axis=(1, 3))
             levels.append(np.clip(cur + 0.5, 0, 255).astype(np.uint8))
         name = f"{src.stem}_img{img_idx}.ktx2"
-        (out_dir / name).write_bytes(ktx2.write_ktx2(levels))
+        (out_dir / name).write_bytes(ktx2.write_ktx2(levels, fmt=args.format))
         if "bufferView" in img:
             image_views.add(img["bufferView"])
             del img["bufferView"]
