@@ -24,7 +24,34 @@ import numpy as np
 TARGET_MS = 16.0
 
 
+def _probe_backend(timeout_s: float = 180.0) -> bool:
+    """Fail fast when the TPU tunnel is down instead of hanging the driver.
+
+    jax backend init is probed in a SUBPROCESS because a dead axon tunnel can
+    hang ``jax.devices()`` indefinitely (docs/ROADMAP.md, round-3 outage)."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); print(d[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        print("# bench: jax backend init timed out (TPU tunnel down?)",
+              file=sys.stderr)
+        return False
+    if r.returncode != 0:
+        print(f"# bench: jax backend init failed:\n{r.stderr[-2000:]}",
+              file=sys.stderr)
+        return False
+    print(f"# bench: backend = {r.stdout.strip()}", file=sys.stderr)
+    return True
+
+
 def main() -> int:
+    if not _probe_backend():
+        return 1
     from androidrenderer_tpu.camera import Camera
     from androidrenderer_tpu.config import (
         AAMode, AOMode, GIMode, RenderConfig, RenderParams,
@@ -82,6 +109,7 @@ def main() -> int:
         temp = initial_temporal_state(
             cfg.render_height, cfg.render_width,
             out_height=cfg.output_height, out_width=cfg.output_width,
+            lpv_cascades=cfg.lpv_num_cascades, lpv_resolution=cfg.lpv_resolution,
         )
         # Warmup (compile) + 2 cached frames.
         t0 = time.perf_counter()
