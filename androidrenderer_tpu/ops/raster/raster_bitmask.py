@@ -359,20 +359,47 @@ def build_window_masks(
     nwords = ntot // 32
 
     # Transpose (columns <-> triangle bits): words[r, col, W] bit j =
-    # (colmask[r, 32W + j] >> col) & 1. Pack per column via a shift OR-tree —
-    # elementwise chains XLA fuses to a few passes over the (R, W, 32) block.
+    # (colmask[r, 32W + j] >> col) & 1 — a 32x32 BIT-MATRIX TRANSPOSE per
+    # (row, word). The session-5 profile found the original per-column
+    # shift-OR-tree (ncols x ~6 passes over the (R, W, 32) block) was the
+    # single largest cost of the whole raster (49 ms of the 71 ms bitmask
+    # raster at bench scale, 119 ms at win_h=8). The Hacker's-Delight
+    # butterfly does it in 5 levels x ~3 passes, independent of ncols; its
+    # anti-diagonal variant (exchange the other corner pair per level) lands
+    # directly in this table's little-endian convention (element e of a
+    # 32-triangle group <-> bit e; verified == the OR-tree bit-for-bit).
+    # For ncols <= 2 (RSM's 128-wide target) the OR-tree is fewer passes.
     cm = colmask.reshape(nrows, nwords, 32)
-    per_col = []
-    for col in range(ncols):
-        t = (cm >> col) & 1  # (R, W, 32)
-        stride = 1
-        width_now = 32
-        while width_now > 1:
-            t = t[..., 0::2] | (t[..., 1::2] << stride)
-            stride *= 2
-            width_now //= 2
-        per_col.append(t[..., 0])  # (R, W)
-    words = jnp.stack(per_col, axis=1)  # (R, ncols, W)
+    if ncols <= 2:
+        per_col = []
+        for col in range(ncols):
+            t = (cm >> col) & 1  # (R, W, 32)
+            stride = 1
+            width_now = 32
+            while width_now > 1:
+                t = t[..., 0::2] | (t[..., 1::2] << stride)
+                stride *= 2
+                width_now //= 2
+            per_col.append(t[..., 0])  # (R, W)
+        words = jnp.stack(per_col, axis=1)  # (R, ncols, W)
+    else:
+        x = cm.astype(jnp.uint32)
+        m = jnp.uint32(0x0000FFFF)
+        j = 16
+        while j:
+            sh = x.reshape(nrows, nwords, 32 // (2 * j), 2, j)
+            lo = sh[..., 0, :]
+            hi = sh[..., 1, :]
+            t = ((lo >> j) ^ hi) & m
+            hi = hi ^ t
+            lo = lo ^ (t << j)
+            x = jnp.stack([lo, hi], axis=-2).reshape(nrows, nwords, 32)
+            j >>= 1
+            if j:
+                m = m ^ (m << j)
+        # x[r, W, c] = col c's word for triangle group W (cols >= ncols are 0
+        # because colmask uses only ncols bits).
+        words = jnp.transpose(x[..., :ncols], (0, 2, 1)).astype(jnp.int32)
 
     # ww: bitmask of nonzero words per (window, chunk); cnt: exact touches.
     wz = (words != 0).astype(jnp.int32).reshape(nrows, ncols, num_chunks, wpc)
