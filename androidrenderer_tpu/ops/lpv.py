@@ -31,7 +31,11 @@ import numpy as np
 from androidrenderer_tpu.ops import sh
 from androidrenderer_tpu.ops.post import srgb_to_linear
 from androidrenderer_tpu.ops.raster.interpolate import compute_barycentrics
-from androidrenderer_tpu.ops.raster.setup import triangle_setup, transform_to_clip
+from androidrenderer_tpu.ops.raster.setup import (
+    transform_to_clip,
+    triangle_setup,
+    triangle_setup_corners,
+)
 
 # Solid angles of the far face / side faces of a cell as seen from the neighbor
 # (standard LPV constants; 6 * (direct + 4 * side) == 4pi).
@@ -146,9 +150,8 @@ def render_rsm(
     raster_fn,  # (setup, h, w) -> (depth, vis)
 ):
     """Render one RSM: (albedo (R,R,3), normal (R,R,3), world_pos (R,R,3), valid)."""
-    clip = transform_to_clip(scene.positions, matrix)
-    setup = triangle_setup(
-        clip, scene.tri_indices, resolution, resolution,
+    setup = triangle_setup_corners(
+        scene.tri_corner_pos, matrix, resolution, resolution,
         double_sided=jnp.ones_like(scene.tri_double_sided), tri_valid=scene.tri_valid,
     )
     depth, vis = raster_fn(setup, resolution, resolution)
@@ -552,12 +555,11 @@ def _canonical_rsm_setup(scene, mins, cells, resolution: int, rsm_resolution: in
     cu = jnp.mean(centers, axis=0)
     ru = jnp.max(jnp.linalg.norm(centers - cu, axis=1) + radii)
     m_canon = _ortho_from_sphere(cu, ru, scene.sun_direction)
-    clip_c = transform_to_clip(scene.positions, m_canon)
     # Material sidedness, like the reference's rsm PSOs (material_pipelines.cpp):
     # sun-backfacing single-sided triangles neither make VPLs (their flux points
-    # into the surface) nor cost raster touches.
-    setup_rsm = triangle_setup(
-        clip_c, scene.tri_indices, rsm_resolution, rsm_resolution,
+    # into the surface) nor cost raster touches. Corner-table setup: gather-free.
+    setup_rsm = triangle_setup_corners(
+        scene.tri_corner_pos, m_canon, rsm_resolution, rsm_resolution,
         double_sided=scene.tri_double_sided, tri_valid=scene.tri_valid,
     )
     return m_canon, setup_rsm, centers, radii

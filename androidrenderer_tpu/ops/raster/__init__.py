@@ -16,13 +16,21 @@ have no ROPs, so this package re-derives rasterization as data-parallel reductio
    (Deferred texturing: shading never runs on occluded fragments.)
 """
 
-from androidrenderer_tpu.ops.raster.setup import TriangleSetup, triangle_setup, transform_to_clip
+from androidrenderer_tpu.ops.raster.setup import (
+    TriangleSetup,
+    gather_corners,
+    transform_to_clip,
+    triangle_setup,
+    triangle_setup_corners,
+)
 from androidrenderer_tpu.ops.raster.raster_xla import rasterize_depth, rasterize_visibility
 from androidrenderer_tpu.ops.raster.interpolate import interpolate_attributes
 
 __all__ = [
     "TriangleSetup",
     "triangle_setup",
+    "triangle_setup_corners",
+    "gather_corners",
     "transform_to_clip",
     "rasterize_depth",
     "rasterize_visibility",

@@ -65,6 +65,38 @@ def clip_to_pixel_h(clip: jnp.ndarray, width: int, height: int) -> jnp.ndarray:
     return jnp.stack([xp, yp, w], axis=-1)
 
 
+def gather_corners(
+    positions: jnp.ndarray, tri_indices: jnp.ndarray
+) -> jnp.ndarray:
+    """(V, 3) positions + (N, 3) indices -> (N, 3, 3) per-triangle corners.
+
+    Session-5 profile: the 6 per-corner gathers inside triangle_setup cost
+    ~28 ms at 310k triangles — more than the raster KERNEL they feed. Static
+    topology means the table can be baked once at scene build (SceneArrays.
+    tri_corner_pos / ProxyMesh.corners) and refreshed only on dynamic
+    transform updates; per-frame setup then has ZERO gathers
+    (triangle_setup_corners)."""
+    return positions[tri_indices]
+
+
+def triangle_setup_corners(
+    corner_pos: jnp.ndarray,  # (N, 3, 3) world-space per-triangle corners
+    view_proj: jnp.ndarray,  # (4, 4)
+    width: int,
+    height: int,
+    double_sided: jnp.ndarray | None = None,  # (N,) bool
+    tri_valid: jnp.ndarray | None = None,  # (N,) bool — padding mask
+) -> TriangleSetup:
+    """triangle_setup from a baked corner table — gather-free (values are
+    bit-identical to the gather path: same transform, same setup math)."""
+    n = corner_pos.shape[0]
+    clip_c = transform_to_clip(corner_pos.reshape(n * 3, 3), view_proj)
+    clip_c = clip_c.reshape(n, 3, 4)
+    return _setup_from_corner_clip(
+        clip_c, width, height, double_sided, tri_valid
+    )
+
+
 def triangle_setup(
     clip: jnp.ndarray,  # (V, 4) clip-space positions
     tri_indices: jnp.ndarray,  # (N, 3) int32 vertex indices
@@ -74,15 +106,33 @@ def triangle_setup(
     tri_valid: jnp.ndarray | None = None,  # (N,) bool — padding mask
 ) -> TriangleSetup:
     """Build raster constants for N triangles. Pure XLA (gathers + cross products)."""
-    n = tri_indices.shape[0]
-    v = clip_to_pixel_h(clip, width, height)  # (V, 3)
+    clip_c = jnp.stack(
+        [
+            clip[tri_indices[:, 0]],
+            clip[tri_indices[:, 1]],
+            clip[tri_indices[:, 2]],
+        ],
+        axis=1,
+    )  # (N, 3, 4)
+    return _setup_from_corner_clip(
+        clip_c, width, height, double_sided, tri_valid
+    )
 
-    v0 = v[tri_indices[:, 0]]  # (N, 3)
-    v1 = v[tri_indices[:, 1]]
-    v2 = v[tri_indices[:, 2]]
-    z0 = clip[tri_indices[:, 0], 2]
-    z1 = clip[tri_indices[:, 1], 2]
-    z2 = clip[tri_indices[:, 2], 2]
+
+def _setup_from_corner_clip(
+    clip_c: jnp.ndarray,  # (N, 3, 4) per-corner clip positions
+    width: int,
+    height: int,
+    double_sided: jnp.ndarray | None,
+    tri_valid: jnp.ndarray | None,
+) -> TriangleSetup:
+    n = clip_c.shape[0]
+    v0 = clip_to_pixel_h(clip_c[:, 0, :], width, height)  # (N, 3)
+    v1 = clip_to_pixel_h(clip_c[:, 1, :], width, height)
+    v2 = clip_to_pixel_h(clip_c[:, 2, :], width, height)
+    z0 = clip_c[:, 0, 2]
+    z1 = clip_c[:, 1, 2]
+    z2 = clip_c[:, 2, 2]
     w0, w1, w2 = v0[:, 2], v1[:, 2], v2[:, 2]
 
     e0 = jnp.cross(v1, v2)  # (N, 3): D_0 coefficients

@@ -28,6 +28,7 @@ from androidrenderer_tpu.ops.raster import (
     rasterize_depth,
     transform_to_clip,
     triangle_setup,
+    triangle_setup_corners,
 )
 from androidrenderer_tpu.ops.raster.binning import bin_triangles
 
@@ -226,6 +227,7 @@ def render_shadow_cascades(
     proxy_from_cascade: int = 10**9,  # cascades >= this index rasterize the proxy
     pa_unroll: int = 1,  # binned-kernel Phase A unroll (config.raster_pa_unroll)
     use_bitmask: bool = False,  # bitmask-driven kernel (config.raster_bitmask)
+    corners: jnp.ndarray | None = None,  # (N, 3, 3) baked corner table
 ) -> jnp.ndarray:
     """(C, R, R) reversed-Z shadow depth maps — batched depth-only raster.
 
@@ -250,6 +252,14 @@ def render_shadow_cascades(
     use_proxy = proxy is not None and k_proxy < num_cascades
 
     def one_setup(mat):
+        # Baked corner table when available: gather-free, bit-identical
+        # (session-5: the 6 setup gathers cost ~28 ms at bench scale — most
+        # of this pass's budget once the cascades derive affinely).
+        if corners is not None:
+            return triangle_setup_corners(
+                corners, mat, resolution, resolution,
+                double_sided=double_sided, tri_valid=tri_valid,
+            )
         clip = transform_to_clip(positions, mat)
         return triangle_setup(
             clip, tri_indices, resolution, resolution, double_sided=double_sided,
@@ -257,9 +267,8 @@ def render_shadow_cascades(
         )
 
     def one_setup_proxy(mat):
-        clip = transform_to_clip(proxy.positions, mat)
-        return triangle_setup(
-            clip, proxy.tri_indices, resolution, resolution,
+        return triangle_setup_corners(
+            proxy.corners, mat, resolution, resolution,
             double_sided=proxy.tri_double_sided, tri_valid=proxy.tri_valid,
         )
 

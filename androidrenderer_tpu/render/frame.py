@@ -35,6 +35,7 @@ from androidrenderer_tpu.ops.raster import (
     rasterize_visibility,
     transform_to_clip,
     triangle_setup,
+    triangle_setup_corners,
 )
 from androidrenderer_tpu.ops.raster.binning import bin_triangles
 from androidrenderer_tpu.ops.raster.masked import rasterize_masked_peeled
@@ -105,12 +106,13 @@ def render_frame(
     p11 = view.projection[1, 1]
 
     # --- geometry: transform + setup + bin (the "GPU-driven" pipe) ----------------
-    clip = transform_to_clip(scene.positions, jnp.asarray(view.view_proj))
     # Setup is computed against the FULL frame (AABBs live in global pixel space and
     # are identical on every device under screen sharding — replicated work, tiny).
-    setup = triangle_setup(
-        clip,
-        scene.tri_indices,
+    # The baked corner table makes it gather-free (bit-identical to the
+    # positions/tri_indices path; session-5: 6 gathers here cost ~28 ms/frame).
+    setup = triangle_setup_corners(
+        scene.tri_corner_pos,
+        jnp.asarray(view.view_proj),
         w,
         config.render_height,
         double_sided=scene.tri_double_sided,
@@ -329,6 +331,7 @@ def render_frame(
             proxy_from_cascade=config.shadow_proxy_from_cascade,
             pa_unroll=config.raster_pa_unroll,
             use_bitmask=config.raster_bitmask,
+            corners=scene.tri_corner_pos,
         )
         l = -scene.sun_direction / jnp.linalg.norm(scene.sun_direction)
         ndotl = jnp.clip(

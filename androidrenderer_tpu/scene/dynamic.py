@@ -109,7 +109,9 @@ def update_primitive_transforms(
     ppos = xform(dyn.proxy_base_positions, pm[:, :3, :3]) + pm[:, :3, 3]
     pnrm = xform(dyn.proxy_base_normals, nmat[pvp])
     pnrm = pnrm / jnp.maximum(jnp.linalg.norm(pnrm, axis=-1, keepdims=True), 1e-12)
-    proxy = scene.proxy._replace(positions=ppos, normals=pnrm)
+    proxy = scene.proxy._replace(
+        positions=ppos, normals=pnrm, corners=ppos[scene.proxy.tri_indices]
+    )
 
     bvh = refit_bvh(scene.bvh, positions, scene.tri_indices, dyn.level_slots)
     return scene._replace(
@@ -119,6 +121,9 @@ def update_primitive_transforms(
         prim_bounds=prim_bounds,
         bvh=bvh,
         proxy=proxy,
+        # Corner-table refresh: the per-frame raster setup is gather-free, so
+        # the 3 gathers move here, paid only when transforms change.
+        tri_corner_pos=positions[scene.tri_indices],
     )
 
 

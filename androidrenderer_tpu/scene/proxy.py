@@ -43,6 +43,8 @@ class ProxyMesh(NamedTuple):
     tri_material: jnp.ndarray  # (Np,) i32
     tri_double_sided: jnp.ndarray  # (Np,) bool
     tri_valid: jnp.ndarray  # (Np,) bool
+    # Baked per-triangle corners (see SceneArrays.tri_corner_pos).
+    corners: jnp.ndarray  # (Np, 3, 3) f32
 
 
 def _pad(a: np.ndarray, rows: int, fill=0):
@@ -130,6 +132,9 @@ def build_proxy_mesh(
         tri_valid=jnp.asarray(
             _pad(np.ones(np_tris, dtype=bool), nt_pad, fill=False)
         ),
+        corners=jnp.asarray(
+            _pad(p_pos, vp_pad)[_pad(ptri.astype(np.int32), nt_pad)]
+        ),
     )
     return mesh, host
 
@@ -157,4 +162,5 @@ def swap_in_proxy(scene):
         tri_alpha_mode=jnp.zeros((nt,), jnp.int32),
         tri_alpha_grid=jnp.full((nt, 8), -1, jnp.int32),
         tri_valid=p.tri_valid,
+        tri_corner_pos=p.corners,
     )

@@ -67,6 +67,11 @@ class SceneArrays(NamedTuple):
     # non-masked triangles.
     tri_alpha_grid: jnp.ndarray  # (N, 8) i32
     tri_valid: jnp.ndarray  # (N,) bool
+    # Baked per-triangle corner positions (world): the raster setup's vertex
+    # fetch (6 gathers x N rows, ~28 ms/frame at 310k tris) collapses to zero
+    # runtime gathers (ops/raster/setup.py::triangle_setup_corners). Refreshed
+    # on dynamic transform updates (scene/dynamic.py).
+    tri_corner_pos: jnp.ndarray  # (N, 3, 3) f32
     # Primitive table (P = padded primitive count) for culling.
     prim_bounds: jnp.ndarray  # (P, 4) f32 world bounding sphere
     prim_tri_range: jnp.ndarray  # (P, 2) i32 [first_triangle, num_triangles]
@@ -372,6 +377,9 @@ class RenderScene:
             tri_alpha_grid=jnp.asarray(_pad_rows(alpha_grid, pt, fill=-1)),
             tri_valid=jnp.asarray(
                 _pad_rows(np.ones(nt, dtype=bool), pt, fill=False)
+            ),
+            tri_corner_pos=jnp.asarray(
+                _pad_rows(positions, pv)[_pad_rows(tri_indices, pt)]
             ),
             prim_bounds=jnp.asarray(_pad_rows(np.stack(prim_bounds), pp)),
             prim_tri_range=jnp.asarray(_pad_rows(np.stack(prim_range), pp)),
