@@ -189,6 +189,14 @@ class RenderConfig:
     # dispatch latency on this platform — docs/ROADMAP.md). Never set in production.
     debug_stub_raster: bool = False
     debug_stub_resolve: bool = False
+    # Finer stage isolation (same caveats): keep the CSM rasters but skip the
+    # PCF sampling; keep the plane gather but skip the per-pixel head math;
+    # stub the RSM rasters inside LPV; keep the LPV volume build but skip the
+    # screen-space apply/upsample.
+    debug_stub_shadow_sample: bool = False
+    debug_resolve_gather_only: bool = False
+    debug_stub_rsm: bool = False
+    debug_stub_lpv_apply: bool = False
 
     # Raster engine tiling (TPU-specific; lane-friendly 8x128 multiples).
     tile_height: int = 32

@@ -132,6 +132,7 @@ def resolve_gbuffer(
     use_mr_textures: bool = True,
     use_emission: bool = True,
     pixel_coords=None,  # optional ((...,) px f32, (...,) py f32) matching vis shape
+    debug_gather_only: bool = False,
 ) -> GBuffer:
     """Shade the visibility buffer. ``vis`` may be any shape; by default pixel
     coordinates come from the (H, W) grid + row_offset, or pass ``pixel_coords``
@@ -145,6 +146,21 @@ def resolve_gbuffer(
     # slower — see pack_attribute_planes), reshaped back per pixel.
     pl = attr_planes[tid]
     pl = pl.reshape(pl.shape[:-1] + (3, pl.shape[-1] // 3))  # (..., 3, A+1+K)
+    if debug_gather_only:
+        # Profiling stub: one cheap pass consuming every gathered channel (the
+        # gather survives; the multi-head plane evaluation below is skipped).
+        g = pl[..., 0, :] + pl[..., 1, :] + pl[..., 2, :]
+        one = jnp.ones(g.shape[:-1] + (1,), jnp.float32)
+        return GBuffer(
+            base_color=jnp.abs(g[..., 0:3]),
+            normal=_normalize(g[..., 2:5] + 0.1),
+            roughness=0.5 * one + 0.0 * g[..., 5:6],
+            metalness=0.1 * one + 0.0 * g[..., 6:7],
+            emission=0.0 * g[..., 7:10],
+            world_position=g[..., 10:13],
+            depth=depth,
+            valid=valid,
+        )
     if pixel_coords is None:
         height, width = vis.shape
         px = jnp.arange(width, dtype=jnp.float32)[None, :, None]

@@ -299,6 +299,7 @@ def render_frame(
     else:
         gbuf = resolve_gbuffer(
             scene, setup, vis, depth, row_offset=row_offset, **flags,
+            debug_gather_only=config.debug_resolve_gather_only,
         )
 
     # --- sky ------------------------------------------------------------------------
@@ -340,10 +341,18 @@ def render_frame(
         view_distance = jnp.where(
             depth > 0.0, view.z_near / jnp.maximum(depth, 1e-12), 0.0
         )
-        shadow = shadow_ops.sample_csm(
-            gbuf.world_position, view_distance, ndotl, cascades, shadow_maps,
-            params.shadow_bias, normal=gbuf.normal,
-        )
+        if config.debug_stub_shadow_sample:
+            # Profiling stub: keep the cascade rasters (the Pallas calls are
+            # opaque to DCE — consuming one texel keeps them) but skip the
+            # PCF pack + sample entirely.
+            shadow = jnp.ones((h, w, 1), jnp.float32) * (
+                1.0 + 0.0 * shadow_maps[0, 0, 0]
+            )
+        else:
+            shadow = shadow_ops.sample_csm(
+                gbuf.world_position, view_distance, ndotl, cascades, shadow_maps,
+                params.shadow_bias, normal=gbuf.normal,
+            )
     elif config.shadow_mode == ShadowMode.RT and full_features:
         # Ray-traced sun shadows (directional_light.cpp:372-422).
         shadow = rt_effects.rt_sun_shadows(
@@ -425,6 +434,20 @@ def render_frame(
     # --- GI: LPV (pre/post-render slices, gi/light_propagation_volume.cpp) -----------
     if config.gi_mode == GIMode.LPV and full_features:
         def _gi_raster(setup_, hh, ww):
+            if config.debug_stub_rsm:
+                # Profiling stub: analytic depth + pseudo-random visibility in
+                # place of the RSM raster (downstream injection still runs).
+                n_tri = scene.tri_indices.shape[0]
+                m = 1
+                while m * 2 <= n_tri:
+                    m *= 2
+                yy = jnp.arange(hh, dtype=jnp.int32)[:, None]
+                xx = jnp.arange(ww, dtype=jnp.int32)[None, :]
+                v_ = (yy * 7919 + xx * 104729) & (m - 1)
+                d_ = 0.05 + 0.9 * jnp.abs(
+                    jnp.sin((yy * 0.013 + xx * 0.007).astype(jnp.float32))
+                )
+                return d_, v_
             if use_pallas and ww % 128 == 0:
                 # Window-binned kernel. Negative results here (round 3): the
                 # splat+kernel hybrid measured 39.4 vs 39.8 ms but costs a 393 s
@@ -514,7 +537,11 @@ def render_frame(
                 scene_view_surfels=sv, use_base_textures=config.use_base_textures,
             )
         half_gi = config.half_rate_gi and not vrsaa and h % 2 == 0 and w % 2 == 0
-        if half_gi:
+        if config.debug_stub_lpv_apply:
+            # Profiling stub: keep the full volume build (consume one texel so
+            # the build survives DCE) but skip the screen-space apply/upsample.
+            gi = gbuf.base_color * (0.1 + 0.0 * volumes.radiance[0, 0, 0, 0, 0, 0])
+        elif half_gi:
             # Half-rate LPV apply (VRS coarse-rate analog): fetch+evaluate the
             # SH volume on the [::2, ::2] grid with unit albedo, bilaterally
             # upsample the irradiance, then modulate by FULL-res base color so

@@ -213,6 +213,60 @@ def main():
             gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
             occlusion_culling=False, raster_pa_unroll=8,
         ),
+        # Fine stage isolation at the flagship config (debug_* stubs): read as
+        # parity_up minus the stubbed stage.
+        "parity_up_stubpcf": base.replace(
+            render_width=1280, render_height=736,
+            gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
+            occlusion_culling=False, debug_stub_shadow_sample=True,
+        ),
+        "parity_up_stubrsm": base.replace(
+            render_width=1280, render_height=736,
+            gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
+            occlusion_culling=False, debug_stub_rsm=True,
+        ),
+        "parity_up_stublpvapply": base.replace(
+            render_width=1280, render_height=736,
+            gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
+            occlusion_culling=False, debug_stub_lpv_apply=True,
+        ),
+        "parity_up_gonly": base.replace(
+            render_width=1280, render_height=736,
+            gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
+            occlusion_culling=False, debug_resolve_gather_only=True,
+        ),
+        "parity_up_notex": base.replace(
+            render_width=1280, render_height=736,
+            gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
+            occlusion_culling=False, use_base_textures=False,
+            use_normal_maps=False, use_mr_textures=False,
+        ),
+        "parity_up_nomask": base.replace(
+            render_width=1280, render_height=736,
+            gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
+            occlusion_culling=False, alpha_masking=False,
+        ),
+        "parity_up_nosky": base.replace(
+            render_width=1280, render_height=736,
+            gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
+            occlusion_culling=False, sky=False,
+        ),
+        "parity_up_nobloom": base.replace(
+            render_width=1280, render_height=736,
+            gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
+            occlusion_culling=False, bloom=False,
+        ),
+        "parity_up_noao": base.replace(
+            render_width=1280, render_height=736,
+            gi_mode=GIMode.LPV, aa_mode=AAMode.TAA,
+            occlusion_culling=False,
+        ),
+        "flat_gonly": base.replace(
+            shadow_mode=ShadowMode.OFF, sky=False, bloom=False,
+            occlusion_culling=False, alpha_masking=False,
+            use_base_textures=False, use_normal_maps=False,
+            use_mr_textures=False, debug_resolve_gather_only=True,
+        ),
         # Bitmask-driven rasterizer (raster_bitmask.py) whole-frame A/B.
         "parity_up_bm": base.replace(
             render_width=1280, render_height=736,
