@@ -197,6 +197,11 @@ class RenderConfig:
     debug_resolve_gather_only: bool = False
     debug_stub_rsm: bool = False
     debug_stub_lpv_apply: bool = False
+    # Force the resolved GBuffer to materialize (optimization_barrier) instead
+    # of letting XLA duplicate its producer chain (plane gather + texture
+    # sampling) into every consumer fusion (shadow transform, lighting, SSAO,
+    # LPV apply each re-running the 0.94M-row gathers).
+    gbuffer_barrier: bool = False
 
     # Raster engine tiling (TPU-specific; lane-friendly 8x128 multiples).
     tile_height: int = 32

@@ -301,6 +301,8 @@ def render_frame(
             scene, setup, vis, depth, row_offset=row_offset, **flags,
             debug_gather_only=config.debug_resolve_gather_only,
         )
+    if config.gbuffer_barrier:
+        gbuf = GBuffer(*jax.lax.optimization_barrier(tuple(gbuf)))
 
     # --- sky ------------------------------------------------------------------------
     if config.sky:

@@ -153,3 +153,18 @@ def test_pallas_frame_with_alpha_bitmap_matches_xla_peel():
     cov_x = np.asarray(out_x.visibility) >= 0
     agree = (cov_p == cov_x).mean()
     assert agree > 0.97, f"coverage agreement {agree:.3f}"
+
+
+def test_gbuffer_barrier_is_bit_identical():
+    """config.gbuffer_barrier only constrains XLA fusion (optimization_barrier
+    is the identity) — the frame must be bit-exact with it on."""
+    scene, _ = cornell_scene().build()
+    cam = make_camera()
+    base, _ = make_renderer(CFG)(
+        scene, cam.view_data(), RenderParams.default(), initial_temporal_state(H, W)
+    )
+    bar, _ = make_renderer(CFG.replace(gbuffer_barrier=True))(
+        scene, cam.view_data(), RenderParams.default(), initial_temporal_state(H, W)
+    )
+    assert (np.asarray(base.image) == np.asarray(bar.image)).all()
+    assert (np.asarray(base.hdr) == np.asarray(bar.hdr)).all()

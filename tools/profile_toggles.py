@@ -128,6 +128,13 @@ def main():
             gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
             occlusion_culling=False,
         ),
+        # GBuffer materialization barrier: isolates XLA producer-duplication
+        # (consumers re-running the plane/texture gathers inside their fusions).
+        "parity_up_gbar": base.replace(
+            render_width=1280, render_height=736,
+            gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
+            occlusion_culling=False, gbuffer_barrier=True,
+        ),
         "parity_up_noshadow": base.replace(
             render_width=1280, render_height=736,
             gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
