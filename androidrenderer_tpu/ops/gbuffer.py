@@ -143,13 +143,20 @@ def resolve_gbuffer(
     if attr_planes is None:
         attr_planes = pack_attribute_planes(scene, setup)
     # The one big gather: FLAT (N, 3C) rows (a (N, 3, C) slice gather is 8x
-    # slower — see pack_attribute_planes), reshaped back per pixel.
+    # slower — see pack_attribute_planes). The three plane-coefficient groups
+    # are SLICED out of the flat row rather than reshaped to (..., 3, C):
+    # the 4-d reshape forced a layout-changing transpose copy on TPU
+    # (f32[N,87]{1,0} -> [H,W,3,C]{1,0,3,2}, measured 4.3 ms/frame in the
+    # parity trace); minor-dim slices are free inside the consumer fusions.
     pl = attr_planes[tid]
-    pl = pl.reshape(pl.shape[:-1] + (3, pl.shape[-1] // 3))  # (..., 3, A+1+K)
+    nch = pl.shape[-1] // 3
+    pa = pl[..., :nch]
+    pb = pl[..., nch : 2 * nch]
+    pc = pl[..., 2 * nch :]
     if debug_gather_only:
         # Profiling stub: one cheap pass consuming every gathered channel (the
         # gather survives; the multi-head plane evaluation below is skipped).
-        g = pl[..., 0, :] + pl[..., 1, :] + pl[..., 2, :]
+        g = pa + pb + pc
         one = jnp.ones(g.shape[:-1] + (1,), jnp.float32)
         return GBuffer(
             base_color=jnp.abs(g[..., 0:3]),
@@ -168,7 +175,7 @@ def resolve_gbuffer(
     else:
         px = pixel_coords[0].astype(jnp.float32)[..., None]
         py = pixel_coords[1].astype(jnp.float32)[..., None]
-    f = pl[..., 0, :] * px + pl[..., 1, :] * py + pl[..., 2, :]  # (..., A+1+K)
+    f = pa * px + pb * py + pc  # (..., A+1+K)
     s = f[..., ATTR_CHANNELS : ATTR_CHANNELS + 1]
     inv_s = 1.0 / jnp.where(s == 0.0, 1.0, s)
     a = f * inv_s  # interpolated attributes; constant channels recover exactly
@@ -186,10 +193,10 @@ def resolve_gbuffer(
     tex_log2b = packed_tv & 15
     tex_start = jnp.right_shift(packed_tv, 4) * START_ALIGN
     # Analytic UV derivatives from the planes: da/dx = (fa*s - f*sa) / s^2.
-    sa = pl[..., 0, ATTR_CHANNELS : ATTR_CHANNELS + 1]
-    sb = pl[..., 1, ATTR_CHANNELS : ATTR_CHANNELS + 1]
-    duvdx = (pl[..., 0, 0:2] - uv * sa) * inv_s
-    duvdy = (pl[..., 1, 0:2] - uv * sb) * inv_s
+    sa = pa[..., ATTR_CHANNELS : ATTR_CHANNELS + 1]
+    sb = pb[..., ATTR_CHANNELS : ATTR_CHANNELS + 1]
+    duvdx = (pa[..., 0:2] - uv * sa) * inv_s
+    duvdy = (pb[..., 0:2] - uv * sb) * inv_s
 
     # Size-free LOD + per-slot base size (textures have native resolutions).
     lod_uv = tex.compute_lod_uv(duvdx, duvdy, mip_bias)

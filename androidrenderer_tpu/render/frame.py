@@ -65,6 +65,13 @@ class FrameOutputs(NamedTuple):
     motion: object = None
 
 
+def _half_grid(a: jnp.ndarray) -> jnp.ndarray:
+    """a[::2, ::2] as two single-axis strided slices — the fused 2-d strided
+    slice relayouts lanes AND sublanes in one op and costs ~5x more on TPU
+    (tools/microbench_stride.py: 9.7 vs 1.8 ms for the half-rate GI inputs)."""
+    return a[::2][:, ::2]
+
+
 def render_frame(
     scene: SceneArrays,
     view: ViewData,
@@ -266,8 +273,8 @@ def render_frame(
         row_offset_ss = row_offset
         h, w = h // 2, w // 2
         row_offset = row_offset_ss // 2
-        vis = vis_ss[::2, ::2]
-        depth = depth_ss[::2, ::2]
+        vis = _half_grid(vis_ss)
+        depth = _half_grid(depth_ss)
         attr_planes = pack_attribute_planes(scene, setup)
         px_g = jnp.broadcast_to(
             (jnp.arange(w, dtype=jnp.float32) * 2.0)[None, :], (h, w)
@@ -383,7 +390,7 @@ def render_frame(
         # bit-identical to the single-device frame.
         half_gi = config.half_rate_gi and not vrsaa and h % 2 == 0 and w % 2 == 0
         sub = (
-            (lambda a: a[::2, ::2]) if half_gi else (lambda a: a)
+            _half_grid if half_gi else (lambda a: a)
         )
         wp_h, n_h, v_h, dep_s = (
             sub(gbuf.world_position), sub(gbuf.normal), sub(gbuf.valid), sub(depth)
@@ -550,14 +557,14 @@ def render_frame(
             # texture detail stays sharp.
             from androidrenderer_tpu.ops.upsample import bilateral_upsample_2x
 
-            wp_h = gbuf.world_position[::2, ::2]
-            n_h = gbuf.normal[::2, ::2]
+            wp_h = _half_grid(gbuf.world_position)
+            n_h = _half_grid(gbuf.normal)
             irr_h = lpv_ops.apply_lpv(
                 volumes, wp_h, n_h,
-                jnp.ones_like(wp_h), gbuf.valid[::2, ::2],
+                jnp.ones_like(wp_h), _half_grid(gbuf.valid),
                 params.lpv_exposure * params.sun_exposure,
             )
-            d_h = depth[::2, ::2]
+            d_h = _half_grid(depth)
             if axis_name is not None:
                 irr = bilateral_upsample_2x(
                     coll.row_halo(irr_h, 1, axis_name, wrap=False),

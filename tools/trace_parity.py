@@ -37,7 +37,8 @@ def main():
     config = RenderConfig(
         render_width=rw, render_height=rh, output_width=w, output_height=h,
         tile_height=32, tile_width=128, max_tris_per_tile=4096,
-        alpha_masking=True, use_normal_maps=True, use_mr_textures=True,
+        alpha_masking=True, translucency=False,
+        use_normal_maps=True, use_mr_textures=True, use_emission=False,
         gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
         occlusion_culling=False, gbuffer_barrier=args.gbar,
     )
