@@ -155,3 +155,44 @@ def primitive_mask_to_triangle_mask(
     tri_valid: jnp.ndarray,  # (N,) bool
 ) -> jnp.ndarray:
     return tri_valid & prim_visible[tri_primitive]
+
+
+def frustum_cull_triangles(
+    corners: jnp.ndarray,  # (N, 3, 3) world-space baked corner table
+    view: jnp.ndarray,  # (4, 4)
+    frustum: jnp.ndarray,  # (4,) [fx.x, fx.z, fy.y, fy.z]
+    z_near,
+    tri_valid: jnp.ndarray,  # (N,) bool
+) -> jnp.ndarray:
+    """(N,) bool — per-triangle frustum test on the baked corner table.
+
+    Conservative separating-plane test: a triangle is culled only when all
+    three corners lie outside ONE frustum plane — such a triangle cannot cover
+    any pixel (screen coverage implies inside-x/y; the raster's z-in-(0,1]
+    test implies forward distance >= z_near). Replaces the per-triangle
+    primitive-mask gather (`prim_visible[tri_primitive]`): the 310k-row gather
+    costs ~2.9 ms/frame at bench scale while this dense test fuses into the
+    surrounding elementwise work, and it culls strictly FINER than the
+    primitive-sphere test — it only ever removes triangles that could never
+    shade a pixel, so the rasterized output is identical.
+    (hi_z_culling.comp:85-99 frustum semantics, refined to triangle grain.)"""
+    # Broadcast FMAs, never a (N,3)@(3,3) dot (tiny-K matmuls are catastrophic
+    # on this TPU — docs/ROADMAP.md cost model).
+    wx = corners[:, :, 0]
+    wy = corners[:, :, 1]
+    wz = corners[:, :, 2]
+    x = view[0, 0] * wx + view[0, 1] * wy + view[0, 2] * wz + view[0, 3]
+    y = view[1, 0] * wx + view[1, 1] * wy + view[1, 2] * wz + view[1, 3]
+    z = view[2, 0] * wx + view[2, 1] * wy + view[2, 2] * wz + view[2, 3]
+    lt = z * frustum[1] - x * frustum[0]  # > 0 = inside the left plane
+    rt = z * frustum[1] + x * frustum[0]
+    tp = z * frustum[3] - y * frustum[2]
+    bt = z * frustum[3] + y * frustum[2]
+    out = (
+        jnp.all(lt <= 0.0, axis=1)
+        | jnp.all(rt <= 0.0, axis=1)
+        | jnp.all(tp <= 0.0, axis=1)
+        | jnp.all(bt <= 0.0, axis=1)
+        | jnp.all(-z < z_near, axis=1)  # all corners nearer than the near plane
+    )
+    return tri_valid & ~out
