@@ -113,3 +113,21 @@ def test_r11g11b10_history_codec():
     a = np.asarray(_bilinear_sample(img, uv))
     b = np.asarray(_bilinear_sample_packed(img, uv))
     np.testing.assert_allclose(b, a, rtol=2.0 ** -5, atol=1e-3)
+
+
+def test_bloom_dense_matches_conv_oracle():
+    """The dense parity-grid downsample and shift+FMA tent must match the
+    grouped-conv formulation (SAME zero padding) to fp reassociation, at even
+    AND odd mip sizes (XLA SAME alignment flips with input parity)."""
+    rng = np.random.default_rng(3)
+    for h, w in [(64, 128), (23, 40), (17, 33), (12, 20)]:
+        img = jnp.asarray(rng.uniform(0, 4, (h, w, 3)), jnp.float32)
+        ref = np.asarray(bloom._depthwise_conv(img, bloom._DOWN_KERNEL, 2))
+        got = np.asarray(bloom.downsample_13tap(img))
+        assert ref.shape == got.shape
+        assert np.abs(ref - got).max() < 1e-5, (h, w)
+        reft = np.asarray(bloom._depthwise_conv(img, bloom._TENT_KERNEL, 1))
+        gott = np.asarray(
+            bloom.upsample_tent(img, h, w)
+        )  # resize to same size = identity path + tent
+        assert np.abs(reft - gott).max() < 1e-5, (h, w)
