@@ -191,6 +191,29 @@ def _setup_from_corner_clip(
     if double_sided is None:
         double_sided = jnp.ones((n,), dtype=bool)
 
+    # Orientation folding: a double-sided triangle FULLY in front of the
+    # camera has one fixed screen orientation — negate its plane rows when
+    # back-facing so its interior is the canonical all-D<=0 half-space test,
+    # and drop the double_sided flag (only camera-plane-crossing triangles
+    # keep it: their two coverage sheets genuinely need both sign tests).
+    # Every derived quantity is a RATIO of the flipped rows (barycentrics
+    # D_i/s, depth r/q, attribute planes / s-plane), and IEEE negation is
+    # exact, so the rendered output is bit-identical. What changes is the
+    # raster kernels' span math: sid<0 records fall back to full-bbox window
+    # spans (raster_bitmask.build_window_masks, raster_binned strips), so
+    # before this fold every foliage triangle (14% of the honest scene)
+    # emitted bbox-wide touches in the main/CSM/RSM rasters.
+    # The sign comes from the homogeneous determinant (same basis as the edge
+    # rows — consistent under fp even for slivers); det > 0 = back-facing in
+    # y-down pixel space (glTF CCW front faces have det < 0).
+    det = jnp.sum(v0 * e0, axis=-1)
+    flip = double_sided & all_front & (det > 0.0)
+    sgn = jnp.where(flip, -1.0, 1.0)[:, None]
+    edge = edge * sgn[:, :, None]
+    qc = qc * sgn
+    rc = rc * sgn
+    double_sided = double_sided & ~all_front
+
     return TriangleSetup(
         edge=edge.astype(jnp.float32),
         q=qc.astype(jnp.float32),
