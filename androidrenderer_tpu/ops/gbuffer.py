@@ -73,41 +73,21 @@ def pack_attribute_planes(scene: SceneArrays, setup: TriangleSetup) -> jnp.ndarr
     per-triangle gather. Channel A is the s-plane; per-triangle material constants
     follow so material parameter lookups need no separate gathers either.
     """
-    idx = scene.tri_indices
-    attrs = jnp.concatenate(
-        [
-            scene.uvs,
-            scene.normals,
-            scene.tangents,
-            scene.colors[:, :3],
-            scene.positions,
-            jnp.zeros((scene.positions.shape[0], 1), jnp.float32),
-        ],
-        axis=1,
-    )  # (V, A)
+    # Per-triangle attribute corners and material constants are BAKED at scene
+    # build (SceneArrays.tri_attr_corners / tri_consts, refreshed on dynamic
+    # updates): the 3 vertex-attr gathers + 5 material gathers this pack used
+    # to issue cost ~6 ms/frame at 310k tris; now it is pure FMAs. Values and
+    # summation order are identical to the gather formulation (bit-exact).
+    t = scene.tri_attr_corners  # (N, 3, A)
     planes = (
-        setup.edge[:, 0, :, None] * attrs[idx[:, 0]][:, None, :]
-        + setup.edge[:, 1, :, None] * attrs[idx[:, 1]][:, None, :]
-        + setup.edge[:, 2, :, None] * attrs[idx[:, 2]][:, None, :]
+        setup.edge[:, 0, :, None] * t[:, 0][:, None, :]
+        + setup.edge[:, 1, :, None] * t[:, 1][:, None, :]
+        + setup.edge[:, 2, :, None] * t[:, 2][:, None, :]
     )  # (N, 3, A)
     s_plane = jnp.sum(setup.edge, axis=1)  # (N, 3)
 
-    m = scene.tri_material
-    tex_ids = scene.mat_texture_ids[m]  # (N, 4)
-    packed_tex = (
-        (scene.tex_start[tex_ids] // START_ALIGN) * 16 + scene.tex_log2b[tex_ids]
-    )
-    consts = jnp.concatenate(
-        [
-            scene.mat_base_color[m][:, :3],
-            scene.mat_metal_rough[m],
-            scene.mat_emission[m],
-            packed_tex.astype(jnp.float32),
-        ],
-        axis=1,
-    )  # (N, 12)
     # Multiply by the s-plane so the per-pixel divide by s(p) cancels exactly.
-    const_planes = consts[:, None, :] * s_plane[:, :, None]
+    const_planes = scene.tri_consts[:, None, :] * s_plane[:, :, None]
     table = jnp.concatenate(
         [planes, s_plane[:, :, None], const_planes], axis=2
     )  # (N, 3, A+1+K)

@@ -124,6 +124,20 @@ def update_primitive_transforms(
         # Corner-table refresh: the per-frame raster setup is gather-free, so
         # the 3 gathers move here, paid only when transforms change.
         tri_corner_pos=positions[scene.tri_indices],
+        # Attribute-corner refresh (uv/color static; normal/tangent/position
+        # transform): same deal — pack_attribute_planes is gather-free per
+        # frame, the rebuild is paid here.
+        tri_attr_corners=jnp.concatenate(
+            [
+                scene.uvs,
+                normals,
+                tangents,
+                scene.colors[:, :3],
+                positions,
+                jnp.zeros((positions.shape[0], 1), jnp.float32),
+            ],
+            axis=1,
+        )[scene.tri_indices],
     )
 
 

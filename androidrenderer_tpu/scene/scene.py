@@ -45,6 +45,27 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _bake_tri_consts(tri_material, mat_params, tex_start, tex_log2b):
+    """(N, 12) per-triangle material constants in pack_attribute_planes'
+    channel order: base(3) metal(1) rough(1) emission(3) packed_tex(4)."""
+    from androidrenderer_tpu.scene.material_storage import START_ALIGN
+
+    m = np.asarray(tri_material)
+    tex_ids = np.asarray(mat_params["entry_ids"])[m]  # (N, 4)
+    packed = (
+        np.asarray(tex_start)[tex_ids] // START_ALIGN
+    ) * 16 + np.asarray(tex_log2b)[tex_ids]
+    return np.concatenate(
+        [
+            np.asarray(mat_params["base_color_factor"])[m][:, :3],
+            np.asarray(mat_params["metal_rough_factor"])[m],
+            np.asarray(mat_params["emission_factor"])[m],
+            packed.astype(np.float32),
+        ],
+        axis=1,
+    ).astype(np.float32)
+
+
 class SceneArrays(NamedTuple):
     """Device-resident scene — the TPU analog of the mesh/material/primitive buffers."""
 
@@ -72,6 +93,15 @@ class SceneArrays(NamedTuple):
     # runtime gathers (ops/raster/setup.py::triangle_setup_corners). Refreshed
     # on dynamic transform updates (scene/dynamic.py).
     tri_corner_pos: jnp.ndarray  # (N, 3, 3) f32
+    # Baked per-triangle ATTRIBUTE corners + material constants for the
+    # attribute-plane pack (gbuffer.pack_attribute_planes): the 3 vertex-attr
+    # gathers + 5 material-table gathers it issued per frame (~6 ms at 310k
+    # tris) collapse to pure FMAs. Channel layout matches gbuffer's ATTR order
+    # (uv 2, normal 3, tangent 4, color 3, position 3, pad 1) / const order
+    # (base 3, metal 1, rough 1, emission 3, packed_tex 4). Attr corners are
+    # refreshed on dynamic transform updates; consts are transform-invariant.
+    tri_attr_corners: jnp.ndarray  # (N, 3, 16) f32
+    tri_consts: jnp.ndarray  # (N, 12) f32
     # Primitive table (P = padded primitive count) for culling.
     prim_bounds: jnp.ndarray  # (P, 4) f32 world bounding sphere
     prim_tri_range: jnp.ndarray  # (P, 2) i32 [first_triangle, num_triangles]
@@ -381,6 +411,26 @@ class RenderScene:
             tri_corner_pos=jnp.asarray(
                 _pad_rows(positions, pv)[_pad_rows(tri_indices, pt)]
             ),
+            tri_attr_corners=jnp.asarray(
+                _pad_rows(
+                    np.concatenate(
+                        [
+                            np.concatenate(all_uv),
+                            np.concatenate(all_nrm),
+                            np.concatenate(all_tan),
+                            np.concatenate(all_col)[:, :3],
+                            positions,
+                            np.zeros((nv, 1), np.float32),
+                        ],
+                        axis=1,
+                    ).astype(np.float32),
+                    pv,
+                )[_pad_rows(tri_indices, pt)]
+            ),
+            tri_consts=jnp.asarray(_bake_tri_consts(
+                _pad_rows(np.concatenate(all_mat), pt),
+                mat_params, tex_start, tex_log2b,
+            )),
             prim_bounds=jnp.asarray(_pad_rows(np.stack(prim_bounds), pp)),
             prim_tri_range=jnp.asarray(_pad_rows(np.stack(prim_range), pp)),
             prim_valid=jnp.asarray(_pad_rows(np.ones(npr, dtype=bool), pp, fill=False)),
