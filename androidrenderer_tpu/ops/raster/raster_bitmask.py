@@ -96,6 +96,7 @@ def _bitmask_kernel(
     unroll: int,
     has_z_limit: bool,
     has_alpha_grid: bool,
+    debug_mode: int = 0,
 ):
     rest = list(rest)
     grid_ref = rest.pop(0) if has_alpha_grid else None
@@ -166,6 +167,17 @@ def _bitmask_kernel(
         def eval_touch(t):
             live = t < cnt
             k = jnp.where(live, list_ref[jnp.minimum(t, chunk - 1)], 0)
+            if debug_mode == 1:
+                # List-build + loop floor: consume the list entry, no eval.
+                return (
+                    jnp.full((win_h, WIN_W), 1e-30, jnp.float32) * k.astype(jnp.float32),
+                    chunk_base + k,
+                )
+            if debug_mode == 2:
+                # Single-plane eval: z FMA + unconditional coverage (measures
+                # the coverage/edge logic's share vs debug 0).
+                z = rd(k, 12) * gx + rd(k, 13) * gy + rd(k, 14)
+                return jnp.where(jnp.full((win_h, WIN_W), live), z, 0.0), chunk_base + k
             a0 = rd(k, 0)
             b0 = rd(k, 1)
             c0 = rd(k, 2)
@@ -441,6 +453,7 @@ def rasterize_bitmask(
     unroll: int = 4,
     z_limit: jnp.ndarray | None = None,
     alpha_grid: jnp.ndarray | None = None,
+    debug_mode: int = 0,  # profiling only: 1 = skip eval, 2 = z-plane only
 ):
     """(depth (H, W) f32, vis (H, W) i32) — same contract as rasterize_binned;
     output is bit-identical to it (same eval formulas, same per-window touch
@@ -496,6 +509,7 @@ def rasterize_bitmask(
         unroll=unroll,
         has_z_limit=z_limit is not None,
         has_alpha_grid=alpha_grid is not None,
+        debug_mode=debug_mode,
     )
 
     out_shape = [jax.ShapeDtypeStruct((hp, width), jnp.float32)]

@@ -133,9 +133,10 @@ def main():
             wh = int(parts[0]) if parts[0] else 32
             kb = int(parts[1]) if len(parts) > 1 else 8
             ur = int(parts[2]) if len(parts) > 2 else 4
+            dm = int(parts[3][1:]) if len(parts) > 3 else 0
             kernels[name] = (
-                lambda su, wh=wh, kb=kb, ur=ur: rasterize_bitmask(
-                    su, h, w, win_h=wh, kb=kb, unroll=ur,
+                lambda su, wh=wh, kb=kb, ur=ur, dm=dm: rasterize_bitmask(
+                    su, h, w, win_h=wh, kb=kb, unroll=ur, debug_mode=dm,
                     num_slabs=auto_slabs_binned(h, w, depth_only=depth_only, win_h=wh),
                     depth_only=depth_only, affine_z=affine,
                 )
