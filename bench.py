@@ -52,6 +52,18 @@ def _probe_backend(timeout_s: float = 180.0) -> bool:
 def main() -> int:
     if not _probe_backend():
         return 1
+    import jax
+
+    # Persistent compilation cache: compile times on this backend are NOISY
+    # (identical configs measured 70-220 s across runs; a SMALLER program once
+    # took 390 s — remote-compile contention, not program size). Caching makes
+    # driver re-runs of an unchanged bench near-instant; if the backend cannot
+    # serialize executables this silently no-ops.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass
     from androidrenderer_tpu.camera import Camera
     from androidrenderer_tpu.config import (
         AAMode, AOMode, GIMode, RenderConfig, RenderParams,
