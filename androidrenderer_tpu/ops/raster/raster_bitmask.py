@@ -85,6 +85,7 @@ def _bitmask_kernel(
     words_ref,  # (1, 1, NWIN*32) i32 SMEM — per-window triangle bitmask words
     ww_ref,  # (1, 1, NWIN) i32 SMEM — per-window nonzero-word bitmask
     cnt_ref,  # (1, 1, NWIN) i32 SMEM — per-window exact touch count
+    dw_ref,  # (1, 1, ceil(NWIN/32)) i32 SMEM — dirty-window bitmask
     *rest,  # [grid_ref,] [zlim_ref,] depth_ref, [vis_ref,] list_scratch, dirty
     slab_h: int,
     width: int,
@@ -240,15 +241,25 @@ def _bitmask_kernel(
 
         return jax.lax.fori_loop(0, pl.cdiv(cnt, unroll), block, (zacc, vacc))
 
-    # Dirty-window list from the XLA-precomputed counts (nwin scalar reads,
-    # ~free — same structure as raster_binned.drain_all): only touched windows
-    # pay accumulator load/store traffic; a chunk that touches nothing costs
-    # just this scan.
-    def scanw(w, nd):
-        dirty_ref[nd] = w
-        return nd + (cnt_ref[0, 0, w] > 0).astype(jnp.int32)
+    # Dirty-window list from the XLA-precomputed dirty BITMASK: ctz-walk the
+    # set bits (~10 cyc per dirty window + one load per word) instead of a
+    # fori over all nwin windows — the full scan (nwin x chunks x slabs x
+    # ~5 cyc) measured as the floor of the depth-only cascade rasters.
+    nw_words = -(-nwin // 32)
 
-    nd = jax.lax.fori_loop(0, nwin, scanw, 0)
+    def scan_word(wj, nd):
+        def inner(st):
+            bits, nd2 = st
+            b = _ctz32(bits)
+            dirty_ref[nd2] = wj * 32 + b
+            return (bits & (bits - 1), nd2 + 1)
+
+        _, nd = jax.lax.while_loop(
+            lambda st: st[0] != 0, inner, (dw_ref[0, 0, wj], nd)
+        )
+        return nd
+
+    nd = jax.lax.fori_loop(0, nw_words, scan_word, 0)
 
     def batch(bi, _):
         base = bi * kb
@@ -426,6 +437,28 @@ def build_window_masks(
     pc = jax.lax.population_count(words.astype(jnp.uint32)).astype(jnp.int32)
     cnt = jnp.sum(pc.reshape(nrows, ncols, num_chunks, wpc), axis=-1)
 
+    # Dirty-window bitmask per (slab, chunk): bit w of word w//32 = window w
+    # has touches. The kernel's dirty-list build ctz-walks these words
+    # (~10 cyc per DIRTY window) instead of a fori over ALL nwin windows
+    # (~5 cyc x nwin x chunks x slabs — measured as the CSM kernels' floor:
+    # eval was only 0.7 of 12.3 ms standalone; the scan dominated).
+    nwin = rows_per_slab * ncols
+    nw_words = -(-nwin // 32)
+    d = (cnt > 0).astype(jnp.int32).reshape(
+        num_slabs, rows_per_slab, ncols, num_chunks
+    )
+    d = jnp.transpose(d, (0, 3, 1, 2)).reshape(num_slabs * num_chunks, nwin)
+    if nwin % 32:
+        d = jnp.pad(d, ((0, 0), (0, nw_words * 32 - nwin)))
+    d = d.reshape(num_slabs * num_chunks, nw_words, 32)
+    stride = 1
+    width_now = 32
+    while width_now > 1:
+        d = d[..., 0::2] | (d[..., 1::2] << stride)
+        stride *= 2
+        width_now //= 2
+    dw = d[..., 0].reshape(num_slabs * num_chunks, 1, nw_words)
+
     # Kernel block layout: (S*C, 1, nwin*per_win) with slab-major chunk indexing.
     def to_blocks(x, per_win):
         x = x.reshape(num_slabs, rows_per_slab, ncols, num_chunks, per_win)
@@ -436,6 +469,7 @@ def build_window_masks(
         to_blocks(words.reshape(nrows, ncols, num_chunks, wpc), wpc),
         to_blocks(ww[..., None], 1),
         to_blocks(cnt[..., None], 1),
+        dw,
     )
 
 
@@ -486,7 +520,7 @@ def rasterize_bitmask(
     num_chunks = -(-n // chunk)
     pad = num_chunks * chunk - n
 
-    words, ww, cnt = build_window_masks(
+    words, ww, cnt, dw = build_window_masks(
         records, live, hp, width, win_h, num_slabs, chunk
     )
 
@@ -543,8 +577,13 @@ def rasterize_bitmask(
             lambda s, c, *_: (s * num_chunks + c, 0, 0),
             memory_space=pltpu.SMEM,
         ),
+        pl.BlockSpec(
+            (1, 1, -(-nwin // 32)),
+            lambda s, c, *_: (s * num_chunks + c, 0, 0),
+            memory_space=pltpu.SMEM,
+        ),
     ]
-    inputs = [records, words, ww, cnt]
+    inputs = [records, words, ww, cnt, dw]
     if alpha_grid is not None:
         ag = alpha_grid.astype(jnp.int32)
         if pad:

@@ -482,7 +482,7 @@ def rasterize_lanes(
     num_chunks = -(-n // chunk)
     pad = num_chunks * chunk - n
 
-    words, ww, cnt = build_window_masks(
+    words, ww, cnt, _dw = build_window_masks(
         brecords, live, hp, width, WIN_H, num_slabs, chunk
     )
 
