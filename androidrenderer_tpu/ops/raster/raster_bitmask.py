@@ -80,7 +80,7 @@ def _ctz32(x):
 
 
 def _bitmask_kernel(
-    count_ref,  # (1,) i32 scalar prefetch (ABI parity; unused)
+    pref_ref,  # (S + S*C,) i32 scalar prefetch: [live chunks per slab, perm]
     recs_ref,  # (1, 1, CHUNK*24) f32 SMEM, flat records
     words_ref,  # (1, 1, NWIN*32) i32 SMEM — per-window triangle bitmask words
     ww_ref,  # (1, 1, NWIN) i32 SMEM — per-window nonzero-word bitmask
@@ -97,6 +97,8 @@ def _bitmask_kernel(
     unroll: int,
     has_z_limit: bool,
     has_alpha_grid: bool,
+    num_slabs: int,
+    num_chunks: int,
     debug_mode: int = 0,
 ):
     rest = list(rest)
@@ -106,6 +108,7 @@ def _bitmask_kernel(
     vis_ref = None if depth_only else rest.pop(0)
     list_a, list_b, dirty_ref = rest
 
+    s = pl.program_id(0)
     c = pl.program_id(1)
     ncols = width // WIN_W
     rows_per_slab = slab_h // win_h
@@ -118,7 +121,17 @@ def _bitmask_kernel(
         if not depth_only:
             vis_ref[:, :] = jnp.full((slab_h, width), -1, jnp.int32)
 
-    chunk_base = c * chunk
+    # Dead-chunk skipping: grid step c processes the c-th LIVE chunk of this
+    # slab (live-first stable permutation, computed XLA-side from the dirty
+    # bitmask); steps past the live count map to the last live block (no new
+    # DMA — Mosaic elides copies when the block index repeats) and fall
+    # through. Per-cascade frustum culling makes most chunks dead in the near
+    # shadow cascades, where per-chunk fixed costs were the measured floor.
+    nl = pref_ref[s]
+    cp = pref_ref[
+        num_slabs + s * num_chunks + jnp.minimum(c, jnp.maximum(nl - 1, 0))
+    ]
+    chunk_base = cp * chunk
 
     rowf = jax.lax.broadcasted_iota(jnp.int32, (win_h, WIN_W), 0).astype(jnp.float32)
     colf = jax.lax.broadcasted_iota(jnp.int32, (win_h, WIN_W), 1).astype(jnp.float32)
@@ -254,9 +267,10 @@ def _bitmask_kernel(
             dirty_ref[nd2] = wj * 32 + b
             return (bits & (bits - 1), nd2 + 1)
 
-        _, nd = jax.lax.while_loop(
-            lambda st: st[0] != 0, inner, (dw_ref[0, 0, wj], nd)
-        )
+        # Dead grid steps (c >= nl) zero the word at the source: the while
+        # exits immediately, nd stays 0, the batch loop never runs.
+        bits0 = jnp.where(c < nl, dw_ref[0, 0, wj], 0)
+        _, nd = jax.lax.while_loop(lambda st: st[0] != 0, inner, (bits0, nd))
         return nd
 
     nd = jax.lax.fori_loop(0, nw_words, scan_word, 0)
@@ -516,13 +530,36 @@ def rasterize_bitmask(
     records = records.at[:, 23].set(wpack.astype(jnp.float32))
 
     n = records.shape[0]
-    count = jnp.int32(n)
     num_chunks = -(-n // chunk)
     pad = num_chunks * chunk - n
 
     words, ww, cnt, dw = build_window_masks(
         records, live, hp, width, win_h, num_slabs, chunk
     )
+
+    # Live-first chunk permutation per slab (scalar prefetch): grid step c
+    # processes perm[s, c]; steps past nl[s] repeat the last live block (the
+    # copy is elided) and skip. Stable ascending order among live chunks
+    # preserves per-window touch order -> output stays bit-identical.
+    live_sc = jnp.any(
+        dw.reshape(num_slabs, num_chunks, -1) != 0, axis=-1
+    )  # (S, C)
+    liv = live_sc.astype(jnp.int32)
+    nl = jnp.sum(liv, axis=1)
+    pos = jnp.cumsum(liv, axis=1) - 1
+    slot = jnp.where(live_sc, pos, num_chunks - 1)
+    perm = (
+        jnp.zeros((num_slabs, num_chunks), jnp.int32)
+        .at[jnp.arange(num_slabs)[:, None], slot]
+        .set(
+            jnp.broadcast_to(
+                jnp.arange(num_chunks, dtype=jnp.int32)[None],
+                (num_slabs, num_chunks),
+            ),
+            mode="drop",
+        )
+    )
+    prefetch = jnp.concatenate([nl.astype(jnp.int32), perm.reshape(-1)])
 
     if pad:
         records = jnp.pad(records, ((0, pad), (0, 0)))
@@ -543,8 +580,19 @@ def rasterize_bitmask(
         unroll=unroll,
         has_z_limit=z_limit is not None,
         has_alpha_grid=alpha_grid is not None,
+        num_slabs=num_slabs,
+        num_chunks=num_chunks,
         debug_mode=debug_mode,
     )
+
+    def _cp(s, c, pref):
+        nl_s = pref[s]
+        return pref[
+            num_slabs + s * num_chunks + jnp.minimum(c, jnp.maximum(nl_s - 1, 0))
+        ]
+
+    chunk_block = lambda s, c, pref: (_cp(s, c, pref), 0, 0)
+    slabchunk_block = lambda s, c, pref: (s * num_chunks + _cp(s, c, pref), 0, 0)
 
     out_shape = [jax.ShapeDtypeStruct((hp, width), jnp.float32)]
     out_specs = [
@@ -560,27 +608,15 @@ def rasterize_bitmask(
 
     in_specs = [
         pl.BlockSpec(
-            (1, 1, chunk * REC), lambda s, c, *_: (c, 0, 0), memory_space=pltpu.SMEM
+            (1, 1, chunk * REC), chunk_block, memory_space=pltpu.SMEM
         ),
         pl.BlockSpec(
-            (1, 1, nwin * (chunk // 32)),
-            lambda s, c, *_: (s * num_chunks + c, 0, 0),
-            memory_space=pltpu.SMEM,
+            (1, 1, nwin * (chunk // 32)), slabchunk_block, memory_space=pltpu.SMEM
         ),
+        pl.BlockSpec((1, 1, nwin), slabchunk_block, memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, nwin), slabchunk_block, memory_space=pltpu.SMEM),
         pl.BlockSpec(
-            (1, 1, nwin),
-            lambda s, c, *_: (s * num_chunks + c, 0, 0),
-            memory_space=pltpu.SMEM,
-        ),
-        pl.BlockSpec(
-            (1, 1, nwin),
-            lambda s, c, *_: (s * num_chunks + c, 0, 0),
-            memory_space=pltpu.SMEM,
-        ),
-        pl.BlockSpec(
-            (1, 1, -(-nwin // 32)),
-            lambda s, c, *_: (s * num_chunks + c, 0, 0),
-            memory_space=pltpu.SMEM,
+            (1, 1, -(-nwin // 32)), slabchunk_block, memory_space=pltpu.SMEM
         ),
     ]
     inputs = [records, words, ww, cnt, dw]
@@ -589,10 +625,7 @@ def rasterize_bitmask(
         if pad:
             ag = jnp.pad(ag, ((0, pad), (0, 0)))
         in_specs.append(
-            pl.BlockSpec(
-                (1, 1, chunk * 8), lambda s, c, *_: (c, 0, 0),
-                memory_space=pltpu.SMEM,
-            )
+            pl.BlockSpec((1, 1, chunk * 8), chunk_block, memory_space=pltpu.SMEM)
         )
         inputs.append(ag.reshape(num_chunks, 1, chunk * 8))
     if z_limit is not None:
@@ -623,7 +656,7 @@ def rasterize_bitmask(
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(count[None], *inputs)
+    )(prefetch, *inputs)
     if depth_only:
         return result[0][:height]
     return result[0][:height], result[1][:height]
