@@ -99,6 +99,7 @@ def _bitmask_kernel(
     has_alpha_grid: bool,
     num_slabs: int,
     num_chunks: int,
+    rec_w: int = REC,
     debug_mode: int = 0,
 ):
     rest = list(rest)
@@ -138,7 +139,12 @@ def _bitmask_kernel(
     slab_y0 = (pl.program_id(0) * slab_h).astype(jnp.float32)
 
     def rd(k, i):
-        return recs_ref[0, 0, k * REC + i]
+        return recs_ref[0, 0, k * rec_w + i]
+
+    # Slim depth-only records (rec_w=16) remap z -> 9:12 and sid -> 12; the
+    # full layout keeps pack_fused_records' slots.
+    z_at = 9 if rec_w == 16 else 12
+    sid_at = 12 if rec_w == 16 else 18
 
     def build_list(w, list_ref):
         """Scalar ctz scan: ww -> nonzero words -> set bits -> list entries.
@@ -190,7 +196,7 @@ def _bitmask_kernel(
             if debug_mode == 2:
                 # Single-plane eval: z FMA + unconditional coverage (measures
                 # the coverage/edge logic's share vs debug 0).
-                z = rd(k, 12) * gx + rd(k, 13) * gy + rd(k, 14)
+                z = rd(k, z_at) * gx + rd(k, z_at + 1) * gy + rd(k, z_at + 2)
                 return jnp.where(jnp.full((win_h, WIN_W), live), z, 0.0), chunk_base + k
             a0 = rd(k, 0)
             b0 = rd(k, 1)
@@ -201,7 +207,7 @@ def _bitmask_kernel(
             a2 = rd(k, 6)
             b2 = rd(k, 7)
             c2 = rd(k, 8)
-            sid = jnp.where(live, rd(k, 18), 0.0)
+            sid = jnp.where(live, rd(k, sid_at), 0.0)
             d0 = a0 * gx + b0 * gy + c0
             d1 = a1 * gx + b1 * gy + c1
             d2 = a2 * gx + b2 * gy + c2
@@ -209,7 +215,7 @@ def _bitmask_kernel(
             dmin = jnp.minimum(jnp.minimum(d0, d1), d2)
             cov = ((dmax <= 0.0) & (sid != 0.0)) | ((dmin >= 0.0) & (sid < 0.0))
             if affine_z:
-                z = rd(k, 12) * gx + rd(k, 13) * gy + rd(k, 14)
+                z = rd(k, z_at) * gx + rd(k, z_at + 1) * gy + rd(k, z_at + 2)
             else:
                 qv = rd(k, 12) * gx + rd(k, 13) * gy + rd(k, 14)
                 z = (rd(k, 15) * gx + rd(k, 16) * gy + rd(k, 17)) / qv
@@ -561,9 +567,26 @@ def rasterize_bitmask(
     )
     prefetch = jnp.concatenate([nl.astype(jnp.int32), perm.reshape(-1)])
 
+    # Slim depth-only records: the ortho depth kernel reads only the edge
+    # planes, the affine z plane, and sid — 13 of 24 slots. A 16-wide copy
+    # cuts the per-chunk SMEM fill (the cascade kernels' measured floor) by a
+    # third; build_window_masks keeps consuming the full records.
+    if depth_only and affine_z and debug_mode == 0:
+        krecs = jnp.concatenate(
+            [
+                records[:, 0:9],
+                records[:, 12:15],
+                records[:, 18:19],
+                jnp.zeros((n, 3), jnp.float32),
+            ],
+            axis=1,
+        )
+    else:
+        krecs = records
+    rec_w = krecs.shape[1]
     if pad:
-        records = jnp.pad(records, ((0, pad), (0, 0)))
-    records = records.reshape(num_chunks, 1, chunk * REC)
+        krecs = jnp.pad(krecs, ((0, pad), (0, 0)))
+    krecs = krecs.reshape(num_chunks, 1, chunk * rec_w)
 
     ncols = width // WIN_W
     nwin = (slab_h // win_h) * ncols
@@ -582,6 +605,7 @@ def rasterize_bitmask(
         has_alpha_grid=alpha_grid is not None,
         num_slabs=num_slabs,
         num_chunks=num_chunks,
+        rec_w=rec_w,
         debug_mode=debug_mode,
     )
 
@@ -608,7 +632,7 @@ def rasterize_bitmask(
 
     in_specs = [
         pl.BlockSpec(
-            (1, 1, chunk * REC), chunk_block, memory_space=pltpu.SMEM
+            (1, 1, chunk * rec_w), chunk_block, memory_space=pltpu.SMEM
         ),
         pl.BlockSpec(
             (1, 1, nwin * (chunk // 32)), slabchunk_block, memory_space=pltpu.SMEM
@@ -619,7 +643,7 @@ def rasterize_bitmask(
             (1, 1, -(-nwin // 32)), slabchunk_block, memory_space=pltpu.SMEM
         ),
     ]
-    inputs = [records, words, ww, cnt, dw]
+    inputs = [krecs, words, ww, cnt, dw]
     if alpha_grid is not None:
         ag = alpha_grid.astype(jnp.int32)
         if pad:
