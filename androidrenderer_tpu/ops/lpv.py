@@ -428,26 +428,34 @@ def propagate(
         n = jnp.roll(a, flat_shift[d_idx], axis=z_axis + 1)
         return jnp.where(masks[d_idx], 0.0, n)
 
+    # GV occlusion per direction is LOOP-INVARIANT (the geometry volume does
+    # not change during propagation) — precompute all 6 outside the while
+    # body; XLA does not reliably hoist it out itself (measured as in-loop
+    # shift/einsum ops in the parity trace).
+    occ_by_dir = []
+    for d_idx in range(6):
+        if occlusion:
+            ngv = shifted(gv_f, d_idx, z_axis=2)
+            # Surfels block flux crossing them from EITHER side (a wall is a
+            # wall): evaluate the stored lobe toward both orientations and
+            # take the stronger. A single-signed evaluation lets flux pass
+            # free through back-facing surfels (dot < 0 clips to 0).
+            e_neg = sh.sh_evaluate(-_DIRS[d_idx])  # (4,)
+            e_pos = sh.sh_evaluate(_DIRS[d_idx])
+            amp = jnp.maximum(
+                jnp.einsum("k,ckzf->czf", e_neg, ngv),
+                jnp.einsum("k,ckzf->czf", e_pos, ngv),
+            )
+            occ = 1.0 - jnp.clip(amp, 0.0, 1.0)
+            occ_by_dir.append(occ[:, None, None])  # (C,1,1,R,R*R)
+        else:
+            occ_by_dir.append(1.0)
+
     def step(delta):
         out = jnp.zeros_like(delta)
         for d_idx in range(6):
             neighbor = shifted(delta, d_idx, z_axis=3)
-            if occlusion:
-                ngv = shifted(gv_f, d_idx, z_axis=2)
-                # Surfels block flux crossing them from EITHER side (a wall is a
-                # wall): evaluate the stored lobe toward both orientations and
-                # take the stronger. A single-signed evaluation lets flux pass
-                # free through back-facing surfels (dot < 0 clips to 0).
-                e_neg = sh.sh_evaluate(-_DIRS[d_idx])  # (4,)
-                e_pos = sh.sh_evaluate(_DIRS[d_idx])
-                amp = jnp.maximum(
-                    jnp.einsum("k,ckzf->czf", e_neg, ngv),
-                    jnp.einsum("k,ckzf->czf", e_pos, ngv),
-                )
-                occ = 1.0 - jnp.clip(amp, 0.0, 1.0)
-                occ = occ[:, None, None]  # (C,1,1,R,R*R)
-            else:
-                occ = 1.0
+            occ = occ_by_dir[d_idx]
             for eval_sh, lobe_sh, sa in face_terms[d_idx]:
                 flux = jnp.maximum(
                     jnp.einsum("k,cgkzf->cgzf", eval_sh, neighbor), 0.0
