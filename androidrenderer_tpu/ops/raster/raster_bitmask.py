@@ -103,6 +103,7 @@ def _bitmask_kernel(
     debug_mode: int = 0,
 ):
     rest = list(rest)
+    cntmk_ref = rest.pop(0) if has_alpha_grid else None
     grid_ref = rest.pop(0) if has_alpha_grid else None
     zlim_ref = rest.pop(0) if has_z_limit else None
     depth_ref = rest.pop(0)
@@ -154,39 +155,64 @@ def _bitmask_kernel(
         Scalar carries only — Mosaic keeps them in registers. The list scratch
         is double-buffered across the kb batch (list_a/list_b by window parity)
         so window j+1's scalar build has no dependency on window j's vector
-        fold and the two units can overlap."""
+        fold and the two units can overlap.
+
+        With an alpha grid the list is TWO-ENDED: opaque touches fill from 0
+        up, alpha-masked touches (record slot 19, set XLA-side) from chunk-1
+        down — the fold then runs the expensive bitmap-tested eval only over
+        the masked segment instead of taxing every touch (~85% of the bench
+        scene's touches are opaque)."""
 
         def outer(state):
-            www, n = state
+            www, n_op, n_mk = state
             j = _ctz32(www)
             word0 = words_ref[0, 0, w * wpc + j]
 
             def inner(st):
-                bits, n2 = st
+                bits, o, m = st
                 b = _ctz32(bits)
-                list_ref[n2] = j * 32 + b
-                return (bits & (bits - 1), n2 + 1)
+                k = j * 32 + b
+                if has_alpha_grid:
+                    mf = recs_ref[0, 0, k * rec_w + 19] != 0.0
+                    list_ref[jnp.where(mf, chunk - 1 - m, o)] = k
+                    return (
+                        bits & (bits - 1),
+                        o + jnp.where(mf, 0, 1),
+                        m + jnp.where(mf, 1, 0),
+                    )
+                list_ref[o] = k
+                return (bits & (bits - 1), o + 1, m)
 
             def inner_cond(st):
                 return st[0] != 0
 
-            _, n = jax.lax.while_loop(inner_cond, inner, (word0, n))
-            return (www & (www - 1), n)
+            _, n_op, n_mk = jax.lax.while_loop(
+                inner_cond, inner, (word0, n_op, n_mk)
+            )
+            return (www & (www - 1), n_op, n_mk)
 
         def outer_cond(state):
             return state[0] != 0
 
-        jax.lax.while_loop(outer_cond, outer, (ww_ref[0, 0, w], 0))
+        jax.lax.while_loop(outer_cond, outer, (ww_ref[0, 0, w], 0, 0))
 
-    def fold_list(row, col, cnt, zacc, vacc, list_ref, zlim=None):
+    def fold_list(
+        row, col, cnt, zacc, vacc, list_ref, zlim=None,
+        with_alpha=False, reverse=False,
+    ):
         """Register fold of the window's listed touches (raster_binned's
-        fold_touches with k read from the list scratch)."""
+        fold_touches with k read from the list scratch). ``reverse`` walks the
+        masked segment (chunk-1 downward); the combine is lexicographic
+        (z, id) max, so segment order cannot change the result."""
         gx = colf + (col * WIN_W).astype(jnp.float32)
         gy = rowf + (row * win_h).astype(jnp.float32) + slab_y0
 
         def eval_touch(t):
             live = t < cnt
-            k = jnp.where(live, list_ref[jnp.minimum(t, chunk - 1)], 0)
+            if reverse:
+                k = jnp.where(live, list_ref[jnp.maximum(chunk - 1 - t, 0)], 0)
+            else:
+                k = jnp.where(live, list_ref[jnp.minimum(t, chunk - 1)], 0)
             if debug_mode == 1:
                 # List-build + loop floor: consume the list entry, no eval.
                 return (
@@ -220,7 +246,7 @@ def _bitmask_kernel(
                 qv = rd(k, 12) * gx + rd(k, 13) * gy + rd(k, 14)
                 z = (rd(k, 15) * gx + rd(k, 16) * gy + rd(k, 17)) / qv
             cov = cov & (z > 0.0) & (z <= 1.0)
-            if has_alpha_grid:
+            if has_alpha_grid and with_alpha:
                 sv = d0 + d1 + d2
                 inv_sv = 1.0 / jnp.where(sv == 0.0, 1.0, sv)
                 ui = jnp.clip((d1 * inv_sv * 16.0), 0.0, 15.0).astype(jnp.int32)
@@ -239,9 +265,13 @@ def _bitmask_kernel(
         def comb(a, b):
             za, va = a
             zb, vb = b
-            take = zb >= za
             if depth_only:
                 return (jnp.maximum(za, zb), va)
+            # Lexicographic (z, id) max: with ascending ids this equals the
+            # previous later-wins combine bit-for-bit, and it makes the fold
+            # ORDER-INDEPENDENT — required for the opaque/masked segment
+            # split, which interleaves ids across the two passes.
+            take = (zb > za) | ((zb == za) & (vb > va))
             return (jnp.where(take, zb, za), jnp.where(take, vb, va))
 
         def block(i, carry):
@@ -255,7 +285,7 @@ def _bitmask_kernel(
             zb, vb = evals[0]
             if depth_only:
                 return (jnp.maximum(zacc, zb), vacc)
-            upd = (zb >= zacc) & (zb > 0.0)
+            upd = ((zb > zacc) | ((zb == zacc) & (vb > vacc))) & (zb > 0.0)
             return (jnp.where(upd, zb, zacc), jnp.where(upd, vb, vacc))
 
         return jax.lax.fori_loop(0, pl.cdiv(cnt, unroll), block, (zacc, vacc))
@@ -311,7 +341,22 @@ def _bitmask_kernel(
                 build_list(wv, list_ref)
 
             cntw = jnp.where(live, cnt_ref[0, 0, wv], 0)
-            zacc, vacc = fold_list(row, col, cntw, zacc, vacc, list_ref, zlim)
+            if has_alpha_grid:
+                # Opaque segment (cheap eval) then masked segment (bitmap
+                # eval) — counts are XLA-precomputed per window.
+                cmk = jnp.where(live, cntmk_ref[0, 0, wv], 0)
+                zacc, vacc = fold_list(
+                    row, col, cntw - cmk, zacc, vacc, list_ref, zlim,
+                    with_alpha=False,
+                )
+                zacc, vacc = fold_list(
+                    row, col, cmk, zacc, vacc, list_ref, zlim,
+                    with_alpha=True, reverse=True,
+                )
+            else:
+                zacc, vacc = fold_list(
+                    row, col, cntw, zacc, vacc, list_ref, zlim
+                )
             results.append((live, y, x, zacc, vacc))
         for j in range(kb):
             live, y, x, zacc, vacc = results[j]
@@ -567,11 +612,38 @@ def rasterize_bitmask(
     )
     prefetch = jnp.concatenate([nl.astype(jnp.int32), perm.reshape(-1)])
 
+    cnt_mk = None
+    if alpha_grid is not None:
+        # Opaque/masked touch-list split: flag masked triangles in record
+        # slot 19 (bbox — already consumed by build_window_masks above) and
+        # precompute per-window MASKED touch counts (popcount of the window
+        # words AND the masked-triangle bitmask) in the same block layout as
+        # cnt. tri_alpha_grid is all-ones (-1 words) for non-masked triangles.
+        masked_tri = jnp.any(alpha_grid.astype(jnp.int32) != -1, axis=1) & live
+        records = records.at[:, 19].set(jnp.where(masked_tri, 1.0, 0.0))
+        mt = masked_tri.astype(jnp.int32)
+        if pad:
+            mt = jnp.pad(mt, (0, pad))
+        mt = mt.reshape(num_chunks, chunk // 32, 32)
+        stride = 1
+        width_now = 32
+        while width_now > 1:
+            mt = mt[..., 0::2] | (mt[..., 1::2] << stride)
+            stride *= 2
+            width_now //= 2
+        mbits = mt[..., 0].astype(jnp.uint32)  # (C, wpc)
+        nwin_ = words.shape[-1] // (chunk // 32)
+        wblk = words.reshape(num_slabs, num_chunks, nwin_, chunk // 32)
+        mk = jax.lax.population_count(
+            wblk.astype(jnp.uint32) & mbits[None, :, None, :]
+        ).astype(jnp.int32)
+        cnt_mk = jnp.sum(mk, axis=-1).reshape(num_slabs * num_chunks, 1, nwin_)
+
     # Slim depth-only records: the ortho depth kernel reads only the edge
     # planes, the affine z plane, and sid — 13 of 24 slots. A 16-wide copy
     # cuts the per-chunk SMEM fill (the cascade kernels' measured floor) by a
     # third; build_window_masks keeps consuming the full records.
-    if depth_only and affine_z and debug_mode == 0:
+    if depth_only and affine_z and alpha_grid is None and debug_mode == 0:
         krecs = jnp.concatenate(
             [
                 records[:, 0:9],
@@ -645,6 +717,10 @@ def rasterize_bitmask(
     ]
     inputs = [krecs, words, ww, cnt, dw]
     if alpha_grid is not None:
+        in_specs.append(
+            pl.BlockSpec((1, 1, nwin), slabchunk_block, memory_space=pltpu.SMEM)
+        )
+        inputs.append(cnt_mk)
         ag = alpha_grid.astype(jnp.int32)
         if pad:
             ag = jnp.pad(ag, ((0, pad), (0, 0)))
