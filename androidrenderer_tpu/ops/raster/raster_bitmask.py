@@ -309,7 +309,15 @@ def _bitmask_kernel(
         _, nd = jax.lax.while_loop(lambda st: st[0] != 0, inner, (bits0, nd))
         return nd
 
+    if debug_mode == 4:
+        # DMA floor: block fetches happen regardless of use; no scan, no work.
+        return
     nd = jax.lax.fori_loop(0, nw_words, scan_word, 0)
+    if debug_mode == 3:
+        # DMA + dirty-scan floor: consume nd so the scan survives (SMEM
+        # scalar store — VMEM refs reject scalar writes).
+        list_a[0] = nd
+        return
 
     def batch(bi, _):
         base = bi * kb
@@ -490,17 +498,28 @@ def build_window_masks(
         words = jnp.transpose(x[..., :ncols], (0, 2, 1)).astype(jnp.int32)
 
     # ww: bitmask of nonzero words per (window, chunk); cnt: exact touches.
-    wz = (words != 0).astype(jnp.int32).reshape(nrows, ncols, num_chunks, wpc)
-    stride = 1
-    t = wz
-    width_now = wpc
-    while width_now > 1:
-        t = t[..., 0::2] | (t[..., 1::2] << stride)
-        stride *= 2
-        width_now //= 2
-    ww = t[..., 0]  # (R, ncols, C)
-    pc = jax.lax.population_count(words.astype(jnp.uint32)).astype(jnp.int32)
-    cnt = jnp.sum(pc.reshape(nrows, ncols, num_chunks, wpc), axis=-1)
+    # Both REDUCE over wpc before any transpose: the old formulation reshaped
+    # the transposed `words` to (R, ncols, C, wpc) — a layout-changing copy
+    # (~1 ms per raster instance at 310k tris in the parity trace) — and ran a
+    # 5-level OR-tree on it. Reducing on the pre-transpose layout (row-major
+    # split of the nwords axis is free) leaves only a tiny (R, C, ncols)
+    # transpose. ww as a weighted sum (bit j = word j nonzero) and cnt as a
+    # popcount sum are single fused reduce passes.
+    if ncols <= 2:
+        wz = (words != 0).astype(jnp.int32).reshape(nrows, ncols, num_chunks, wpc)
+        weights = (1 << jnp.arange(wpc, dtype=jnp.int32))
+        ww = jnp.sum(wz * weights, axis=-1)  # (R, ncols, C)
+        pc = jax.lax.population_count(words.astype(jnp.uint32)).astype(jnp.int32)
+        cnt = jnp.sum(pc.reshape(nrows, ncols, num_chunks, wpc), axis=-1)
+    else:
+        xs = x[..., :ncols].reshape(nrows, num_chunks, wpc, ncols)  # layout-free
+        weights = (1 << jnp.arange(wpc, dtype=jnp.int32))[None, None, :, None]
+        ww_t = jnp.sum((xs != 0).astype(jnp.int32) * weights, axis=2)  # (R, C, ncols)
+        cnt_t = jnp.sum(
+            jax.lax.population_count(xs).astype(jnp.int32), axis=2
+        )  # (R, C, ncols)
+        ww = jnp.transpose(ww_t, (0, 2, 1)).astype(jnp.int32)  # (R, ncols, C)
+        cnt = jnp.transpose(cnt_t, (0, 2, 1))
 
     # Dirty-window bitmask per (slab, chunk): bit w of word w//32 = window w
     # has touches. The kernel's dirty-list build ctz-walks these words
@@ -643,7 +662,7 @@ def rasterize_bitmask(
     # planes, the affine z plane, and sid — 13 of 24 slots. A 16-wide copy
     # cuts the per-chunk SMEM fill (the cascade kernels' measured floor) by a
     # third; build_window_masks keeps consuming the full records.
-    if depth_only and affine_z and alpha_grid is None and debug_mode == 0:
+    if depth_only and affine_z and alpha_grid is None:
         krecs = jnp.concatenate(
             [
                 records[:, 0:9],

@@ -87,13 +87,28 @@ def triangle_setup_corners(
     double_sided: jnp.ndarray | None = None,  # (N,) bool
     tri_valid: jnp.ndarray | None = None,  # (N,) bool — padding mask
 ) -> TriangleSetup:
-    """triangle_setup from a baked corner table — gather-free (values are
-    bit-identical to the gather path: same transform, same setup math)."""
-    n = corner_pos.shape[0]
-    clip_c = transform_to_clip(corner_pos.reshape(n * 3, 3), view_proj)
-    clip_c = clip_c.reshape(n, 3, 4)
-    return _setup_from_corner_clip(
-        clip_c, width, height, double_sided, tri_valid
+    """triangle_setup from a baked corner table — gather-free, and fully
+    COMPONENT-WISE: the transform is broadcast FMAs on (N,) columns of the
+    corner table instead of a (3N, 3) matmul + (N, 3, 4) restack. The round-3
+    parity trace showed the stacked formulation cost ~4 ms/frame in
+    layout-copy + strided-slice fusions (copy of f32[N,3,4]{0,2,1} +
+    slice_reduce_fusions at the old clip_to_pixel_h call sites); component
+    math fuses into a handful of flat passes over the table."""
+    vp = view_proj.astype(jnp.float32)
+    cp = corner_pos.astype(jnp.float32)
+
+    def corner(k):
+        wx = cp[:, k, 0]
+        wy = cp[:, k, 1]
+        wz = cp[:, k, 2]
+        x = vp[0, 0] * wx + vp[0, 1] * wy + vp[0, 2] * wz + vp[0, 3]
+        y = vp[1, 0] * wx + vp[1, 1] * wy + vp[1, 2] * wz + vp[1, 3]
+        z = vp[2, 0] * wx + vp[2, 1] * wy + vp[2, 2] * wz + vp[2, 3]
+        w = vp[3, 0] * wx + vp[3, 1] * wy + vp[3, 2] * wz + vp[3, 3]
+        return x, y, z, w
+
+    return _setup_from_corner_components(
+        corner(0), corner(1), corner(2), width, height, double_sided, tri_valid
     )
 
 
@@ -126,43 +141,87 @@ def _setup_from_corner_clip(
     double_sided: jnp.ndarray | None,
     tri_valid: jnp.ndarray | None,
 ) -> TriangleSetup:
-    n = clip_c.shape[0]
-    v0 = clip_to_pixel_h(clip_c[:, 0, :], width, height)  # (N, 3)
-    v1 = clip_to_pixel_h(clip_c[:, 1, :], width, height)
-    v2 = clip_to_pixel_h(clip_c[:, 2, :], width, height)
-    z0 = clip_c[:, 0, 2]
-    z1 = clip_c[:, 1, 2]
-    z2 = clip_c[:, 2, 2]
-    w0, w1, w2 = v0[:, 2], v1[:, 2], v2[:, 2]
+    def corner(k):
+        c = clip_c[:, k, :]
+        return c[:, 0], c[:, 1], c[:, 2], c[:, 3]
 
-    e0 = jnp.cross(v1, v2)  # (N, 3): D_0 coefficients
-    e1 = jnp.cross(v2, v0)
-    e2 = jnp.cross(v0, v1)
-    edge = jnp.stack([e0, e1, e2], axis=1)  # (N, 3, 3)
+    return _setup_from_corner_components(
+        corner(0), corner(1), corner(2), width, height, double_sided, tri_valid
+    )
+
+
+def _setup_from_corner_components(
+    c0,  # (x, y, z, w) clip components of corner 0, each (N,) f32
+    c1,
+    c2,
+    width: int,
+    height: int,
+    double_sided: jnp.ndarray | None,
+    tri_valid: jnp.ndarray | None,
+) -> TriangleSetup:
+    """Component-wise setup core: all math on flat (N,) columns; the only
+    materialized stacks are the output records. Semantically identical to the
+    old (N, 3, 4)-stacked formulation (same formulas, same reduce order); the
+    stacked form cost ~4 ms/frame in layout copies + strided-slice fusions at
+    310k triangles (round-3 parity trace)."""
+    _, _, z0, w0 = c0
+    _, _, z1, w1 = c1
+    _, _, z2, w2 = c2
+
+    def pix(c):
+        x, y, _, w = c
+        xp = (x + w) * (0.5 * width) - 0.5 * w
+        yp = (w - y) * (0.5 * height) - 0.5 * w
+        return xp, yp
+
+    x0p, y0p = pix(c0)
+    x1p, y1p = pix(c1)
+    x2p, y2p = pix(c2)
+    n = x0p.shape[0]
+
+    # e_i = cross(v_j, v_k) with v = (xp, yp, w) — component-wise (the same
+    # minors jnp.cross emits, same order).
+    def cross(xa, ya, wa, xb, yb, wb):
+        return ya * wb - wa * yb, wa * xb - xa * wb, xa * yb - ya * xb
+
+    e0a, e0b, e0c = cross(x1p, y1p, w1, x2p, y2p, w2)
+    e1a, e1b, e1c = cross(x2p, y2p, w2, x0p, y0p, w0)
+    e2a, e2b, e2c = cross(x0p, y0p, w0, x1p, y1p, w1)
 
     # q = sum_i D_i * W_i ; r = sum_i D_i * Z_i — affine, same basis as the edges.
-    qc = e0 * w0[:, None] + e1 * w1[:, None] + e2 * w2[:, None]
-    rc = e0 * z0[:, None] + e1 * z1[:, None] + e2 * z2[:, None]
+    qa = e0a * w0 + e1a * w1 + e2a * w2
+    qb = e0b * w0 + e1b * w1 + e2b * w2
+    qc_ = e0c * w0 + e1c * w1 + e2c * w2
+    ra = e0a * z0 + e1a * z1 + e2a * z2
+    rb = e0b * z0 + e1b * z1 + e2b * z2
+    rc_ = e0c * z0 + e1c * z1 + e2c * z2
 
     # Degenerate triangles: zero area in the homogeneous sense (all cross rows ~ 0).
-    area2 = jnp.abs(e0) + jnp.abs(e1) + jnp.abs(e2)
-    nondegenerate = jnp.sum(area2, axis=-1) > 0.0
+    nondegenerate = (
+        (jnp.abs(e0a) + jnp.abs(e1a) + jnp.abs(e2a))
+        + (jnp.abs(e0b) + jnp.abs(e1b) + jnp.abs(e2b))
+        + (jnp.abs(e0c) + jnp.abs(e1c) + jnp.abs(e2c))
+    ) > 0.0
 
     # Pixel-space AABB. Only trustworthy when every vertex has w > 0; triangles
     # crossing w == 0 get a full-screen box (they are rare: geometry straddling the
     # camera plane).
     eps = 1e-6
     all_front = (w0 > eps) & (w1 > eps) & (w2 > eps)
-    px = jnp.stack([v0[:, 0] / jnp.where(w0 == 0, 1, w0),
-                    v1[:, 0] / jnp.where(w1 == 0, 1, w1),
-                    v2[:, 0] / jnp.where(w2 == 0, 1, w2)], axis=1)
-    py = jnp.stack([v0[:, 1] / jnp.where(w0 == 0, 1, w0),
-                    v1[:, 1] / jnp.where(w1 == 0, 1, w1),
-                    v2[:, 1] / jnp.where(w2 == 0, 1, w2)], axis=1)
-    x0 = jnp.where(all_front, jnp.floor(jnp.min(px, axis=1)), 0.0)
-    y0 = jnp.where(all_front, jnp.floor(jnp.min(py, axis=1)), 0.0)
-    x1 = jnp.where(all_front, jnp.ceil(jnp.max(px, axis=1)), float(width - 1))
-    y1 = jnp.where(all_front, jnp.ceil(jnp.max(py, axis=1)), float(height - 1))
+    px0 = x0p / jnp.where(w0 == 0, 1, w0)
+    px1 = x1p / jnp.where(w1 == 0, 1, w1)
+    px2 = x2p / jnp.where(w2 == 0, 1, w2)
+    py0 = y0p / jnp.where(w0 == 0, 1, w0)
+    py1 = y1p / jnp.where(w1 == 0, 1, w1)
+    py2 = y2p / jnp.where(w2 == 0, 1, w2)
+    x0 = jnp.where(all_front, jnp.floor(jnp.minimum(jnp.minimum(px0, px1), px2)), 0.0)
+    y0 = jnp.where(all_front, jnp.floor(jnp.minimum(jnp.minimum(py0, py1), py2)), 0.0)
+    x1 = jnp.where(
+        all_front, jnp.ceil(jnp.maximum(jnp.maximum(px0, px1), px2)), float(width - 1)
+    )
+    y1 = jnp.where(
+        all_front, jnp.ceil(jnp.maximum(jnp.maximum(py0, py1), py2)), float(height - 1)
+    )
     x0 = jnp.clip(x0, 0.0, float(width - 1))
     y0 = jnp.clip(y0, 0.0, float(height - 1))
     x1 = jnp.clip(x1, 0.0, float(width - 1))
@@ -177,9 +236,7 @@ def _setup_from_corner_clip(
     # Backface culling (single-sided triangles, fully in front of the camera):
     # glTF CCW front faces have NEGATIVE signed area in our y-down pixel space.
     # Mixed-w triangles are conservatively kept.
-    area2 = (px[:, 1] - px[:, 0]) * (py[:, 2] - py[:, 0]) - (
-        py[:, 1] - py[:, 0]
-    ) * (px[:, 2] - px[:, 0])
+    area2 = (px1 - px0) * (py2 - py0) - (py1 - py0) * (px2 - px0)
     dbl = (
         jnp.ones((n,), dtype=bool) if double_sided is None else double_sided
     )
@@ -206,12 +263,19 @@ def _setup_from_corner_clip(
     # The sign comes from the homogeneous determinant (same basis as the edge
     # rows — consistent under fp even for slivers); det > 0 = back-facing in
     # y-down pixel space (glTF CCW front faces have det < 0).
-    det = jnp.sum(v0 * e0, axis=-1)
+    det = x0p * e0a + y0p * e0b + w0 * e0c
     flip = double_sided & all_front & (det > 0.0)
-    sgn = jnp.where(flip, -1.0, 1.0)[:, None]
-    edge = edge * sgn[:, :, None]
-    qc = qc * sgn
-    rc = rc * sgn
+    sgn = jnp.where(flip, -1.0, 1.0)
+    edge = jnp.stack(
+        [
+            jnp.stack([e0a * sgn, e0b * sgn, e0c * sgn], axis=-1),
+            jnp.stack([e1a * sgn, e1b * sgn, e1c * sgn], axis=-1),
+            jnp.stack([e2a * sgn, e2b * sgn, e2c * sgn], axis=-1),
+        ],
+        axis=1,
+    )  # (N, 3, 3)
+    qc = jnp.stack([qa * sgn, qb * sgn, qc_ * sgn], axis=-1)
+    rc = jnp.stack([ra * sgn, rb * sgn, rc_ * sgn], axis=-1)
     double_sided = double_sided & ~all_front
 
     return TriangleSetup(
