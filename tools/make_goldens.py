@@ -27,14 +27,20 @@ W = H = 128
 
 def render(scene_fn, cam_pos, cam_pitch_yaw, frames=1, render_scale=1, **cfg):
     rw, rh = W * render_scale, H * render_scale
+    # cap=4096: courtyard peaks at ~2.4k opaque triangles in one 32x128 tile at
+    # this view — 1024 silently truncated bins for months (the XLA raster drops
+    # over-capacity triangles), so the old goldens baked in missing geometry and
+    # ANY change to the culled set (e.g. finer frustum culling) "failed" SSIM.
+    # _assert_no_bin_overflow below keeps this from regressing silently again.
     config = RenderConfig(
         render_width=rw, render_height=rh, output_width=W, output_height=H,
-        max_tris_per_tile=1024, occlusion_culling=False, **cfg,
+        max_tris_per_tile=4096, occlusion_culling=False, **cfg,
     )
     scene, _ = scene_fn().build()
     cam = Camera(fov_degrees=75.0, aspect=1.0, render_resolution=(rw, rh))
     cam.set_position(cam_pos)
     cam.pitch, cam.yaw = cam_pitch_yaw
+    _assert_no_bin_overflow(scene, cam.view_data(), config)
     renderer = make_renderer(config)
     temporal = initial_temporal_state(
         rh, rw, probe_cascades=config.probe_cascades, probe_grid=config.probe_grid,
@@ -45,6 +51,35 @@ def render(scene_fn, cam_pos, cam_pitch_yaw, frames=1, render_scale=1, **cfg):
             scene, cam.view_data(), RenderParams.default(), temporal
         )
     return np.asarray(out.image)
+
+
+def _assert_no_bin_overflow(scene, view, config):
+    """Goldens must never bake in bin-capacity truncation: the XLA raster drops
+    triangles beyond max_tris_per_tile per tile, so an under-sized cap renders
+    with missing geometry that LOOKS plausible — and then any change to the
+    culled/binned set (e.g. a finer frustum test) shifts WHICH triangles drop
+    and spuriously fails SSIM. Bound the check with the full untrimmed valid
+    set (a superset of anything culling passes to the binner)."""
+    import jax.numpy as jnp
+
+    from androidrenderer_tpu.ops.raster.binning import bin_triangles
+    from androidrenderer_tpu.ops.raster.setup import triangle_setup_corners
+
+    h, w = config.render_height, config.render_width
+    su = triangle_setup_corners(
+        scene.tri_corner_pos, jnp.asarray(view.view_proj), w, h,
+        double_sided=scene.tri_double_sided, tri_valid=scene.tri_valid,
+    )
+    bins = bin_triangles(
+        su, h // config.tile_height, config.tiles_x,
+        config.tile_height, config.tile_width, cap=16,
+    )
+    peak = int(np.asarray(bins.counts).max())
+    assert peak <= config.max_tris_per_tile, (
+        f"golden scene peaks at {peak} triangles in one "
+        f"{config.tile_height}x{config.tile_width} tile but max_tris_per_tile="
+        f"{config.max_tris_per_tile} — raise the cap (silent truncation)"
+    )
 
 
 CASES = {
