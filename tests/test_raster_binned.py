@@ -66,16 +66,30 @@ def test_binned_matches_xla(seed, double_sided, win_h):
 
 
 def test_binned_overflow_drain():
-    # cap=2 forces constant overflow drains; result must be unchanged.
+    # cap=2 forces constant overflow drains; the drain property is that the
+    # result is BIT-IDENTICAL to the same kernel with a cap large enough that
+    # no drain ever fires (same eval math, same per-window touch order, exact
+    # combine). The oracle comparison below uses the usual ULP-edge contract —
+    # a strict allclose here is fragile to FMA-association shifts in setup
+    # (one tie pixel moved by 1 ULP after the component-wise setup change).
     verts, tris = random_scene(2, n_tris=60)
     setup = _setup_for(verts, tris, True)
-    depth_ref, vis_ref = _xla_ref(setup)
     depth, vis = rasterize_binned(
         setup, H, W, num_slabs=2, chunk=16, cap=2, kb=8, interpret=True
     )
-    np.testing.assert_allclose(np.asarray(depth), depth_ref, rtol=1e-6, atol=1e-9)
-    disagree = np.asarray(vis) != vis_ref
-    assert (disagree & (np.asarray(depth) == depth_ref)).sum() == 0
+    depth_nd, vis_nd = rasterize_binned(
+        setup, H, W, num_slabs=2, chunk=16, cap=128, kb=8, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(depth), np.asarray(depth_nd))
+    np.testing.assert_array_equal(np.asarray(vis), np.asarray(vis_nd))
+
+    depth_ref, vis_ref = _xla_ref(setup)
+    depth, vis = np.asarray(depth), np.asarray(vis)
+    close = np.isclose(depth, depth_ref, rtol=1e-6, atol=1e-9)
+    assert close.mean() > 0.995
+    disagree = vis != vis_ref
+    hard = disagree & close & (depth == depth_ref)
+    assert hard.sum() == 0
 
 
 def test_binned_depth_only():

@@ -133,10 +133,16 @@ def main():
             wh = int(parts[0]) if parts[0] else 32
             kb = int(parts[1]) if len(parts) > 1 else 8
             ur = int(parts[2]) if len(parts) > 2 else 4
-            dm = int(parts[3][1:]) if len(parts) > 3 else 0
+            dm = 0
+            ck = 1024
+            for p in parts[3:]:
+                if p.startswith("d"):
+                    dm = int(p[1:])
+                elif p.startswith("c"):
+                    ck = int(p[1:])
             kernels[name] = (
-                lambda su, wh=wh, kb=kb, ur=ur, dm=dm: rasterize_bitmask(
-                    su, h, w, win_h=wh, kb=kb, unroll=ur, debug_mode=dm,
+                lambda su, wh=wh, kb=kb, ur=ur, dm=dm, ck=ck: rasterize_bitmask(
+                    su, h, w, win_h=wh, kb=kb, unroll=ur, debug_mode=dm, chunk=ck,
                     num_slabs=auto_slabs_binned(h, w, depth_only=depth_only, win_h=wh),
                     depth_only=depth_only, affine_z=affine,
                 )

@@ -25,6 +25,11 @@ def main():
     import numpy as np
     import jax
 
+    # Persistent compilation cache (compile times are noisy on this backend;
+    # bench.py uses the same cache dir so parity-config compiles are shared).
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
     from androidrenderer_tpu.camera import Camera
     from androidrenderer_tpu.config import (
         AAMode, AOMode, GIMode, RenderConfig, RenderParams,

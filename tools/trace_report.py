@@ -35,6 +35,11 @@ def main():
     ap.add_argument("--frames", type=int, default=5,
                     help="divide totals by this to get per-frame ms")
     ap.add_argument("--filter", default=None, help="regex on op name")
+    ap.add_argument(
+        "--by-source", action="store_true",
+        help="aggregate by XLA op source attribution (repo file:line) "
+        "instead of op name — the per-module decomposition",
+    )
     args = ap.parse_args()
 
     events = load_events(args.outdir)
@@ -68,6 +73,15 @@ def main():
         name = e["name"]
         if args.filter and not re.search(args.filter, name):
             continue
+        if args.by_source:
+            if name.startswith("jit_"):  # umbrella module event
+                lane_totals[lane] += e["dur"]
+                continue
+            if lane != "XLA Ops":
+                continue
+            a = e.get("args", {})
+            src = a.get("source") or ("<nosrc>:" + a.get("hlo_category", "?"))
+            name = src.replace("/root/repo/androidrenderer_tpu/", "")
         totals[name] += e["dur"]
         counts[name] += 1
         lane_totals[lane] += e["dur"]
