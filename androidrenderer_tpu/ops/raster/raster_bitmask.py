@@ -81,12 +81,13 @@ def _ctz32(x):
 
 def _bitmask_kernel(
     pref_ref,  # (S + S*C,) i32 scalar prefetch: [live chunks per slab, perm]
-    recs_ref,  # (1, 1, CHUNK*24) f32 SMEM, flat records
+    recs_ref,  # (1, 1, CHUNK*24) f32 SMEM flat records, or — when
+    #            vmem_records — (1, CHUNK, 32) f32 VMEM lane records
     words_ref,  # (1, 1, NWIN*32) i32 SMEM — per-window triangle bitmask words
     ww_ref,  # (1, 1, NWIN) i32 SMEM — per-window nonzero-word bitmask
     cnt_ref,  # (1, 1, NWIN) i32 SMEM — per-window exact touch count
     dw_ref,  # (1, 1, ceil(NWIN/32)) i32 SMEM — dirty-window bitmask
-    *rest,  # [grid_ref,] [zlim_ref,] depth_ref, [vis_ref,] list_scratch, dirty
+    *rest,  # [grid_ref | mb_ref,] [zlim_ref,] depth_ref, [vis_ref,] lists, dirty
     slab_h: int,
     width: int,
     chunk: int,
@@ -101,10 +102,19 @@ def _bitmask_kernel(
     num_chunks: int,
     rec_w: int = REC,
     debug_mode: int = 0,
+    vmem_records: bool = False,
 ):
     rest = list(rest)
     cntmk_ref = rest.pop(0) if has_alpha_grid else None
-    grid_ref = rest.pop(0) if has_alpha_grid else None
+    if has_alpha_grid:
+        # Scalar path: per-triangle 16x16 alpha bitmap words (SMEM). VMEM
+        # path: the bitmaps ride record lanes 17-24; what remains in SMEM is
+        # the per-chunk masked-triangle BITMASK (wpc words) consumed by the
+        # two-ended list build.
+        grid_ref = None if vmem_records else rest.pop(0)
+        mb_ref = rest.pop(0) if vmem_records else None
+    else:
+        grid_ref = mb_ref = None
     zlim_ref = rest.pop(0) if has_z_limit else None
     depth_ref = rest.pop(0)
     vis_ref = None if depth_only else rest.pop(0)
@@ -173,7 +183,10 @@ def _bitmask_kernel(
                 b = _ctz32(bits)
                 k = j * 32 + b
                 if has_alpha_grid:
-                    mf = recs_ref[0, 0, k * rec_w + 19] != 0.0
+                    if vmem_records:
+                        mf = ((mb_ref[0, 0, j] >> b) & 1) != 0
+                    else:
+                        mf = recs_ref[0, 0, k * rec_w + 19] != 0.0
                     list_ref[jnp.where(mf, chunk - 1 - m, o)] = k
                     return (
                         bits & (bits - 1),
@@ -206,6 +219,104 @@ def _bitmask_kernel(
         (z, id) max, so segment order cannot change the result."""
         gx = colf + (col * WIN_W).astype(jnp.float32)
         gy = rowf + (row * win_h).astype(jnp.float32) + slab_y0
+
+        def eval_touch_vmem(t):
+            """VMEM-record eval: ONE dynamic (1, 32) row load replaces the
+            ~13 scalar SMEM coefficient loads, and — the actual point — moves
+            the records block out of SMEM, whose fill DMA (~3.4 GB/s measured)
+            floors every kernel instance. Coefficients become (8, 1) lane
+            slices of the sublane-replicated row; the window is evaluated in
+            (8, 128) sub-blocks (Mosaic rejects both-dims broadcasts, and
+            (8, 1) x (8, 128) lane broadcasts are the proven raster_lanes
+            pattern). Formula text and association match eval_touch exactly:
+            interpret-mode output is bit-identical; on TPU the usual
+            FMA-contraction ULP contract applies.
+
+            MEASURED NEGATIVE (round 3, tools/bench_raster.py, 310k tris):
+            screen 46.8 vs 26.7 ms, CSM 16.1 vs 10.6, RSM 12.8 vs 7.8 — the
+            dynamic row load + 8x sublane replication + 4x (8, 128) sub-block
+            eval costs more per touch than the scalar loads it replaces, on
+            every shape. The SMEM fill was evidently NOT the floor. Kept
+            off-by-default as a tested design study; one genuine upside is
+            compile time (screen kernel 13 s vs 256 s — the scalar eval's
+            unrolled per-touch scalar loads blow up Mosaic lowering)."""
+            live = t < cnt
+            if reverse:
+                k = jnp.where(live, list_ref[jnp.maximum(chunk - 1 - t, 0)], 0)
+            else:
+                k = jnp.where(live, list_ref[jnp.minimum(t, chunk - 1)], 0)
+            if debug_mode == 1:
+                return (
+                    jnp.full((win_h, WIN_W), 1e-30, jnp.float32) * k.astype(jnp.float32),
+                    chunk_base + k,
+                )
+            rowv = recs_ref[0, pl.ds(k, 1), :]  # (1, 32)
+            cb = jnp.concatenate([rowv] * 8, axis=0)  # (8, 32) replicated
+            a0 = cb[:, 0:1]
+            b0 = cb[:, 1:2]
+            c0 = cb[:, 2:3]
+            a1 = cb[:, 3:4]
+            b1 = cb[:, 4:5]
+            c1 = cb[:, 5:6]
+            a2 = cb[:, 6:7]
+            b2 = cb[:, 7:8]
+            c2 = cb[:, 8:9]
+            az = cb[:, 9:10]
+            bz = cb[:, 10:11]
+            cz = cb[:, 11:12]
+            if not affine_z:
+                ar = cb[:, 12:13]
+                br = cb[:, 13:14]
+                cr = cb[:, 14:15]
+            sid = jnp.where(live, cb[:, 15:16], 0.0)
+            if has_alpha_grid and with_alpha:
+                gwords = [
+                    jax.lax.bitcast_convert_type(cb[:, 17 + j : 18 + j], jnp.int32)
+                    for j in range(8)
+                ]
+            colf8 = jax.lax.broadcasted_iota(jnp.int32, (8, WIN_W), 1).astype(
+                jnp.float32
+            )
+            rowf8 = jax.lax.broadcasted_iota(jnp.int32, (8, WIN_W), 0).astype(
+                jnp.float32
+            )
+            gx8 = colf8 + (col * WIN_W).astype(jnp.float32)
+            gy0 = (row * win_h).astype(jnp.float32) + slab_y0
+            zs = []
+            for g in range(win_h // 8):
+                gyg = rowf8 + jnp.float32(g * 8) + gy0
+                if debug_mode == 2:
+                    z = az * gx8 + bz * gyg + cz
+                    zs.append(jnp.where(jnp.full((8, WIN_W), live), z, 0.0))
+                    continue
+                d0 = a0 * gx8 + b0 * gyg + c0
+                d1 = a1 * gx8 + b1 * gyg + c1
+                d2 = a2 * gx8 + b2 * gyg + c2
+                dmax = jnp.maximum(jnp.maximum(d0, d1), d2)
+                dmin = jnp.minimum(jnp.minimum(d0, d1), d2)
+                cov = ((dmax <= 0.0) & (sid != 0.0)) | ((dmin >= 0.0) & (sid < 0.0))
+                if affine_z:
+                    z = az * gx8 + bz * gyg + cz
+                else:
+                    qv = az * gx8 + bz * gyg + cz
+                    z = (ar * gx8 + br * gyg + cr) / qv
+                cov = cov & (z > 0.0) & (z <= 1.0)
+                if has_alpha_grid and with_alpha:
+                    sv = d0 + d1 + d2
+                    inv_sv = 1.0 / jnp.where(sv == 0.0, 1.0, sv)
+                    ui = jnp.clip((d1 * inv_sv * 16.0), 0.0, 15.0).astype(jnp.int32)
+                    vi = jnp.clip((d2 * inv_sv * 16.0), 0.0, 15.0).astype(jnp.int32)
+                    idx = vi * 16 + ui
+                    wsel = idx >> 5
+                    word = gwords[0]
+                    for wj in range(1, 8):
+                        word = jnp.where(wsel == wj, gwords[wj], word)
+                    bit = jnp.right_shift(word, idx & 31) & 1
+                    cov = cov & (bit == 1)
+                if zlim is not None:
+                    cov = cov & (z < zlim[g * 8 : (g + 1) * 8, :])
+                zs.append(jnp.where(cov, z, 0.0))
+            return jnp.concatenate(zs, axis=0), chunk_base + k
 
         def eval_touch(t):
             live = t < cnt
@@ -274,9 +385,11 @@ def _bitmask_kernel(
             take = (zb > za) | ((zb == za) & (vb > va))
             return (jnp.where(take, zb, za), jnp.where(take, vb, va))
 
+        ev = eval_touch_vmem if vmem_records else eval_touch
+
         def block(i, carry):
             zacc, vacc = carry
-            evals = [eval_touch(i * unroll + j) for j in range(unroll)]
+            evals = [ev(i * unroll + j) for j in range(unroll)]
             while len(evals) > 1:
                 evals = [
                     comb(evals[p], evals[p + 1]) if p + 1 < len(evals) else evals[p]
@@ -571,7 +684,11 @@ def rasterize_bitmask(
     unroll: int = 4,
     z_limit: jnp.ndarray | None = None,
     alpha_grid: jnp.ndarray | None = None,
-    debug_mode: int = 0,  # profiling only: 1 = skip eval, 2 = z-plane only
+    debug_mode: int = 0,  # profiling only: 1 = skip eval, 2 = z-plane only,
+    # 3 = DMA+scan floor, 4 = DMA floor, 5 = pin records block (isolates the
+    # records DMA share: the repeated block index elides its per-chunk copy),
+    # 6 = pin the words block likewise. 5/6 produce garbage output.
+    vmem_records: bool = False,  # records (+ alpha bitmaps) as VMEM lane rows
 ):
     """(depth (H, W) f32, vis (H, W) i32) — same contract as rasterize_binned;
     output is bit-identical to it (same eval formulas, same per-window touch
@@ -632,6 +749,7 @@ def rasterize_bitmask(
     prefetch = jnp.concatenate([nl.astype(jnp.int32), perm.reshape(-1)])
 
     cnt_mk = None
+    mb_blocks = None
     if alpha_grid is not None:
         # Opaque/masked touch-list split: flag masked triangles in record
         # slot 19 (bbox — already consumed by build_window_masks above) and
@@ -657,12 +775,24 @@ def rasterize_bitmask(
             wblk.astype(jnp.uint32) & mbits[None, :, None, :]
         ).astype(jnp.int32)
         cnt_mk = jnp.sum(mk, axis=-1).reshape(num_slabs * num_chunks, 1, nwin_)
+        # VMEM-records mode: the two-ended list build reads the masked flag
+        # from this per-chunk bitmask (SMEM, wpc words) instead of a record
+        # slot (the record rows are no longer scalar-addressable).
+        mb_blocks = mbits.astype(jnp.int32).reshape(num_chunks, 1, chunk // 32)
 
     # Slim depth-only records: the ortho depth kernel reads only the edge
     # planes, the affine z plane, and sid — 13 of 24 slots. A 16-wide copy
     # cuts the per-chunk SMEM fill (the cascade kernels' measured floor) by a
     # third; build_window_masks keeps consuming the full records.
-    if depth_only and affine_z and alpha_grid is None:
+    if vmem_records:
+        from androidrenderer_tpu.ops.raster.raster_lanes import pack_lane_records
+
+        krecs, _ = pack_lane_records(setup, affine_z=affine_z, alpha_grid=alpha_grid)
+        rec_w = krecs.shape[1]  # 32 lanes
+        if pad:
+            krecs = jnp.pad(krecs, ((0, pad), (0, 0)))
+        krecs = krecs.reshape(num_chunks, chunk, rec_w)
+    elif depth_only and affine_z and alpha_grid is None:
         krecs = jnp.concatenate(
             [
                 records[:, 0:9],
@@ -674,10 +804,11 @@ def rasterize_bitmask(
         )
     else:
         krecs = records
-    rec_w = krecs.shape[1]
-    if pad:
-        krecs = jnp.pad(krecs, ((0, pad), (0, 0)))
-    krecs = krecs.reshape(num_chunks, 1, chunk * rec_w)
+    if not vmem_records:
+        rec_w = krecs.shape[1]
+        if pad:
+            krecs = jnp.pad(krecs, ((0, pad), (0, 0)))
+        krecs = krecs.reshape(num_chunks, 1, chunk * rec_w)
 
     ncols = width // WIN_W
     nwin = (slab_h // win_h) * ncols
@@ -697,7 +828,8 @@ def rasterize_bitmask(
         num_slabs=num_slabs,
         num_chunks=num_chunks,
         rec_w=rec_w,
-        debug_mode=debug_mode,
+        debug_mode=debug_mode if debug_mode < 5 else 0,
+        vmem_records=vmem_records,
     )
 
     def _cp(s, c, pref):
@@ -708,6 +840,12 @@ def rasterize_bitmask(
 
     chunk_block = lambda s, c, pref: (_cp(s, c, pref), 0, 0)
     slabchunk_block = lambda s, c, pref: (s * num_chunks + _cp(s, c, pref), 0, 0)
+    if debug_mode == 5:  # pin records: one block index -> copy elided
+        chunk_block = lambda s, c, pref: (0, 0, 0)
+    if debug_mode == 6:  # pin words likewise
+        slabchunk_block_words = lambda s, c, pref: (0, 0, 0)
+    else:
+        slabchunk_block_words = slabchunk_block
 
     out_shape = [jax.ShapeDtypeStruct((hp, width), jnp.float32)]
     out_specs = [
@@ -723,10 +861,15 @@ def rasterize_bitmask(
 
     in_specs = [
         pl.BlockSpec(
+            (1, chunk, rec_w), chunk_block, memory_space=pltpu.VMEM
+        )
+        if vmem_records
+        else pl.BlockSpec(
             (1, 1, chunk * rec_w), chunk_block, memory_space=pltpu.SMEM
         ),
         pl.BlockSpec(
-            (1, 1, nwin * (chunk // 32)), slabchunk_block, memory_space=pltpu.SMEM
+            (1, 1, nwin * (chunk // 32)), slabchunk_block_words,
+            memory_space=pltpu.SMEM,
         ),
         pl.BlockSpec((1, 1, nwin), slabchunk_block, memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1, nwin), slabchunk_block, memory_space=pltpu.SMEM),
@@ -740,13 +883,21 @@ def rasterize_bitmask(
             pl.BlockSpec((1, 1, nwin), slabchunk_block, memory_space=pltpu.SMEM)
         )
         inputs.append(cnt_mk)
-        ag = alpha_grid.astype(jnp.int32)
-        if pad:
-            ag = jnp.pad(ag, ((0, pad), (0, 0)))
-        in_specs.append(
-            pl.BlockSpec((1, 1, chunk * 8), chunk_block, memory_space=pltpu.SMEM)
-        )
-        inputs.append(ag.reshape(num_chunks, 1, chunk * 8))
+        if vmem_records:
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, 1, chunk // 32), chunk_block, memory_space=pltpu.SMEM
+                )
+            )
+            inputs.append(mb_blocks)
+        else:
+            ag = alpha_grid.astype(jnp.int32)
+            if pad:
+                ag = jnp.pad(ag, ((0, pad), (0, 0)))
+            in_specs.append(
+                pl.BlockSpec((1, 1, chunk * 8), chunk_block, memory_space=pltpu.SMEM)
+            )
+            inputs.append(ag.reshape(num_chunks, 1, chunk * 8))
     if z_limit is not None:
         zl = z_limit
         if zl.shape[0] != hp:

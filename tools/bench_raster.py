@@ -135,14 +135,18 @@ def main():
             ur = int(parts[2]) if len(parts) > 2 else 4
             dm = 0
             ck = 1024
+            vm = False
             for p in parts[3:]:
                 if p.startswith("d"):
                     dm = int(p[1:])
                 elif p.startswith("c"):
                     ck = int(p[1:])
+                elif p == "v":
+                    vm = True
             kernels[name] = (
-                lambda su, wh=wh, kb=kb, ur=ur, dm=dm, ck=ck: rasterize_bitmask(
+                lambda su, wh=wh, kb=kb, ur=ur, dm=dm, ck=ck, vm=vm: rasterize_bitmask(
                     su, h, w, win_h=wh, kb=kb, unroll=ur, debug_mode=dm, chunk=ck,
+                    vmem_records=vm,
                     num_slabs=auto_slabs_binned(h, w, depth_only=depth_only, win_h=wh),
                     depth_only=depth_only, affine_z=affine,
                 )
