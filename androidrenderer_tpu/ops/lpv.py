@@ -30,7 +30,6 @@ import numpy as np
 
 from androidrenderer_tpu.ops import sh
 from androidrenderer_tpu.ops.post import srgb_to_linear
-from androidrenderer_tpu.ops.raster.interpolate import compute_barycentrics
 from androidrenderer_tpu.ops.raster.setup import (
     transform_to_clip,
     triangle_setup,
@@ -119,28 +118,51 @@ def _rsm_ortho_matrix(
 def _resolve_rsm(scene, setup, vis, use_base_textures: bool = True):
     """RSM deferred resolve: (albedo (R,R,3), normal, world_pos, valid).
 
+    Plane-gather formulation (the main view's resolve scheme, gbuffer.py):
+    ONE flat row gather into the per-triangle attribute-plane table replaces
+    the 3-gathers-per-attribute barycentric path (normals/positions/uvs +
+    material tables — measured ~2 ms/frame across the 4 cascades in the
+    parity trace). Proxy scenes carry baked attr corners/consts
+    (scene/proxy.py) so swap_in_proxy feeds this identically to a full scene.
+
     Flux samples the material's base-color texture at a coarse mip like the
     reference's RSM fragment stage (gltf_basic_pbr.slang:240-252)."""
-    bary = compute_barycentrics(vis, setup, scene.tri_indices)
-    lam = bary.lam[..., None]
-    nrm = jnp.sum(scene.normals[bary.vertex_ids] * lam, axis=-2)
+    from androidrenderer_tpu.ops.gbuffer import (
+        ATTR_CHANNELS, pack_attribute_planes,
+    )
+    from androidrenderer_tpu.scene.material_storage import START_ALIGN
+
+    valid = vis >= 0
+    tid = jnp.maximum(vis, 0)
+    table = pack_attribute_planes(scene, setup)
+    pl = table[tid]
+    nch = pl.shape[-1] // 3
+    pa = pl[..., :nch]
+    pb = pl[..., nch : 2 * nch]
+    pc = pl[..., 2 * nch :]
+    px = jnp.arange(vis.shape[1], dtype=jnp.float32)[None, :, None]
+    py = jnp.arange(vis.shape[0], dtype=jnp.float32)[:, None, None]
+    f = pa * px + pb * py + pc
+    s = f[..., ATTR_CHANNELS : ATTR_CHANNELS + 1]
+    a = f / jnp.where(s == 0.0, 1.0, s)
+    nrm = a[..., 2:5]
     nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-9)
-    wpos = jnp.sum(scene.positions[bary.vertex_ids] * lam, axis=-2)
-    mat_id = scene.tri_material[jnp.maximum(vis, 0)]
-    albedo = scene.mat_base_color[mat_id][..., :3]
+    wpos = a[..., 12:15]
+    c0 = ATTR_CHANNELS + 1
+    albedo = a[..., c0 : c0 + 3]  # base-color factor (tri_consts channel 0-2)
     if use_base_textures and scene.textures.shape[0] > 0:
         from androidrenderer_tpu.ops import texture as tex
 
-        uv = jnp.sum(scene.uvs[bary.vertex_ids] * lam, axis=-2)
-        tex_id = scene.mat_texture_ids[mat_id][..., 0]
-        start = scene.tex_start[tex_id]
-        log2b = scene.tex_log2b[tex_id]
+        uv = a[..., 0:2]
+        packed_t = jnp.round(a[..., c0 + 8]).astype(jnp.int32)  # slot 0 meta
+        log2b = packed_t & 15
+        start = jnp.right_shift(packed_t, 4) * START_ALIGN
         # RSM texels are meters wide: a coarse mip (~16^2) matches the footprint
         # (the reference gets this from HW derivatives at 128^2).
         level = jnp.maximum(log2b - 4, 0)
         texel = tex.sample_bilinear(scene.textures, start, log2b, uv, level)
         albedo = albedo * srgb_to_linear(texel[..., :3])
-    return albedo, nrm, wpos, bary.valid
+    return albedo, nrm, wpos, valid
 
 
 def render_rsm(
@@ -261,7 +283,17 @@ def extract_vpls(
     lum = flux @ jnp.array([0.2126, 0.7152, 0.0722])
     # group into 2x2 quads
     lum4 = lum.reshape(r // 2, 2, r // 2, 2).transpose(0, 2, 1, 3).reshape(-1, 4)
-    pick = jnp.argmax(lum4, axis=1)  # (K,)
+    # Deterministic tie-break: uniform-albedo surfaces (flat-lit walls) tie the
+    # whole quad's luminance EXACTLY, so a 1-ULP shift anywhere upstream (any
+    # mathematically-identical resolve refactor) flipped 24% of picks — the VPL
+    # set scattered by a texel and cornell_lpv's golden moved by SSIM ~0.02.
+    # A +idx*1e-5-relative nudge dwarfs ULP noise (~1e-7) while leaving any
+    # genuine luminance difference (>1e-5 relative) in charge, making the pick
+    # a stable function of the VALUES rather than of XLA's fusion choices.
+    tb = jnp.max(lum4, axis=1, keepdims=True) * (
+        1e-5 * jnp.arange(4, dtype=jnp.float32)
+    )
+    pick = jnp.argmax(lum4 + tb, axis=1)  # (K,)
 
     def gather(img):
         k = img.shape[-1]
@@ -512,6 +544,10 @@ def apply_lpv(
     # screen-sized gathers cost ~27-45 ms each on this TPU regardless of width
     # (docs/ROADMAP.md), so 8 separate corner gathers dominate the whole LPV pass;
     # the packing itself is a few dense 6 MB shifts (~free).
+    # (bf16 corner pack measured a NEGATIVE: the packed table is ~98k rows —
+    # small-table regime, gather cost is width-free — so halving row bytes
+    # saved only ~25 MB of dense build bandwidth while the quantization broke
+    # the cornell_lpv golden at SSIM 0.967. f32 stays.)
     rad = volumes.radiance.transpose(0, 3, 4, 5, 1, 2).reshape(c, r, r, r, 12)
     corners = [
         jnp.roll(rad, (-dz, -dy, -dx), axis=(1, 2, 3))

@@ -345,13 +345,22 @@ def render_shadow_cascades(
 
 
 def _pack_pcf_taps(shadow_maps: jnp.ndarray) -> jnp.ndarray:
-    """(C, R, R) -> (C*R*R, 4) with channels [self, +x, +y, +x+y] (edge-clamped)."""
+    """(C, R, R) -> (C*R*R, 2) i32: taps [self, +x, +y, +x+y] as u16 fixed-point.
+
+    The PCF fetch operand is LARGE (4 cascades x 1024^2 rows), and large-table
+    gather cost scales with row BYTES on this TPU (tools/microbench_taa4.py);
+    quantizing the four edge-clamped taps to u16 halves the row from 16 to 8
+    bytes (measured 4.1 -> ~2 ms/frame in the parity trace). u16 depth steps
+    are 1.5e-5 — the same order as sample_csm's constant bias headroom (2e-5),
+    and the reference's own shadow maps are D16 (directional_light.cpp:28-44),
+    so the production comparison actually MATCHES the reference's precision
+    more closely than the f32 taps did."""
     c, r, _ = shadow_maps.shape
     p = jnp.pad(shadow_maps, ((0, 0), (0, 1), (0, 1)), mode="edge")
-    packed = jnp.stack(
-        [p[:, :r, :r], p[:, :r, 1:], p[:, 1:, :r], p[:, 1:, 1:]], axis=-1
-    )
-    return packed.reshape(-1, 4)
+    q = jnp.round(jnp.clip(p, 0.0, 1.0) * 65535.0).astype(jnp.int32)
+    w0 = q[:, :r, :r] | (q[:, :r, 1:] << 16)
+    w1 = q[:, 1:, :r] | (q[:, 1:, 1:] << 16)
+    return jnp.stack([w0, w1], axis=-1).reshape(-1, 2)
 
 
 def sample_csm(
@@ -425,12 +434,22 @@ def sample_csm(
     fx = x - x0
     fy = y - y0
 
-    packed = _pack_pcf_taps(shadow_maps)  # (C*R*R, 4)
+    packed = _pack_pcf_taps(shadow_maps)  # (C*R*R, 2) i32, 4 x u16 taps
     xi = jnp.clip(x0.astype(jnp.int32), 0, r - 1)
     yi = jnp.clip(y0.astype(jnp.int32), 0, r - 1)
-    taps = packed[ci * (r * r) + yi * r + xi]  # (H, W, 4)
-    # Reversed-Z: lit when the receiver is at least as near the sun as the occluder.
-    lit4 = (zref[..., None] >= taps).astype(jnp.float32)
+    words = packed[ci * (r * r) + yi * r + xi]  # (H, W, 2)
+    taps = jnp.stack(
+        [
+            words[..., 0] & 0xFFFF,
+            (words[..., 0] >> 16) & 0xFFFF,
+            words[..., 1] & 0xFFFF,
+            (words[..., 1] >> 16) & 0xFFFF,
+        ],
+        axis=-1,
+    ).astype(jnp.float32)
+    # Reversed-Z: lit when the receiver is at least as near the sun as the
+    # occluder (comparison runs in the u16 fixed-point scale of the taps).
+    lit4 = (zref[..., None] * 65535.0 >= taps).astype(jnp.float32)
     lit = (
         lit4[..., 0] * (1 - fx) * (1 - fy)
         + lit4[..., 1] * fx * (1 - fy)

@@ -110,7 +110,21 @@ def update_primitive_transforms(
     pnrm = xform(dyn.proxy_base_normals, nmat[pvp])
     pnrm = pnrm / jnp.maximum(jnp.linalg.norm(pnrm, axis=-1, keepdims=True), 1e-12)
     proxy = scene.proxy._replace(
-        positions=ppos, normals=pnrm, corners=ppos[scene.proxy.tri_indices]
+        positions=ppos, normals=pnrm, corners=ppos[scene.proxy.tri_indices],
+        # Attribute-corner refresh (uv/color static, tangents zero, consts
+        # transform-invariant) — mirrors the main scene's tri_attr_corners
+        # rebuild below.
+        attr_corners=jnp.concatenate(
+            [
+                scene.proxy.uvs,
+                pnrm,
+                jnp.zeros((ppos.shape[0], 4), jnp.float32),
+                scene.proxy.colors[:, :3],
+                ppos,
+                jnp.zeros((ppos.shape[0], 1), jnp.float32),
+            ],
+            axis=1,
+        )[scene.proxy.tri_indices],
     )
 
     bvh = refit_bvh(scene.bvh, positions, scene.tri_indices, dyn.level_slots)

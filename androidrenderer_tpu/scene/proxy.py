@@ -45,6 +45,12 @@ class ProxyMesh(NamedTuple):
     tri_valid: jnp.ndarray  # (Np,) bool
     # Baked per-triangle corners (see SceneArrays.tri_corner_pos).
     corners: jnp.ndarray  # (Np, 3, 3) f32
+    # Baked attribute corners + material consts in SceneArrays' channel order
+    # (tangents zero — proxy resolves never normal-map). These make proxy
+    # resolves (RSM flux) plane-gather based like the main view's, instead of
+    # re-issuing per-pixel vertex gathers (ops/lpv.py::_resolve_rsm).
+    attr_corners: jnp.ndarray  # (Np, 3, 16) f32
+    consts: jnp.ndarray  # (Np, 12) f32
 
 
 def _pad(a: np.ndarray, rows: int, fill=0):
@@ -135,6 +141,25 @@ def build_proxy_mesh(
         corners=jnp.asarray(
             _pad(p_pos, vp_pad)[_pad(ptri.astype(np.int32), nt_pad)]
         ),
+        attr_corners=jnp.asarray(
+            _pad(
+                np.concatenate(
+                    [
+                        p_uv,
+                        p_nrm,
+                        np.zeros((vp, 4), np.float32),
+                        p_col[:, :3],
+                        p_pos,
+                        np.zeros((vp, 1), np.float32),
+                    ],
+                    axis=1,
+                ).astype(np.float32),
+                vp_pad,
+            )[_pad(ptri.astype(np.int32), nt_pad)]
+        ),
+        # Filled by the scene bake (needs the material tables): scene.py calls
+        # _bake_tri_consts on the proxy's tri_material after construction.
+        consts=jnp.zeros((nt_pad, 12), jnp.float32),
     )
     return mesh, host
 
@@ -163,4 +188,6 @@ def swap_in_proxy(scene):
         tri_alpha_grid=jnp.full((nt, 8), -1, jnp.int32),
         tri_valid=p.tri_valid,
         tri_corner_pos=p.corners,
+        tri_attr_corners=p.attr_corners,
+        tri_consts=p.consts,
     )

@@ -393,6 +393,11 @@ class RenderScene:
             np.concatenate(all_mat), np.concatenate(all_dbl),
             cell_size=proxy_cell_size,
         )
+        proxy = proxy._replace(
+            consts=jnp.asarray(_bake_tri_consts(
+                np.asarray(proxy.tri_material), mat_params, tex_start, tex_log2b,
+            ))
+        )
         scene = SceneArrays(
             positions=jnp.asarray(_pad_rows(positions, pv)),
             normals=jnp.asarray(_pad_rows(np.concatenate(all_nrm), pv)),

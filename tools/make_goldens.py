@@ -87,11 +87,22 @@ CASES = {
         cornell_scene, [0, 0, 2.2], (0.0, np.pi),
         sky=False, bloom=False, shadow_cascade_resolution=256,
     ),
+    # lpv_cell_size=0.2261: cornell's walls are axis-aligned planes at +-1.0 —
+    # EXACT multiples of the default 0.25 cell, and cascade mins snap to the
+    # cell lattice, so every wall's VPLs sat exactly on a cell boundary. Any
+    # refactor that shifts interpolated world positions by 1 ULP (e.g. a
+    # mathematically-identical resolve reformulation) then flips ENTIRE WALL
+    # LAYERS to the adjacent cell (measured: 26% mean radiance change, SSIM
+    # 0.967 from a <=4e-6 wpos delta). 0.2261 keeps every wall plane >=0.13
+    # cells off the lattice at both cascade scales, so the gate tests VALUES,
+    # not coin-flip boundary assignment. Real scenes (Sponza) are generically
+    # off-lattice; the degeneracy was an artifact of the synthetic fixture.
     "cornell_lpv": lambda: render(
         cornell_scene, [0, 0, 2.2], (0.0, np.pi),
         sky=False, bloom=False, shadow_cascade_resolution=256,
         gi_mode=GIMode.LPV, lpv_num_cascades=2, lpv_resolution=16,
         lpv_rsm_resolution=64, lpv_num_propagation_steps=8,
+        lpv_cell_size=0.2261,
     ),
     "courtyard_csm": lambda: render(
         courtyard_scene, [0, 1.7, 6.0], (-0.05, np.pi),
