@@ -151,6 +151,30 @@ def main():
                     depth_only=depth_only, affine_z=affine,
                 )
             )
+        elif name.startswith("subfold"):
+            # subfold[:kb[:unroll[:dN][:cN]]] — win32 tables + per-sub-block
+            # lane-batched folds (raster_subfold.py).
+            from androidrenderer_tpu.ops.raster.raster_subfold import (
+                auto_slabs_subfold, rasterize_subfold,
+            )
+
+            parts = name[7:].split(":")
+            kb = int(parts[1]) if len(parts) > 1 and parts[1] else 4
+            ur = int(parts[2]) if len(parts) > 2 and parts[2] else 1
+            dm = 0
+            ck = 1024
+            for p in parts[3:]:
+                if p.startswith("d"):
+                    dm = int(p[1:])
+                elif p.startswith("c"):
+                    ck = int(p[1:])
+            kernels[name] = (
+                lambda su, kb=kb, ur=ur, dm=dm, ck=ck: rasterize_subfold(
+                    su, h, w, kb=kb, unroll=ur, debug_mode=dm, chunk=ck,
+                    num_slabs=auto_slabs_subfold(h, w, depth_only=depth_only),
+                    depth_only=depth_only, affine_z=affine,
+                )
+            )
         elif name.startswith("binned"):
             parts = name[6:].split(":")
             wh = int(parts[0])
