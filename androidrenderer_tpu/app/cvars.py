@@ -65,6 +65,8 @@ _DEFS: List[CVarDef] = [
             "shadow_cascade_split_lambda", float, "practical split lambda"),
     CVarDef("r.Shadow.Distance", "structural", "shadow_max_distance", float,
             "CSM far distance (m)"),
+    CVarDef("r.Shadow.CSM.WinH", "structural", "shadow_win_h", int,
+            "bitmask cascade-raster window height (bit-identical output)"),
     CVarDef("r.GI.LPV.NumCascades", "structural", "lpv_num_cascades", int, ""),
     CVarDef("r.GI.LPV.Resolution", "structural", "lpv_resolution", int, ""),
     CVarDef("r.GI.LPV.CellSize", "structural", "lpv_cell_size", float, ""),

@@ -142,6 +142,12 @@ class RenderConfig:
     shadow_proxy_from_cascade: int = 2
     shadow_cascade_split_lambda: float = 0.95
     shadow_max_distance: float = 128.0
+    # Window height of the bitmask cascade rasters. Cascade triangles are
+    # mostly far smaller than a window, so per-touch fold cost scales ~linearly
+    # with win_h while the touch count barely grows (the main view keeps 32:
+    # its triangles are tall, win_h=8 measured 4.75x the touches there).
+    # Output is window-decomposition-independent (bit-identical either way).
+    shadow_win_h: int = 32
 
     # LPV config (light_propagation_volume.cpp:23-81, hpp:57-62: 4 cascades x 32^3,
     # cell size 0.25m doubling per cascade, RSM 128^2, 32 propagation steps).

@@ -228,6 +228,7 @@ def render_shadow_cascades(
     pa_unroll: int = 1,  # binned-kernel Phase A unroll (config.raster_pa_unroll)
     use_bitmask: bool = False,  # bitmask-driven kernel (config.raster_bitmask)
     corners: jnp.ndarray | None = None,  # (N, 3, 3) baked corner table
+    win_h: int = 32,  # bitmask-kernel window height (config.shadow_win_h)
 ) -> jnp.ndarray:
     """(C, R, R) reversed-Z shadow depth maps — batched depth-only raster.
 
@@ -286,9 +287,6 @@ def render_shadow_cascades(
             setup_i = derive_ortho_setup(
                 src, mc, cascades.matrices[i], resolution
             )
-            ns = auto_slabs_binned(
-                resolution, resolution, depth_only=True, win_h=32
-            )
             if use_bitmask:
                 from androidrenderer_tpu.ops.raster.raster_bitmask import (
                     rasterize_bitmask,
@@ -297,12 +295,18 @@ def render_shadow_cascades(
                 maps.append(
                     rasterize_bitmask(
                         setup_i, resolution, resolution,
-                        win_h=32, kb=4, unroll=2, num_slabs=ns,
+                        win_h=win_h, kb=4, unroll=2,
+                        num_slabs=auto_slabs_binned(
+                            resolution, resolution, depth_only=True, win_h=win_h
+                        ),
                         depth_only=True, affine_z=True,
                         interpret=pallas_interpret,
                     )
                 )
                 continue
+            ns = auto_slabs_binned(
+                resolution, resolution, depth_only=True, win_h=32
+            )
             maps.append(
                 # Window-binned kernel (round 3): beats the fused kernel at
                 # cascade scale (36.7 vs 39.3 ms standalone) and Mosaic-compiles

@@ -350,6 +350,7 @@ def render_frame(
             pa_unroll=config.raster_pa_unroll,
             use_bitmask=config.raster_bitmask,
             corners=scene.tri_corner_pos,
+            win_h=config.shadow_win_h,
         )
         l = -scene.sun_direction / jnp.linalg.norm(scene.sun_direction)
         ndotl = jnp.clip(

@@ -131,3 +131,28 @@ def test_canonical_frame_cascades_match_direct_raster():
         # shadow bias, invisible to the PCF compare.
         close = np.isclose(m_ref[i], m_can[i], rtol=1e-4, atol=5e-5)
         assert close.mean() > 0.98, f"cascade {i}: {close.mean():.4f}"
+
+
+def test_bitmask_cascades_win_height_bit_identical():
+    # config.shadow_win_h changes only the kernel's window decomposition; the
+    # cascade maps must be BIT-identical across window heights (the combine is
+    # exact and emission order per window is ascending triangle id either way).
+    import jax.numpy as jnp
+
+    scene, _ = _shadow_scene().build()
+    cam = Camera(fov_degrees=75.0, aspect=1.0, render_resolution=(128, 128))
+    cam.set_position([0.0, 6.0, 6.0])
+    cam.pitch, cam.yaw = -0.8, np.pi
+    vd = cam.view_data()
+    c = S.fit_cascades(
+        jnp.asarray(vd.inverse_view), vd.projection[0, 0], vd.projection[1, 1],
+        scene.sun_direction, 2, 256, 0.05, 128.0, 0.95,
+    )
+    maps = {}
+    for wh in (32, 16):
+        maps[wh] = np.asarray(S.render_shadow_cascades(
+            scene.positions, scene.tri_indices, scene.tri_valid, c, 256,
+            use_pallas=True, pallas_interpret=True, use_bitmask=True,
+            double_sided=scene.tri_double_sided, win_h=wh,
+        ))
+    assert np.array_equal(maps[32], maps[16])
