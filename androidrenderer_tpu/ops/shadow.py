@@ -354,7 +354,10 @@ def _pack_pcf_taps(shadow_maps: jnp.ndarray) -> jnp.ndarray:
     The PCF fetch operand is LARGE (4 cascades x 1024^2 rows), and large-table
     gather cost scales with row BYTES on this TPU (tools/microbench_taa4.py);
     quantizing the four edge-clamped taps to u16 halves the row from 16 to 8
-    bytes (measured 4.1 -> ~2 ms/frame in the parity trace). u16 depth steps
+    bytes. (Session-9 trace correction: the gather measures 4.1 ms/frame even
+    with 8-byte rows — at 940k lookups over a 4.2M-row operand it is
+    row-LATENCY bound, not byte bound; the projected ~2 ms did not land, and
+    narrower rows would not help further.) u16 depth steps
     are 1.5e-5 — the same order as sample_csm's constant bias headroom (2e-5),
     and the reference's own shadow maps are D16 (directional_light.cpp:28-44),
     so the production comparison actually MATCHES the reference's precision
