@@ -695,6 +695,11 @@ def rasterize_bitmask(
     order, exact combine)."""
     if width % WIN_W or width > 16 * WIN_W:
         raise ValueError(f"width {width} must be a multiple of 128 and <= 2048")
+    if win_h <= 0 or win_h % 8:
+        raise ValueError(
+            f"win_h {win_h} must be a positive multiple of 8 (the fold loop "
+            "consumes 8-row groups; cvar r.Shadow.CSM.WinH)"
+        )
     if chunk % 32 or chunk > 1024 or (chunk // 32) & (chunk // 32 - 1):
         raise ValueError(
             "chunk must be 32 * a power of two, <= 1024 (ww packs chunk/32 bits)"

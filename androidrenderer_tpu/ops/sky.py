@@ -7,8 +7,8 @@ same LUTs feed the RT miss shaders and LPV sky injection.
 The per-pixel march evaluates single scattering in closed form (analytic optical
 depths) plus the Hillaire multiple-scattering term: the 32x32 Psi_ms LUT is
 integrated host-side once (multiscatter_lut) and applied through a polynomial fit
-(psi_ms) because per-step LUT gathers are a ~27 ms/step TPU trap. All constants
-follow Hillaire's earth preset.
+(psi_ms) because per-step LUT gathers are a ~27 ms/step TPU trap. Constants are
+the reference shader's (ARPC-modified rayleigh/ozone, sky/common.glsl:25-33).
 """
 
 from __future__ import annotations
@@ -18,14 +18,18 @@ import numpy as np
 
 from androidrenderer_tpu.ops.brdf import normalize
 
-# Hillaire earth-atmosphere preset.
+# Atmosphere preset = the reference's actual shader constants
+# (sky/common.glsl:25-33): Hillaire's framework with the rayleigh/ozone bases
+# deliberately replaced by ARPC-derived values (the Hillaire originals are kept
+# commented out there). viewPos is fixed 200 m above ground (common.glsl:13) —
+# altitude_km defaults below match.
 GROUND_RADIUS_MM = 6.360  # megameters
 ATMO_RADIUS_MM = 6.460
-RAYLEIGH_SCATTER = np.array([5.802, 13.558, 33.1], np.float32)  # per Mm
+RAYLEIGH_SCATTER = np.array([6.6, 12.3, 29.4], np.float32)  # per Mm (ARPC)
 RAYLEIGH_ABSORB = 0.0
 MIE_SCATTER = 3.996
 MIE_ABSORB = 4.4
-OZONE_ABSORB = np.array([0.650, 1.881, 0.085], np.float32)
+OZONE_ABSORB = np.array([2.26, 1.54, 0.0], np.float32)  # (ARPC)
 GROUND_ALBEDO = 0.3
 
 

@@ -23,9 +23,11 @@ def _sky_oracle(direction, sun_dir, altitude_km=0.2, steps=400, sun_steps=60):
     numeric sun-transmittance integrals instead of the production's analytic
     Chapman approximation."""
     RG, RA = 6.36, 6.46  # ground/atmosphere radius, megameters
-    rayleigh = np.array([5.802, 13.558, 33.1])  # per Mm
+    # Constants from the reference shader (sky/common.glsl:25-33): ARPC-modified
+    # rayleigh/ozone bases, NOT Hillaire's published earth preset.
+    rayleigh = np.array([6.6, 12.3, 29.4])  # per Mm
     mie_s, mie_a = 3.996, 4.4
-    ozone = np.array([0.650, 1.881, 0.085])
+    ozone = np.array([2.26, 1.54, 0.0])
 
     def densities(h_km):
         rho_r = np.exp(-h_km / 8.0)

@@ -149,10 +149,11 @@ def test_bitmask_cascades_win_height_bit_identical():
         scene.sun_direction, 2, 256, 0.05, 128.0, 0.95,
     )
     maps = {}
-    for wh in (32, 16):
+    for wh in (32, 16, 8):
         maps[wh] = np.asarray(S.render_shadow_cascades(
             scene.positions, scene.tri_indices, scene.tri_valid, c, 256,
             use_pallas=True, pallas_interpret=True, use_bitmask=True,
             double_sided=scene.tri_double_sided, win_h=wh,
         ))
     assert np.array_equal(maps[32], maps[16])
+    assert np.array_equal(maps[32], maps[8])
