@@ -557,9 +557,17 @@ def build_window_masks(
         & (ri >= ty0[None, :])
         & (ri <= ty1[None, :])
     )
-    colmask = jnp.where(
-        row_live, (1 << (wx1 + 1)) - (1 << wx0), 0
-    ).astype(jnp.int32)  # (R, N), ncols <= 16 bits used
+    # ncols <= 32 bits used; uint32 with a saturating high mask (1 << 32 is UB
+    # in i32 — wx1 = 31 must yield all-ones) covers 4096-wide targets.
+    m_hi = jnp.where(
+        wx1 >= 31,
+        jnp.uint32(0xFFFFFFFF),
+        (jnp.uint32(1) << (wx1 + 1).astype(jnp.uint32)) - jnp.uint32(1),
+    )
+    m_lo = (jnp.uint32(1) << wx0.astype(jnp.uint32)) - jnp.uint32(1)
+    colmask = jnp.where(row_live, m_hi & ~m_lo, jnp.uint32(0)).astype(
+        jnp.int32
+    )  # (R, N)
 
     pad = num_chunks * chunk - n
     if pad:
@@ -693,8 +701,8 @@ def rasterize_bitmask(
     """(depth (H, W) f32, vis (H, W) i32) — same contract as rasterize_binned;
     output is bit-identical to it (same eval formulas, same per-window touch
     order, exact combine)."""
-    if width % WIN_W or width > 16 * WIN_W:
-        raise ValueError(f"width {width} must be a multiple of 128 and <= 2048")
+    if width % WIN_W or width > 32 * WIN_W:
+        raise ValueError(f"width {width} must be a multiple of 128 and <= 4096")
     if win_h <= 0 or win_h % 8:
         raise ValueError(
             f"win_h {win_h} must be a positive multiple of 8 (the fold loop "

@@ -155,10 +155,13 @@ def test_bitmask_full_frame_bit_identical():
     assert np.array_equal(outs[0], outs[1])
 
 
-@pytest.mark.parametrize("width", [256, 512])
+@pytest.mark.parametrize("width", [256, 512, 2560, 4096])
 def test_bitmask_multi_column_windows(width):
-    """ncols > 1 exercises the column-bit packing ((1 << (wx1+1)) - (1 << wx0))
-    and cross-column spans — the W=128 fixtures only ever touch bit 0."""
+    """ncols > 1 exercises the column-bit packing (uint32 saturating masks)
+    and cross-column spans — the W=128 fixtures only ever touch bit 0. The
+    2560/4096 widths cover ncols > 16 (4096-wide CSM targets), where the mask
+    must saturate at bit 31; the binned kernel's packed bbox stops at 2048, so
+    those compare against the XLA oracle only."""
     from androidrenderer_tpu.camera import Camera
     from androidrenderer_tpu.ops.raster import transform_to_clip, triangle_setup
     from androidrenderer_tpu.ops.raster.binning import bin_triangles
@@ -185,15 +188,17 @@ def test_bitmask_multi_column_windows(width):
     )
     # XLA-vs-kernel FMA contraction: ULP-scale depth differences, amplified at
     # perspective edges where q -> 0 (measured max rel 1.4e-5 on ONE 512-wide
-    # edge pixel; 256-wide max 1.47e-6). The STRICT contract is
-    # kernel-vs-kernel bit equality below.
-    np.testing.assert_allclose(np.asarray(depth), depth_ref, rtol=2e-5, atol=1e-9)
+    # edge pixel; 256-wide max 1.47e-6; 2560-wide max 2.2e-5 on 4 pixels). The
+    # STRICT contract is kernel-vs-kernel bit equality below.
+    rtol = 2e-5 if width <= 512 else 5e-5
+    np.testing.assert_allclose(np.asarray(depth), depth_ref, rtol=rtol, atol=1e-9)
     disagree = np.asarray(vis) != vis_ref
     assert (disagree & (np.asarray(depth) == depth_ref)).sum() == 0
 
-    db, vb = rasterize_binned(
-        setup, h, width, num_slabs=2, chunk=32, cap=6, kb=4, win_h=8,
-        interpret=True,
-    )
-    assert np.array_equal(np.asarray(depth), np.asarray(db))
-    assert np.array_equal(np.asarray(vis), np.asarray(vb))
+    if width <= 2048:
+        db, vb = rasterize_binned(
+            setup, h, width, num_slabs=2, chunk=32, cap=6, kb=4, win_h=8,
+            interpret=True,
+        )
+        assert np.array_equal(np.asarray(depth), np.asarray(db))
+        assert np.array_equal(np.asarray(vis), np.asarray(vb))

@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--mode", default="screen", choices=["screen", "csm", "rsm"])
     ap.add_argument("--chain", type=int, default=10)
     ap.add_argument("--kernels", default="fused,binned8,binned16")
+    ap.add_argument("--res", type=int, default=0,
+                    help="override target resolution (csm/rsm modes)")
     args = ap.parse_args()
 
     from androidrenderer_tpu.camera import Camera
@@ -48,7 +50,7 @@ def main():
         mat = jnp.asarray(cam.view_data().view_proj)
         depth_only, affine = False, False
     elif args.mode == "csm":
-        w = h = 1024
+        w = h = args.res or 1024
         from androidrenderer_tpu.ops.shadow import fit_cascades
         cam = Camera(fov_degrees=75.0, aspect=1.0, render_resolution=(w, h))
         cam.set_position([0.0, 1.7, 6.0])
@@ -60,7 +62,7 @@ def main():
         mat = casc.matrices[1]
         depth_only, affine = True, True
     else:  # rsm
-        w = h = 128
+        w = h = args.res or 128
         from androidrenderer_tpu.ops.shadow import fit_cascades
         cam = Camera(fov_degrees=75.0, aspect=1.0, render_resolution=(w, h))
         cam.set_position([0.0, 1.7, 6.0])
