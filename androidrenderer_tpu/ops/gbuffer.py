@@ -228,9 +228,10 @@ def resolve_gbuffer(
 
     if use_emission:
         s3, b3, lod3 = slot(3)
-        em_s = tex.sample_bilinear(
-            scene.textures, s3, b3, uv, jnp.floor(lod3).astype(jnp.int32)
-        )
+        # Emission entries are (emission, flat, white) triples — their base
+        # channels carry the emission image, sampled trilinear like every
+        # material slot (the reference's default sampler, gltf_model.cpp:497).
+        em_s = tex.sample_trilinear_fused(scene.textures, s3, b3, uv, lod3)
         emission = srgb_to_linear(em_s[..., :3]) * emission_f
     else:
         emission = jnp.zeros_like(base_color)

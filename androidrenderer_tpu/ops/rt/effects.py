@@ -113,6 +113,8 @@ def occlusion_masked(
 ):
     """(R,) bool any-hit occlusion with alpha-masked geometry. Rays park on
     opaque hits (fast path); masked hits alpha-test and re-trace."""
+    # Per-slot opacity is baked into bvh.node_rows (the trace's masked
+    # any-hit park test); the per-hit check below reuses the same source.
     slot_opaque = scene.tri_alpha_mode[jnp.maximum(bvh.slot_tri, 0)] != 1
     r = origins.shape[0]
     t0 = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
@@ -121,7 +123,7 @@ def occlusion_masked(
     for _ in range(peels):
         hits = trace_rays(
             bvh, origins, directions, t0, tmax, any_hit=True,
-            active=live, slot_opaque=slot_opaque,
+            active=live, masked_any_hit=True,
         )
         hit = (hits.slot >= 0) & live
         opaque = hit & slot_opaque[jnp.maximum(hits.slot, 0)]

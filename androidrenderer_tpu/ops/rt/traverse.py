@@ -2,10 +2,20 @@
 
 Every ray carries ONE integer of traversal state (preorder skip-link BVH,
 scene/bvh.py): per step, gather the node, slab-test, and either descend
-(``idx + 1``) or skip (``miss``); leaves Moller-Trumbore-test their 4 triangle slots.
-All rays advance in lockstep inside one ``lax.while_loop`` — pure gathers + VPU math,
-no divergence control flow. Any-hit rays (shadows/AO) park at the end index as soon
-as they find an occluder.
+(``idx + 1``) or skip (``miss``); leaves Moller-Trumbore-test their 4 triangle
+slots. All rays advance in lockstep inside one ``lax.while_loop`` — pure
+gathers + VPU math, no divergence control flow. Any-hit rays (shadows/AO) park
+at the end index as soon as they find an occluder.
+
+Round-4 restructure: the per-step state is ONE row gather. The original
+formulation issued 17 gathers per ray per step (5 node fields + 4 leaf slots x
+v0/e1/e2) — at the ~12 ns/lookup gather floor that was ~11 ms/step at 65k rays
+and made 512^2 RTGI frames exceed the device watchdog. ``node_rows`` packs
+node AABB + links + all four slots' Moller-Trumbore data (+ per-slot opacity
+for masked any-hit) into a (M, 49) f32 row; small-table gathers are WIDTH-FREE
+(tools/microbench_gather2.py), so the packed row costs the same as gathering
+node_min alone. Rows bake host-side at scene build; dynamic refits rebuild
+them in-jit (scene/dynamic.py).
 """
 
 from __future__ import annotations
@@ -18,6 +28,11 @@ import jax.numpy as jnp
 # Must match scene/bvh.py LEAF_SIZE (kept local to avoid a package import cycle;
 # scene.build asserts equality).
 LEAF_SIZE = 4
+
+# node_rows channel layout (all f32; integer fields are f32-exact, < 2^24):
+# 0:3 aabb min | 3:6 aabb max | 6 miss link | 7 first slot (-1 = inner) |
+# 8 slot count | 9:45 four slots x (v0, e1, e2) | 45:49 per-slot opaque flag.
+NODE_ROW_CHANNELS = 9 + LEAF_SIZE * 9 + LEAF_SIZE
 
 
 class DeviceBVH(NamedTuple):
@@ -32,6 +47,47 @@ class DeviceBVH(NamedTuple):
     slot_v0: jnp.ndarray  # (S, 3) Moller-Trumbore precomputed
     slot_e1: jnp.ndarray  # (S, 3)
     slot_e2: jnp.ndarray  # (S, 3)
+    node_rows: jnp.ndarray  # (M, NODE_ROW_CHANNELS) packed traversal rows
+
+
+def pack_node_rows(
+    node_min,
+    node_max,
+    node_miss,
+    node_first,
+    node_count,
+    slot_v0,
+    slot_e1,
+    slot_e2,
+    slot_opaque=None,  # (S,) bool; None = everything opaque
+) -> jnp.ndarray:
+    """(M, NODE_ROW_CHANNELS) f32 packed rows (see layout above).
+
+    Pure jnp — usable both at host bake (scene.build) and inside jitted
+    dynamic refits. The leaf-slot inlining is LEAF_SIZE*3 M-row gathers; at
+    155k nodes that is ~20 ms in-jit, paid once per REFIT (host bakes are
+    free), then every traversal step reads one row instead of 17 gathers."""
+    m = node_min.shape[0]
+    s = slot_v0.shape[0]
+    first = node_first.astype(jnp.int32)
+    base = jnp.maximum(first, 0)
+    cols = [
+        node_min.astype(jnp.float32),
+        node_max.astype(jnp.float32),
+        node_miss.astype(jnp.float32)[:, None],
+        first.astype(jnp.float32)[:, None],
+        node_count.astype(jnp.float32)[:, None],
+    ]
+    if slot_opaque is None:
+        opq = jnp.ones((s,), jnp.float32)
+    else:
+        opq = slot_opaque.astype(jnp.float32)
+    opq_cols = []
+    for k in range(LEAF_SIZE):
+        sl = jnp.minimum(base + k, s - 1)
+        cols += [slot_v0[sl], slot_e1[sl], slot_e2[sl]]
+        opq_cols.append(opq[sl][:, None])
+    return jnp.concatenate(cols + opq_cols, axis=1).astype(jnp.float32)
 
 
 class Hits(NamedTuple):
@@ -50,18 +106,18 @@ def trace_rays(
     any_hit: bool = False,
     max_steps: int = 512,
     active: jnp.ndarray | None = None,  # (R,) bool — inactive rays report miss
-    slot_opaque: jnp.ndarray | None = None,  # (S,) bool — see below
+    masked_any_hit: bool = False,  # any-hit parks only on OPAQUE hits (see below)
 ) -> Hits:
     """Closest-hit (or any-hit) trace of R rays.
 
     ``tmin`` may be per-ray (R,) — used by the alpha-test re-trace loop to peel
-    past ignored hits. ``slot_opaque`` changes any-hit semantics to match the
-    reference's masked any-hit shader (gltf_basic_pbr.slang:291-317): rays park
-    (terminate) only on OPAQUE hits; alpha-masked hits keep the closest-so-far
-    and continue, so the caller can alpha-test the committed hit and re-trace.
-    """
+    past ignored hits. ``masked_any_hit`` changes any-hit semantics to match
+    the reference's masked any-hit shader (gltf_basic_pbr.slang:291-317): rays
+    park (terminate) only on OPAQUE hits (per-slot opacity baked into
+    node_rows); alpha-masked hits keep the closest-so-far and continue, so the
+    caller can alpha-test the committed hit and re-trace."""
     r = origins.shape[0]
-    m = bvh.node_min.shape[0]
+    m = bvh.node_rows.shape[0]
     inv_d = 1.0 / jnp.where(directions == 0.0, 1e-30, directions)
 
     idx0 = jnp.zeros((r,), jnp.int32)
@@ -71,20 +127,22 @@ def trace_rays(
     best_slot = jnp.full((r,), -1, jnp.int32)
     best_u = jnp.zeros((r,), jnp.float32)
     best_v = jnp.zeros((r,), jnp.float32)
+    best_opq = jnp.zeros((r,), bool)
 
     def cond(state):
         step, idx, *_ = state
         return (step < max_steps) & jnp.any(idx < m)
 
     def body(state):
-        step, idx, best_t, best_slot, best_u, best_v = state
+        step, idx, best_t, best_slot, best_u, best_v, best_opq = state
         active = idx < m
         ni = jnp.minimum(idx, m - 1)
-        nmin = bvh.node_min[ni]
-        nmax = bvh.node_max[ni]
-        miss = bvh.node_miss[ni]
-        first = bvh.node_first[ni]
-        count = bvh.node_count[ni]
+        row = bvh.node_rows[ni]  # THE one gather per step
+        nmin = row[:, 0:3]
+        nmax = row[:, 3:6]
+        miss = row[:, 6].astype(jnp.int32)
+        first_f = row[:, 7]
+        count = row[:, 8]
 
         t0 = (nmin - origins) * inv_d
         t1 = (nmax - origins) * inv_d
@@ -92,16 +150,18 @@ def trace_rays(
         tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
         box_hit = active & (tn <= tf) & (tf >= tmin) & (tn <= best_t)
 
-        is_leaf = box_hit & (first >= 0)
+        is_leaf = box_hit & (first_f >= 0.0)
+        first = first_f.astype(jnp.int32)
 
-        # Test the leaf's triangle slots (static unroll over LEAF_SIZE).
+        # Test the leaf's triangle slots (static unroll over LEAF_SIZE; slot
+        # data rides the SAME gathered row).
         for k in range(LEAF_SIZE):
             slot = first + k
             live = is_leaf & (k < count)
-            sl = jnp.maximum(slot, 0)
-            v0 = bvh.slot_v0[sl]
-            e1 = bvh.slot_e1[sl]
-            e2 = bvh.slot_e2[sl]
+            o = 9 + k * 9
+            v0 = row[:, o : o + 3]
+            e1 = row[:, o + 3 : o + 6]
+            e2 = row[:, o + 6 : o + 9]
             pvec = jnp.cross(directions, e2)
             det = jnp.sum(e1 * pvec, axis=-1)
             inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
@@ -123,21 +183,24 @@ def trace_rays(
             best_u = jnp.where(ok, u, best_u)
             best_v = jnp.where(ok, v, best_v)
             best_t = jnp.where(ok, t, best_t)
+            best_opq = jnp.where(ok, row[:, 45 + k] != 0.0, best_opq)
 
-        descend = box_hit & (first < 0)
+        descend = box_hit & (first_f < 0.0)
         nxt = jnp.where(descend, idx + 1, miss)
         nxt = jnp.where(active, nxt, idx)
         if any_hit:
             committed = best_slot >= 0
-            if slot_opaque is not None:
+            if masked_any_hit:
                 # Park only on opaque hits; masked hits need the caller's
                 # alpha test (reference any-hit IgnoreHit path).
-                committed = committed & slot_opaque[jnp.maximum(best_slot, 0)]
+                committed = committed & best_opq
             nxt = jnp.where(committed, m, nxt)
-        return step + 1, nxt, best_t, best_slot, best_u, best_v
+        return step + 1, nxt, best_t, best_slot, best_u, best_v, best_opq
 
-    state = (jnp.int32(0), idx0, best_t, best_slot, best_u, best_v)
-    _, _, best_t, best_slot, best_u, best_v = jax.lax.while_loop(cond, body, state)
+    state = (jnp.int32(0), idx0, best_t, best_slot, best_u, best_v, best_opq)
+    _, _, best_t, best_slot, best_u, best_v, _ = jax.lax.while_loop(
+        cond, body, state
+    )
     return Hits(t=best_t, slot=best_slot, u=best_u, v=best_v)
 
 

@@ -3,13 +3,13 @@
 The reference binds a bindless texture array and samples with HW trilinear filtering +
 a global mip bias (texture_descriptor_pool.hpp:16-46, view_data.hpp
 material_texture_mip_bias). Here the pool is ONE flat mip-packed texel array
-(R, 72) u8 holding every MATERIAL TRIPLE (base + normal + metal-rough) at its
+(R, 117) u8 holding every MATERIAL TRIPLE (base + normal + metal-rough) at its
 native power-of-two resolution (material_storage.pack_texture_pool): texel
 (entry, level, y, x) lives at flat row
 ``start_t + (4*b^2 - 4*s^2)/3 + y*s + x`` (b = entry base size, s = b >> level).
 Channels 0:16 carry the base 2x2 wrap-footprint's four RGBA texels (bilinear =
 ONE gather), 16:52 the next level's 3x3 (single-gather trilinear), 52:64 /
-64:72 the normal and metal-rough 2x2 footprints — a whole material resolves
+onward the normal / metal-rough L+L+1 tap pairs — a whole material resolves
 from one gather with no branching on level or size (sample_material_fused).
 
 Per-sample metadata is (start, log2b) — integers small enough to ride the gbuffer's
@@ -179,7 +179,7 @@ def sample_trilinear_fused(
 
 
 def sample_material_fused(
-    pool: jnp.ndarray,  # (R, 72) u8 material-triple pool (material_storage)
+    pool: jnp.ndarray,  # (R, 117) u8 material-triple pool (material_storage)
     start: jnp.ndarray,
     log2b: jnp.ndarray,
     uv: jnp.ndarray,
@@ -187,13 +187,15 @@ def sample_material_fused(
 ):
     """(base (..., 4), normal (..., 3), metal_rough (..., 2)) — ONE gather.
 
-    Base resolves with the fused-trilinear scheme (channels 0:52,
-    sample_trilinear_fused semantics, bit-identical); the normal map and
-    metal-rough maps resolve BILINEAR at floor(lod) from channels 52:64 /
-    64:72 — exactly the integer-LOD semantics the per-slot samplers used,
-    because every map in a triple shares the base's size (bake-time resample).
-    Collapses the gbuffer resolve's 3 texture gathers into 1 (each 2M-row
-    gather is ~15-27 ms/frame)."""
+    Every slot resolves TRILINEAR (fused-trilinear scheme: L 2x2 + L+1 3x3
+    pairs per slot; base 0:16/16:52, normal 52:64/64:91, MR 91:99/99:117) —
+    the reference's default sampler is mip-LINEAR for all material slots
+    (gltf_model.cpp:497-534). Integer-LOD normal/MR (the round-3 scheme) was
+    a measured fidelity amplifier: floor(lod) flips at LOD boundaries swing
+    GGX speculars through quantized normal x roughness. Collapses the gbuffer
+    resolve's 3 texture gathers into 1 (each 2M-row gather is ~15-27
+    ms/frame); rows widened 72 -> 117 u8 at zero gather cost (width-free,
+    tools/microbench_gather2.py)."""
     log2b = log2b.astype(jnp.int32)
     lodc = jnp.clip(lod, 0.0, log2b.astype(jnp.float32))
     level = jnp.floor(lodc).astype(jnp.int32)
@@ -245,38 +247,47 @@ def sample_material_fused(
     ox1 = (((xc0i - kx + 1) & (sc - 1)) == 1)[..., None]
     oy1 = (((yc0i - ky + 1) & (sc - 1)) == 1)[..., None]
 
-    def cell(i, j):
-        o = 16 + (i * 3 + j) * 4
-        return taps[..., o : o + 4]
+    def coarse_bilerp(block_off, ch):
+        """Coarse-level bilinear from a 3x3 block at ``block_off`` with ``ch``
+        channels per tap (shared ox1/oy1/fxc/fyc select machinery)."""
 
-    def pick(di, dj):
-        r0 = jnp.where(ox1, cell(0 + di, 1 + dj), cell(0 + di, 0 + dj))
-        r1 = jnp.where(ox1, cell(1 + di, 1 + dj), cell(1 + di, 0 + dj))
-        return jnp.where(oy1, r1, r0)
+        def cell(i, j):
+            o = block_off + (i * 3 + j) * ch
+            return taps[..., o : o + ch]
 
-    ctop = pick(0, 0) + (pick(0, 1) - pick(0, 0)) * fxc
-    cbot = pick(1, 0) + (pick(1, 1) - pick(1, 0)) * fxc
-    coarse = ctop + (cbot - ctop) * fyc
-    base = fine + (coarse - fine) * fl
+        def pick(di, dj):
+            r0 = jnp.where(ox1, cell(0 + di, 1 + dj), cell(0 + di, 0 + dj))
+            r1 = jnp.where(ox1, cell(1 + di, 1 + dj), cell(1 + di, 0 + dj))
+            return jnp.where(oy1, r1, r0)
 
-    nrm = bilerp(
+        ctop = pick(0, 0) + (pick(0, 1) - pick(0, 0)) * fxc
+        cbot = pick(1, 0) + (pick(1, 1) - pick(1, 0)) * fxc
+        return ctop + (cbot - ctop) * fyc
+
+    base = fine + (coarse_bilerp(16, 4) - fine) * fl
+
+    nrm_fine = bilerp(
         taps[..., 52:55], taps[..., 55:58], taps[..., 58:61], taps[..., 61:64]
     )
-    mr = bilerp(
-        taps[..., 64:66], taps[..., 66:68], taps[..., 68:70], taps[..., 70:72]
+    nrm = nrm_fine + (coarse_bilerp(64, 3) - nrm_fine) * fl
+    mr_fine = bilerp(
+        taps[..., 91:93], taps[..., 93:95], taps[..., 95:97], taps[..., 97:99]
     )
+    mr = mr_fine + (coarse_bilerp(99, 2) - mr_fine) * fl
     return base, nrm, mr
 
 
 def sample_mr_bilinear(
-    pool: jnp.ndarray,  # (R, 72) u8 material-triple pool
+    pool: jnp.ndarray,  # (R, 117) u8 material-triple pool
     start: jnp.ndarray,
     log2b: jnp.ndarray,
     uv: jnp.ndarray,
     level: jnp.ndarray,  # (...,) i32 mip level
 ) -> jnp.ndarray:
-    """Metal-rough bilinear from the triple row's 64:72 channels — (..., 2)
-    [G = roughness, B = metalness] (glTF metallicRoughness channel order)."""
+    """Metal-rough bilinear from the triple row's 91:99 channels — (..., 2)
+    [G = roughness, B = metalness] (glTF metallicRoughness channel order).
+    Integer-LOD (RT hit shading, where rays carry no derivatives — the
+    reference's hit shaders sample level 0 likewise)."""
     log2b = log2b.astype(jnp.int32)
     level = jnp.clip(level.astype(jnp.int32), 0, log2b)
     b = jnp.left_shift(jnp.int32(1), log2b)
@@ -296,10 +307,10 @@ def sample_mr_bilinear(
     taps = pool[start + mip_off + y0i * size + x0i].astype(jnp.float32) * (
         1.0 / 255.0
     )
-    c00 = taps[..., 64:66]
-    c01 = taps[..., 66:68]
-    c10 = taps[..., 68:70]
-    c11 = taps[..., 70:72]
+    c00 = taps[..., 91:93]
+    c01 = taps[..., 93:95]
+    c10 = taps[..., 95:97]
+    c11 = taps[..., 97:99]
     top = c00 + (c01 - c00) * fx
     bot = c10 + (c11 - c10) * fx
     return top + (bot - top) * fy

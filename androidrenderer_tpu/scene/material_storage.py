@@ -175,12 +175,16 @@ class MaterialStorage:
         }
 
     # Material-packed rows: base 2x2 of level L (16) + base 3x3 of level L+1
-    # (36) + normal-map 2x2 RGB (12) + metal-rough 2x2 [G=rough, B=metal] (8).
-    # One pool entry per unique (base, normal, metal_rough) MATERIAL triple, so
-    # the gbuffer resolve's base-trilinear + normal + MR fetches collapse into
-    # ONE gather (each extra 2M-row gather is ~15-27 ms/frame on this TPU;
-    # flat-row gather WIDTH is ~free to >= 87 f32 — tools/microbench_gather.py).
-    POOL_CHANNELS = 72
+    # (36) + normal-map 2x2 RGB (12) + normal 3x3 of L+1 (27) + metal-rough
+    # 2x2 [G=rough, B=metal] (8) + MR 3x3 of L+1 (18).  Every map carries BOTH
+    # levels, so the whole material samples TRILINEAR from one gather — the
+    # reference's default sampler is VK_SAMPLER_MIPMAP_MODE_LINEAR for all
+    # four material slots (gltf_model.cpp:497-534); round-3's integer-LOD
+    # normal/MR was a measured fidelity amplifier (LOD-boundary flips through
+    # GGX).  One pool entry per unique (base, normal, metal_rough) MATERIAL
+    # triple; gather WIDTH is ~free (tools/microbench_gather2.py: flat
+    # 4 B..348 B rows all cost 13-14 ns/lookup).
+    POOL_CHANNELS = 117
 
     def _texture_entries(self):
         """Unique (primary, normal, metal_rough) image triples + per-material
@@ -211,7 +215,7 @@ class MaterialStorage:
         return entries, np.asarray(ids, np.int32).reshape(len(ids), 4)
 
     def pack_texture_pool(self):
-        """(pool (R, 72) u8, start (E,) i32, log2b (E,) i32) — ONE flat
+        """(pool (R, 117) u8, start (E,) i32, log2b (E,) i32) — ONE flat
         tap-packed MATERIAL-triple pool with full mip chains at native
         resolution (entries from ``_texture_entries``).
 
@@ -221,12 +225,14 @@ class MaterialStorage:
         RGBA texels (bilinear = ONE gather, ops/texture.py); channels 16:52
         carry the base's NEXT level 3x3 wrap-neighborhood centered at
         (y>>1, x>>1) — TRILINEAR filtering in the same single gather
-        (sample_trilinear_fused). Channels 52:64 / 64:72 carry the material's
-        normal map (RGB) and metal-rough ([G, B]) 2x2 footprints at the SAME
-        level: maps are resampled to the triple's max size at bake, so the
-        per-slot mip level coincides with the base's and the whole material
-        resolves from one row (sample_material_fused). The last level packs
-        itself (the lod clamp makes its blend weight zero)."""
+        (sample_trilinear_fused). Channels 52:64 / 64:91 carry the normal
+        map's (RGB) 2x2-at-L / 3x3-at-L+1 pair and 91:99 / 99:117 the
+        metal-rough ([G, B]) pair — the same trilinear scheme per slot, so the
+        whole material resolves TRILINEAR from one row (sample_material_fused;
+        the reference samples all material slots mip-linear,
+        gltf_model.cpp:497-534). Maps are resampled to the triple's max size
+        at bake, so per-slot mip levels coincide with the base's. The last
+        level packs itself (the lod clamp makes its blend weight zero)."""
         entries, _ = self._texture_entries()
         starts = np.zeros(len(entries), np.int32)
         log2b = np.zeros(len(entries), np.int32)
@@ -257,23 +263,32 @@ class MaterialStorage:
 
             for li, m in enumerate(bmips):
                 s_l = m.shape[0]
-                packed = quad(m, slice(0, 4))  # (s, s, 16)
-                nxt = bmips[li + 1] if li + 1 < len(bmips) else m
-                s_n = nxt.shape[0]
-                yy = np.arange(s_l) >> (0 if nxt is m else 1)
+                is_last = li + 1 >= len(bmips)
+                yy = np.arange(s_l) >> (1 - is_last)
                 xx = yy  # square textures: same index mapping per axis
-                blocks = []
-                for dy in (-1, 0, 1):
-                    for dx in (-1, 0, 1):
-                        by = (yy[:, None] + dy) & (s_n - 1)
-                        bx = (xx[None, :] + dx) & (s_n - 1)
-                        blocks.append(nxt[by, bx])  # (s, s, 4)
+
+                def nine(mips, ch):
+                    """L+1 3x3 wrap-neighborhood centered at (y>>1, x>>1),
+                    ``ch`` channels per tap, row-major (dy, dx) in {-1,0,1}."""
+                    nxt = mips[li] if is_last else mips[li + 1]
+                    s_n = nxt.shape[0]
+                    blocks = []
+                    for dy in (-1, 0, 1):
+                        for dx in (-1, 0, 1):
+                            by = (yy[:, None] + dy) & (s_n - 1)
+                            bx = (xx[None, :] + dx) & (s_n - 1)
+                            blocks.append(nxt[by, bx][..., ch])
+                    return blocks
+
                 packed = np.concatenate(
-                    [packed]
-                    + blocks
-                    + [quad(nmips[li], slice(0, 3)), quad(mmips[li], slice(1, 3))],
+                    [quad(m, slice(0, 4))]                       # 0:16
+                    + nine(bmips, slice(0, 4))                   # 16:52
+                    + [quad(nmips[li], slice(0, 3))]             # 52:64
+                    + nine(nmips, slice(0, 3))                   # 64:91
+                    + [quad(mmips[li], slice(1, 3))]             # 91:99
+                    + nine(mmips, slice(1, 3)),                  # 99:117
                     axis=-1,
-                )  # (s, s, 72)
+                )  # (s, s, 117)
                 rows.append(packed.reshape(-1, self.POOL_CHANNELS))
             chunk = np.concatenate(rows, axis=0)
             pad = (-chunk.shape[0] - acc) % START_ALIGN

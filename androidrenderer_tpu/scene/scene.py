@@ -116,7 +116,7 @@ class SceneArrays(NamedTuple):
     mat_texture_ids: jnp.ndarray  # (M, 4) i32
     mat_alpha: jnp.ndarray  # (M, 2) f32 [mode, cutoff]
     mat_double_sided: jnp.ndarray  # (M,) bool
-    # Texture pool, ONE flat mip-packed tap-packed texel array (R, 72) u8 with
+    # Texture pool, ONE flat mip-packed tap-packed texel array (R, 117) u8 with
     # material-triple rows (base 2x2 of level L + 3x3 of level L+1 + normal RGB
     # 2x2 + metal-rough 2x2) at native resolutions
     # (material_storage.pack_texture_pool).
@@ -359,6 +359,14 @@ class RenderScene:
             slot_v0 = np.where(dead, 0.0, t0).astype(np.float32)
             slot_e1 = np.where(dead, 0.0, t1 - t0).astype(np.float32)
             slot_e2 = np.where(dead, 0.0, t2 - t0).astype(np.float32)
+            # Per-slot opacity (masked any-hit parks only on opaque hits) is
+            # baked into the packed traversal rows.
+            tri_alpha_np = np.concatenate(all_alpha)
+            slot_opaque_np = np.where(
+                slots >= 0, tri_alpha_np[safe] != 1, True
+            )
+            from androidrenderer_tpu.ops.rt.traverse import pack_node_rows
+
             device_bvh = DeviceBVH(
                 node_min=jnp.asarray(bvh_np.node_min),
                 node_max=jnp.asarray(bvh_np.node_max),
@@ -369,9 +377,24 @@ class RenderScene:
                 slot_v0=jnp.asarray(slot_v0),
                 slot_e1=jnp.asarray(slot_e1),
                 slot_e2=jnp.asarray(slot_e2),
+                node_rows=pack_node_rows(
+                    jnp.asarray(bvh_np.node_min), jnp.asarray(bvh_np.node_max),
+                    jnp.asarray(bvh_np.node_miss),
+                    jnp.asarray(bvh_np.node_first),
+                    jnp.asarray(bvh_np.node_count),
+                    jnp.asarray(slot_v0), jnp.asarray(slot_e1),
+                    jnp.asarray(slot_e2), jnp.asarray(slot_opaque_np),
+                ),
             )
         else:
+            from androidrenderer_tpu.ops.rt.traverse import NODE_ROW_CHANNELS
+
             z3 = jnp.zeros((1, 3), jnp.float32)
+            empty_rows = jnp.zeros((1, NODE_ROW_CHANNELS), jnp.float32)
+            empty_rows = empty_rows.at[0, 0:3].set(jnp.inf)  # degenerate AABB
+            empty_rows = empty_rows.at[0, 3:6].set(-jnp.inf)
+            empty_rows = empty_rows.at[0, 6].set(1.0)  # miss link -> park
+            empty_rows = empty_rows.at[0, 7].set(-1.0)  # inner (no slots)
             device_bvh = DeviceBVH(
                 node_min=jnp.full((1, 3), jnp.inf),
                 node_max=jnp.full((1, 3), -jnp.inf),
@@ -381,6 +404,7 @@ class RenderScene:
                 slot_tri=jnp.full((4,), -1, jnp.int32),
                 slot_v0=jnp.zeros((4, 3)), slot_e1=jnp.zeros((4, 3)),
                 slot_e2=jnp.zeros((4, 3)),
+                node_rows=empty_rows,
             )
 
         alpha_grid = _bake_alpha_grids(

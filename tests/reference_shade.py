@@ -32,20 +32,29 @@ def _normalize(v, axis=-1):
 
 
 def brdf_reference(base_color, normal, metal, rough, l, v):
-    """Filament pipeline (brdf.slangi): returns f(l, v) per pixel, float64."""
+    """float64 oracle of the reference's ACTUAL shader math (brdf.slangi:22-115).
+
+    Two deliberate departures from Filament's published docs, both faithful to
+    the shader: (1) NO perceptual-roughness remap — surface.roughness (data.g
+    * roughness_factor, gltf_basic_pbr.slang:222,244) feeds D/V directly;
+    (2) D uses the shader's own k-form ``k = r / (1 - NoH^2 + r^2)`` (the
+    Filament half-float variant would carry NoH^2 on the r^2 term). Round-3's
+    oracle squared roughness per the Filament docs — production (which matches
+    the shader) measured 6.3x the oracle's specular on grazing gold, the
+    dominant fidelity residual."""
     rough = np.clip(rough, 0.045, 1.0)
-    a = rough * rough
+    a = rough  # brdf.slangi passes surface.roughness through unsquared
     h = _normalize(l + v)
     nol = np.clip(np.sum(normal * l, axis=-1, keepdims=True), 0.0, 1.0)
     nov = np.abs(np.sum(normal * v, axis=-1, keepdims=True)) + 1e-5
     noh = np.clip(np.sum(normal * h, axis=-1, keepdims=True), 0.0, 1.0)
     loh = np.clip(np.sum(l * h, axis=-1, keepdims=True), 0.0, 1.0)
 
-    # D_GGX
+    # D_GGX (brdf.slangi:22-25: k = r / (1 - NoH^2 + r^2), D = k^2 / pi)
     a2 = a * a
-    f_d = (noh * a2 - noh) * noh + 1.0
-    d = a2 / np.maximum(np.pi * f_d * f_d, 1e-12)
-    # V_SmithGGXCorrelated
+    k = a / np.maximum(1.0 - noh * noh + a2, 1e-12)
+    d = k * k / np.pi
+    # V_SmithGGXCorrelated (brdf.slangi:29-35, a = surface.roughness)
     ggxv = nol * np.sqrt(nov * nov * (1.0 - a2) + a2)
     ggxl = nov * np.sqrt(nol * nol * (1.0 - a2) + a2)
     vis = 0.5 / np.maximum(ggxv + ggxl, 1e-12)
@@ -53,7 +62,7 @@ def brdf_reference(base_color, normal, metal, rough, l, v):
     f0 = 0.04 * (1.0 - metal) + base_color * metal
     f = f0 + (1.0 - f0) * (1.0 - loh) ** 5
     specular = d * vis * f
-    # Fd_Burley
+    # Fd_Burley (brdf.slangi:39-45: f90 = 0.5 + 2 * roughness * LoH^2)
     f90 = 0.5 + 2.0 * a * loh * loh
 
     def schlick(u, one, ninety):
@@ -241,9 +250,10 @@ def shade_reference(
         )[mask]
     base = base * tex_px
 
-    def sample_mat_texture(tex_ids, int_lod=True):
-        """Per-material texture sample at the analytic LOD (floored for the
-        non-color channels, matching the production resolve)."""
+    def sample_mat_texture(tex_ids, int_lod=False):
+        """Per-material texture sample at the analytic LOD — TRILINEAR for all
+        material slots, the reference's default sampler mode
+        (gltf_model.cpp:497-534: VK_SAMPLER_MIPMAP_MODE_LINEAR)."""
         out = np.zeros(uv_px.shape[:2] + (4,))
         ids = tex_ids[mat_px]
         for ti in np.unique(ids):

@@ -37,16 +37,19 @@ def _fixture(name):
     return rs, cam.view_data()
 
 
-# (fixture, use_normal_maps, use_mr_textures, min_ssim). Normal mapping and MR
-# texturing each clear 0.98 against the oracle on their own (measured 0.9904 /
-# 0.9810); composed, u8 texture quantization differences amplify through the
-# GGX speculars of bumpy metallic-fleck materials and the measured bound is
-# 0.9784 — gated at 0.975 so a real regression still trips it.
+# (fixture, use_normal_maps, use_mr_textures, min_ssim). All four configs gate
+# at the BASELINE.md 0.98 bar. Round 4 closed the composed-config gap (was
+# 0.9784): the residual was the ORACLE's own divergence from the reference
+# shader — it applied Filament's documented perceptual-roughness remap
+# (alpha = roughness^2) where brdf.slangi:22-35 feeds surface.roughness into
+# D/V unsquared (production matched the shader; measured 6.3x specular delta
+# on grazing gold). Normal/MR sampling is also now trilinear on both sides
+# (the reference's default sampler, gltf_model.cpp:497-534).
 _CASES = [
     ("cornell", True, True, 0.98),
     ("courtyard", True, False, 0.98),
     ("courtyard", False, True, 0.98),
-    ("courtyard", True, True, 0.975),
+    ("courtyard", True, True, 0.98),
 ]
 
 

@@ -75,7 +75,9 @@ def test_trilinear_fused_matches_two_gather():
 
 
 def test_material_fused_matches_per_map_sampling():
-    """sample_material_fused == base trilinear + per-map bilinear at floor(lod).
+    """sample_material_fused == per-map TRILINEAR sampling (round 4: every
+    material slot filters mip-linear, the reference's default sampler —
+    gltf_model.cpp:497-534).
 
     The normal / metal-rough maps are registered as BASE textures of sibling
     materials, so their per-map reference path samples the same images through
@@ -113,16 +115,18 @@ def test_material_fused_matches_per_map_sampling():
     ref_base = tex.sample_trilinear_fused(pool, st, lb, uv, lod)
     np.testing.assert_allclose(np.asarray(base), np.asarray(ref_base), atol=1e-6)
 
-    level = jnp.floor(jnp.clip(lod, 0.0, 5.0)).astype(jnp.int32)
     stn, lbn = meta(2)
-    ref_nrm = tex.sample_bilinear(pool, stn, lbn, uv, level)[..., :3]
+    ref_nrm = tex.sample_trilinear(pool, stn, lbn, uv, lod)[..., :3]
     np.testing.assert_allclose(np.asarray(nrm), np.asarray(ref_nrm), atol=1e-6)
 
     stm, lbm = meta(3)
-    ref_mr = tex.sample_bilinear(pool, stm, lbm, uv, level)[..., 1:3]
+    ref_mr = tex.sample_trilinear(pool, stm, lbm, uv, lod)[..., 1:3]
     np.testing.assert_allclose(np.asarray(mr), np.asarray(ref_mr), atol=1e-6)
-    ref_mr2 = tex.sample_mr_bilinear(pool, st, lb, uv, level)
-    np.testing.assert_allclose(np.asarray(mr), np.asarray(ref_mr2), atol=1e-6)
+    # The integer-LOD MR sampler (RT hit shading) still matches bilinear.
+    level = jnp.floor(jnp.clip(lod, 0.0, 5.0)).astype(jnp.int32)
+    ref_mr2 = tex.sample_bilinear(pool, stm, lbm, uv, level)[..., 1:3]
+    got_mr2 = tex.sample_mr_bilinear(pool, st, lb, uv, level)
+    np.testing.assert_allclose(np.asarray(got_mr2), np.asarray(ref_mr2), atol=1e-6)
 
 
 def test_material_triple_mixed_sizes_resample():
@@ -158,7 +162,6 @@ def test_material_triple_mixed_sizes_resample():
     lb = jnp.full((n,), log2b[1], jnp.int32)
     _, nrm, _ = tex.sample_material_fused(pool, st, lb, uv, lod)
 
-    level = jnp.floor(lod).astype(jnp.int32)
     st2 = jnp.full((n,), starts[2], jnp.int32)
-    ref = tex.sample_bilinear(pool, st2, lb, uv, level)[..., :3]
+    ref = tex.sample_trilinear(pool, st2, lb, uv, lod)[..., :3]
     np.testing.assert_allclose(np.asarray(nrm), np.asarray(ref), atol=1e-6)

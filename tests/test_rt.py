@@ -31,13 +31,21 @@ def device_bvh(verts, idx):
     t1 = verts[idx[safe, 1]]
     t2 = verts[idx[safe, 2]]
     dead = (slots < 0)[:, None]
+    from androidrenderer_tpu.ops.rt.traverse import pack_node_rows
+
+    sv0 = jnp.asarray(np.where(dead, 0, t0).astype(np.float32))
+    se1 = jnp.asarray(np.where(dead, 0, t1 - t0).astype(np.float32))
+    se2 = jnp.asarray(np.where(dead, 0, t2 - t0).astype(np.float32))
     return b, DeviceBVH(
         node_min=jnp.asarray(b.node_min), node_max=jnp.asarray(b.node_max),
         node_miss=jnp.asarray(b.node_miss), node_first=jnp.asarray(b.node_first),
         node_count=jnp.asarray(b.node_count), slot_tri=jnp.asarray(slots),
-        slot_v0=jnp.asarray(np.where(dead, 0, t0)),
-        slot_e1=jnp.asarray(np.where(dead, 0, t1 - t0)),
-        slot_e2=jnp.asarray(np.where(dead, 0, t2 - t0)),
+        slot_v0=sv0, slot_e1=se1, slot_e2=se2,
+        node_rows=pack_node_rows(
+            jnp.asarray(b.node_min), jnp.asarray(b.node_max),
+            jnp.asarray(b.node_miss), jnp.asarray(b.node_first),
+            jnp.asarray(b.node_count), sv0, se1, se2,
+        ),
     )
 
 
