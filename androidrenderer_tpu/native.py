@@ -82,7 +82,11 @@ def build_bvh_native(positions: np.ndarray, tri_indices: np.ndarray,
     )
     if rc <= 0:
         return None
-    return BVHArrays(node_min, node_max, node_miss, node_first, node_count, tri_order)
+    from androidrenderer_tpu.scene.bvh import sanitize_padded_boxes
+
+    fixed = sanitize_padded_boxes(node_min, node_max)
+    return BVHArrays(fixed["node_min"], fixed["node_max"], node_miss,
+                     node_first, node_count, tri_order)
 
 
 def sample_surface_native(positions: np.ndarray, tri_indices: np.ndarray,

@@ -526,48 +526,66 @@ def build_window_masks(
     bx0 = records[:, 19]
     bx1 = records[:, 21]
 
-    r = jnp.arange(nrows, dtype=jnp.float32)[:, None]  # (R, 1)
-    ytf = r * win_h
-    ybf = ytf + (win_h - 1)
+    # ROW PACKING (round 4, VERDICT r3 #5): k = 32 // ncols window rows share
+    # one u32 element (row j's column bits occupy field [j*ncols, (j+1)*ncols)),
+    # so the butterfly transpose + reduces below run on a k-times smaller
+    # table — the transpose does not care what the 32 bits MEAN, and after it,
+    # transposed bit position p = j*ncols + c IS the (row j, col c) word.
+    # Main view (ncols 15) packs 2 rows/element, CSM 1024^2 (ncols 8) packs 4,
+    # RSM 128-wide packs 32.
+    k_pack = max(1, 32 // ncols)
+    f_bits = ncols
+    nrp = -(-nrows // k_pack)
 
-    span_lo = jnp.broadcast_to(bx0[None, :], (nrows, n))
-    span_hi = jnp.broadcast_to(bx1[None, :], (nrows, n))
-    for e in range(3):
-        aa = a[:, e, 0][None, :]
-        bb = a[:, e, 1][None, :]
-        cc = a[:, e, 2][None, :]
-        inv = ia[:, e][None, :]
-        bt = -(bb * ytf + cc) * inv
-        bb_ = -(bb * ybf + cc) * inv
-        lo_e = jnp.where(aa < 0.0, jnp.minimum(bt, bb_), bx0[None, :])
-        hi_e = jnp.where(aa > 0.0, jnp.maximum(bt, bb_), bx1[None, :])
-        span_lo = jnp.maximum(span_lo, lo_e)
-        span_hi = jnp.minimum(span_hi, hi_e)
-    dbl = (sid < 0.0)[None, :]
-    span_lo = jnp.where(dbl, bx0[None, :], span_lo)
-    span_hi = jnp.where(dbl, bx1[None, :], span_hi)
-    # Guard band (see docstring) applied to the WINDOW conversion only.
-    wx0 = (jnp.clip(span_lo - 0.5, 0.0, width - 1.0) // WIN_W).astype(jnp.int32)
-    wx1 = (jnp.clip(span_hi + 0.5, 0.0, width - 1.0) // WIN_W).astype(jnp.int32)
-
-    ri = jnp.arange(nrows, dtype=jnp.int32)[:, None]
-    row_live = (
-        valid[None, :]
-        & (span_hi + 0.5 >= span_lo - 0.5)
-        & (ri >= ty0[None, :])
-        & (ri <= ty1[None, :])
-    )
-    # ncols <= 32 bits used; uint32 with a saturating high mask (1 << 32 is UB
-    # in i32 — wx1 = 31 must yield all-ones) covers 4096-wide targets.
-    m_hi = jnp.where(
-        wx1 >= 31,
-        jnp.uint32(0xFFFFFFFF),
-        (jnp.uint32(1) << (wx1 + 1).astype(jnp.uint32)) - jnp.uint32(1),
-    )
-    m_lo = (jnp.uint32(1) << wx0.astype(jnp.uint32)) - jnp.uint32(1)
-    colmask = jnp.where(row_live, m_hi & ~m_lo, jnp.uint32(0)).astype(
-        jnp.int32
-    )  # (R, N)
+    colmask = jnp.zeros((nrp, n), jnp.uint32)
+    rp = jnp.arange(nrp, dtype=jnp.float32)[:, None]  # (RP, 1)
+    rpi = jnp.arange(nrp, dtype=jnp.int32)[:, None]
+    for jj in range(k_pack):
+        ytf = (rp * k_pack + jj) * win_h
+        ybf = ytf + (win_h - 1)
+        span_lo = jnp.broadcast_to(bx0[None, :], (nrp, n))
+        span_hi = jnp.broadcast_to(bx1[None, :], (nrp, n))
+        for e in range(3):
+            aa = a[:, e, 0][None, :]
+            bb = a[:, e, 1][None, :]
+            cc = a[:, e, 2][None, :]
+            inv = ia[:, e][None, :]
+            bt = -(bb * ytf + cc) * inv
+            bb_ = -(bb * ybf + cc) * inv
+            lo_e = jnp.where(aa < 0.0, jnp.minimum(bt, bb_), bx0[None, :])
+            hi_e = jnp.where(aa > 0.0, jnp.maximum(bt, bb_), bx1[None, :])
+            span_lo = jnp.maximum(span_lo, lo_e)
+            span_hi = jnp.minimum(span_hi, hi_e)
+        dbl = (sid < 0.0)[None, :]
+        span_lo = jnp.where(dbl, bx0[None, :], span_lo)
+        span_hi = jnp.where(dbl, bx1[None, :], span_hi)
+        # Guard band (see docstring) applied to the WINDOW conversion only.
+        wx0 = (jnp.clip(span_lo - 0.5, 0.0, width - 1.0) // WIN_W).astype(
+            jnp.int32
+        )
+        wx1 = (jnp.clip(span_hi + 0.5, 0.0, width - 1.0) // WIN_W).astype(
+            jnp.int32
+        )
+        ri = rpi * k_pack + jj
+        row_live = (
+            valid[None, :]
+            & (span_hi + 0.5 >= span_lo - 0.5)
+            & (ri >= ty0[None, :])
+            & (ri <= ty1[None, :])
+            & (ri < nrows)
+        )
+        # ncols <= 32 bits used; uint32 with a saturating high mask (1 << 32
+        # is UB in i32 — wx1 = 31 must yield all-ones) covers 4096-wide
+        # targets (k_pack = 1 there).
+        m_hi = jnp.where(
+            wx1 >= 31,
+            jnp.uint32(0xFFFFFFFF),
+            (jnp.uint32(1) << (wx1 + 1).astype(jnp.uint32)) - jnp.uint32(1),
+        )
+        m_lo = (jnp.uint32(1) << wx0.astype(jnp.uint32)) - jnp.uint32(1)
+        field = jnp.where(row_live, m_hi & ~m_lo, jnp.uint32(0))
+        colmask = colmask | (field << jnp.uint32(jj * f_bits))
+    colmask = colmask.astype(jnp.int32)  # (RP, N)
 
     pad = num_chunks * chunk - n
     if pad:
@@ -575,72 +593,58 @@ def build_window_masks(
     ntot = num_chunks * chunk
     nwords = ntot // 32
 
-    # Transpose (columns <-> triangle bits): words[r, col, W] bit j =
-    # (colmask[r, 32W + j] >> col) & 1 — a 32x32 BIT-MATRIX TRANSPOSE per
-    # (row, word). The session-5 profile found the original per-column
-    # shift-OR-tree (ncols x ~6 passes over the (R, W, 32) block) was the
-    # single largest cost of the whole raster (49 ms of the 71 ms bitmask
-    # raster at bench scale, 119 ms at win_h=8). The Hacker's-Delight
-    # butterfly does it in 5 levels x ~3 passes, independent of ncols; its
-    # anti-diagonal variant (exchange the other corner pair per level) lands
-    # directly in this table's little-endian convention (element e of a
-    # 32-triangle group <-> bit e; verified == the OR-tree bit-for-bit).
-    # For ncols <= 2 (RSM's 128-wide target) the OR-tree is fewer passes.
-    cm = colmask.reshape(nrows, nwords, 32)
-    if ncols <= 2:
-        per_col = []
-        for col in range(ncols):
-            t = (cm >> col) & 1  # (R, W, 32)
-            stride = 1
-            width_now = 32
-            while width_now > 1:
-                t = t[..., 0::2] | (t[..., 1::2] << stride)
-                stride *= 2
-                width_now //= 2
-            per_col.append(t[..., 0])  # (R, W)
-        words = jnp.stack(per_col, axis=1)  # (R, ncols, W)
-    else:
-        x = cm.astype(jnp.uint32)
-        m = jnp.uint32(0x0000FFFF)
-        j = 16
-        while j:
-            sh = x.reshape(nrows, nwords, 32 // (2 * j), 2, j)
-            lo = sh[..., 0, :]
-            hi = sh[..., 1, :]
-            t = ((lo >> j) ^ hi) & m
-            hi = hi ^ t
-            lo = lo ^ (t << j)
-            x = jnp.stack([lo, hi], axis=-2).reshape(nrows, nwords, 32)
-            j >>= 1
-            if j:
-                m = m ^ (m << j)
-        # x[r, W, c] = col c's word for triangle group W (cols >= ncols are 0
-        # because colmask uses only ncols bits).
-        words = jnp.transpose(x[..., :ncols], (0, 2, 1)).astype(jnp.int32)
+    # Transpose (packed row-col fields <-> triangle bits): a 32x32 BIT-MATRIX
+    # TRANSPOSE per (packed row, word) via the Hacker's-Delight anti-diagonal
+    # butterfly (5 levels x ~3 passes; the session-5 per-column shift-OR-tree
+    # was 49 of 71 ms at bench scale). After the transpose, output bit
+    # position p = j*ncols + c is exactly the 32-triangle word of
+    # (row rp*k_pack + j, col c) — the butterfly never interprets the bits,
+    # so row packing divides its traffic by k_pack for free.
+    cm = colmask.reshape(nrp, nwords, 32)
+    x = cm.astype(jnp.uint32)
+    m = jnp.uint32(0x0000FFFF)
+    j = 16
+    while j:
+        sh = x.reshape(nrp, nwords, 32 // (2 * j), 2, j)
+        lo = sh[..., 0, :]
+        hi = sh[..., 1, :]
+        t = ((lo >> j) ^ hi) & m
+        hi = hi ^ t
+        lo = lo ^ (t << j)
+        x = jnp.stack([lo, hi], axis=-2).reshape(nrp, nwords, 32)
+        j >>= 1
+        if j:
+            m = m ^ (m << j)
+    kf = k_pack * f_bits
+    # (RP, W, k, f) -> (RP, k, f, W) -> (R, ncols, W); rows past nrows (dead
+    # fields in the last packed element) are all-zero and sliced away.
+    y = x[..., :kf].reshape(nrp, nwords, k_pack, f_bits)
+    words = (
+        jnp.transpose(y, (0, 2, 3, 1))
+        .reshape(nrp * k_pack, f_bits, nwords)[:nrows]
+        .astype(jnp.int32)
+    )
 
     # ww: bitmask of nonzero words per (window, chunk); cnt: exact touches.
-    # Both REDUCE over wpc before any transpose: the old formulation reshaped
-    # the transposed `words` to (R, ncols, C, wpc) — a layout-changing copy
-    # (~1 ms per raster instance at 310k tris in the parity trace) — and ran a
-    # 5-level OR-tree on it. Reducing on the pre-transpose layout (row-major
-    # split of the nwords axis is free) leaves only a tiny (R, C, ncols)
-    # transpose. ww as a weighted sum (bit j = word j nonzero) and cnt as a
-    # popcount sum are single fused reduce passes.
-    if ncols <= 2:
-        wz = (words != 0).astype(jnp.int32).reshape(nrows, ncols, num_chunks, wpc)
-        weights = (1 << jnp.arange(wpc, dtype=jnp.int32))
-        ww = jnp.sum(wz * weights, axis=-1)  # (R, ncols, C)
-        pc = jax.lax.population_count(words.astype(jnp.uint32)).astype(jnp.int32)
-        cnt = jnp.sum(pc.reshape(nrows, ncols, num_chunks, wpc), axis=-1)
-    else:
-        xs = x[..., :ncols].reshape(nrows, num_chunks, wpc, ncols)  # layout-free
-        weights = (1 << jnp.arange(wpc, dtype=jnp.int32))[None, None, :, None]
-        ww_t = jnp.sum((xs != 0).astype(jnp.int32) * weights, axis=2)  # (R, C, ncols)
-        cnt_t = jnp.sum(
-            jax.lax.population_count(xs).astype(jnp.int32), axis=2
-        )  # (R, C, ncols)
-        ww = jnp.transpose(ww_t, (0, 2, 1)).astype(jnp.int32)  # (R, ncols, C)
-        cnt = jnp.transpose(cnt_t, (0, 2, 1))
+    # Both REDUCE over wpc on the pre-transpose layout (row-major split of the
+    # nwords axis is free); ww as a weighted sum (bit j = word j nonzero) and
+    # cnt as a popcount sum are single fused reduce passes.
+    xs = x[..., :kf].reshape(nrp, num_chunks, wpc, kf)  # layout-free
+    weights = (1 << jnp.arange(wpc, dtype=jnp.int32))[None, None, :, None]
+    ww_t = jnp.sum((xs != 0).astype(jnp.int32) * weights, axis=2)  # (RP, C, kf)
+    cnt_t = jnp.sum(
+        jax.lax.population_count(xs).astype(jnp.int32), axis=2
+    )  # (RP, C, kf)
+
+    def unpack_rows(z):
+        # (RP, C, k*f) -> (R, ncols, C)
+        z = z.reshape(nrp, num_chunks, k_pack, f_bits)
+        return jnp.transpose(z, (0, 2, 3, 1)).reshape(
+            nrp * k_pack, f_bits, num_chunks
+        )[:nrows]
+
+    ww = unpack_rows(ww_t).astype(jnp.int32)
+    cnt = unpack_rows(cnt_t)
 
     # Dirty-window bitmask per (slab, chunk): bit w of word w//32 = window w
     # has touches. The kernel's dirty-list build ctz-walks these words

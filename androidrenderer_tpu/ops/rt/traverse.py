@@ -31,8 +31,11 @@ LEAF_SIZE = 4
 
 # node_rows channel layout (all f32; integer fields are f32-exact, < 2^24):
 # 0:3 aabb min | 3:6 aabb max | 6 miss link | 7 first slot (-1 = inner) |
-# 8 slot count | 9:45 four slots x (v0, e1, e2) | 45:49 per-slot opaque flag.
-NODE_ROW_CHANNELS = 9 + LEAF_SIZE * 9 + LEAF_SIZE
+# 8 slot count | SLOT0 : OPQ0 slots x (v0, e1, e2) | OPQ0 : +LEAF_SIZE
+# per-slot opaque flags.
+SLOT0 = 9
+OPQ0 = SLOT0 + LEAF_SIZE * 9
+NODE_ROW_CHANNELS = OPQ0 + LEAF_SIZE
 
 
 class DeviceBVH(NamedTuple):
@@ -104,7 +107,10 @@ def trace_rays(
     tmin,
     tmax,
     any_hit: bool = False,
-    max_steps: int = 512,
+    # Park-step p100 on the bench scene is ~950 (tools/microbench_rt.py);
+    # 512 silently truncated the deepest ~5% of closest-hit walks. The loop
+    # exits when every ray parks, so the cap only bounds the worst case.
+    max_steps: int = 1024,
     active: jnp.ndarray | None = None,  # (R,) bool — inactive rays report miss
     masked_any_hit: bool = False,  # any-hit parks only on OPAQUE hits (see below)
 ) -> Hits:
@@ -153,37 +159,57 @@ def trace_rays(
         is_leaf = box_hit & (first_f >= 0.0)
         first = first_f.astype(jnp.int32)
 
-        # Test the leaf's triangle slots (static unroll over LEAF_SIZE; slot
-        # data rides the SAME gathered row).
-        for k in range(LEAF_SIZE):
-            slot = first + k
-            live = is_leaf & (k < count)
-            o = 9 + k * 9
-            v0 = row[:, o : o + 3]
-            e1 = row[:, o + 3 : o + 6]
-            e2 = row[:, o + 6 : o + 9]
-            pvec = jnp.cross(directions, e2)
-            det = jnp.sum(e1 * pvec, axis=-1)
-            inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
-            tvec = origins - v0
-            u = jnp.sum(tvec * pvec, axis=-1) * inv_det
-            qvec = jnp.cross(tvec, e1)
-            v = jnp.sum(directions * qvec, axis=-1) * inv_det
-            t = jnp.sum(e2 * qvec, axis=-1) * inv_det
-            ok = (
-                live
-                & (jnp.abs(det) > 1e-12)
-                & (u >= 0.0)
-                & (v >= 0.0)
-                & (u + v <= 1.0)
-                & (t > tmin)
-                & (t < best_t)
-            )
-            best_slot = jnp.where(ok, slot, best_slot)
-            best_u = jnp.where(ok, u, best_u)
-            best_v = jnp.where(ok, v, best_v)
-            best_t = jnp.where(ok, t, best_t)
-            best_opq = jnp.where(ok, row[:, 45 + k] != 0.0, best_opq)
+        # Test all LEAF_SIZE triangle slots as ONE batched (R, k, 3)
+        # Moller-Trumbore evaluation. Slot data rides the SAME gathered row.
+        # Batched — not unrolled — because at 16-65k rays each XLA op is
+        # overhead-bound (~10 us launch vs ~0.1 ms of VPU work): the k-unroll
+        # was ~160 tiny ops/step, this is ~40 fatter ones (measured 2x on the
+        # whole trace).
+        v0 = row[:, SLOT0:OPQ0].reshape(-1, LEAF_SIZE, 3, 3)  # (R, k, [v0 e1 e2], 3)
+        e1 = v0[:, :, 1, :]
+        e2 = v0[:, :, 2, :]
+        v0 = v0[:, :, 0, :]
+        d_b = directions[:, None, :]
+        pvec = jnp.cross(d_b, e2)
+        det = jnp.sum(e1 * pvec, axis=-1)  # (R, k)
+        inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+        tvec = origins[:, None, :] - v0
+        u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+        qvec = jnp.cross(tvec, e1)
+        v = jnp.sum(d_b * qvec, axis=-1) * inv_det
+        t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+        kk = jnp.arange(LEAF_SIZE, dtype=jnp.float32)[None, :]
+        tmin_b = jnp.asarray(tmin, jnp.float32)
+        tmin_b = (tmin_b if tmin_b.ndim == 0 else tmin_b[:, None])
+        ok = (
+            is_leaf[:, None]
+            & (kk < count[:, None])
+            & (jnp.abs(det) > 1e-12)
+            & (u >= 0.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+            & (t > tmin_b)
+            & (t < best_t[:, None])
+        )
+        # Among this leaf's passing slots, keep the nearest (slots in a leaf
+        # are unordered; the old ascending-k unroll kept the LAST passing k
+        # with t < best-so-far, i.e. also the running nearest).
+        t_ok = jnp.where(ok, t, jnp.inf)
+        kbest = jnp.argmin(t_ok, axis=-1)  # (R,)
+        onehot = jnp.arange(LEAF_SIZE)[None, :] == kbest[:, None]  # (R, k)
+        # One-hot selects, NOT take_along_axis — a minor-axis gather at 2M
+        # rays is the exact trap this kernel exists to avoid.
+        any_ok = jnp.any(ok & onehot, axis=-1)
+        oh = onehot.astype(jnp.float32)
+        tb = jnp.sum(jnp.where(onehot, t, 0.0), axis=-1)
+        ub = jnp.sum(u * oh, axis=-1)
+        vb = jnp.sum(v * oh, axis=-1)
+        best_slot = jnp.where(any_ok, first + kbest.astype(jnp.int32), best_slot)
+        best_u = jnp.where(any_ok, ub, best_u)
+        best_v = jnp.where(any_ok, vb, best_v)
+        best_t = jnp.where(any_ok, tb, best_t)
+        opq_b = jnp.sum(row[:, OPQ0:OPQ0 + LEAF_SIZE] * oh, axis=-1)
+        best_opq = jnp.where(any_ok, opq_b != 0.0, best_opq)
 
         descend = box_hit & (first_f < 0.0)
         nxt = jnp.where(descend, idx + 1, miss)
@@ -204,7 +230,7 @@ def trace_rays(
     return Hits(t=best_t, slot=best_slot, u=best_u, v=best_v)
 
 
-def occlusion(bvh: DeviceBVH, origins, directions, tmin, tmax, max_steps=512):
+def occlusion(bvh: DeviceBVH, origins, directions, tmin, tmax, max_steps=1024):
     """(R,) bool — True where the segment is occluded (any-hit shadow query)."""
     hits = trace_rays(bvh, origins, directions, tmin, tmax, any_hit=True,
                       max_steps=max_steps)

@@ -112,7 +112,8 @@ def build_bvh(
     tri_order = np.full(p * LEAF_SIZE, -1, np.int32)
     tri_order[:n] = ids
 
-    # Leaf AABBs (padded leaves get inverted boxes that never intersect).
+    # Leaf AABBs (padded leaves start inverted; sanitize_padded_boxes below
+    # replaces surviving inverted boxes with the far sentinel AFTER the unions).
     leaf_min = np.full((p, 3), np.inf, np.float32)
     leaf_max = np.full((p, 3), -np.inf, np.float32)
     g = np.arange(n) // LEAF_SIZE
@@ -164,4 +165,28 @@ def build_bvh(
         node_first=node_first,
         node_count=node_count,
         tri_order=tri_order,
+    )._replace(**sanitize_padded_boxes(node_min, node_max))
+
+
+# Finite far-away sentinel for all-padded subtrees. The (+inf, -inf) inverted
+# box evaluates as ALWAYS-HIT under the slab test (tn = max(min(t0, t1)) =
+# -inf <= tf = +inf) — the round-3 builder's "inverted boxes never intersect"
+# assumption was exactly backwards, and the ~53k padded leaves + their
+# ancestors made EVERY ray walk the padded forest (~98k of 262k nodes
+# box-hit per ray on the bench scene; traversal cost 50x what the geometry
+# warrants). A degenerate far point yields tn = tf ~ +-3e37: behind the ray
+# (tf < tmin) or beyond any best_t -> never hit, and min/max unions against
+# REAL child boxes are unaffected because the sanitize runs AFTER the unions.
+FAR_SENTINEL = 3.0e37
+
+
+def sanitize_padded_boxes(node_min: np.ndarray, node_max: np.ndarray) -> dict:
+    """Replace inverted (all-padded-subtree) boxes with the far sentinel."""
+    inverted = node_min[:, 0] > node_max[:, 0]
+    node_min = np.where(inverted[:, None], FAR_SENTINEL, node_min).astype(
+        np.float32
     )
+    node_max = np.where(inverted[:, None], FAR_SENTINEL, node_max).astype(
+        np.float32
+    )
+    return {"node_min": node_min, "node_max": node_max}

@@ -190,6 +190,14 @@ def refit_bvh(
     for lvl, s in enumerate(level_slots):
         node_min = node_min.at[s].set(mins[lvl])
         node_max = node_max.at[s].set(maxs[lvl])
+    # All-padded subtrees come out of the unions inverted (+inf, -inf) —
+    # ALWAYS-HIT under the slab test (scene/bvh.py sanitize_padded_boxes);
+    # replace them with the finite far sentinel, same as the host build.
+    from androidrenderer_tpu.scene.bvh import FAR_SENTINEL
+
+    inverted = (node_min[:, 0] > node_max[:, 0])[:, None]
+    node_min = jnp.where(inverted, FAR_SENTINEL, node_min)
+    node_max = jnp.where(inverted, FAR_SENTINEL, node_max)
     # Rebuild the packed traversal rows (ops/rt/traverse.py layout). The
     # LEAF_SIZE*3 M-row gathers cost ~20 ms at 155k nodes — paid per refit,
     # saving 16 gathers per ray per traversal STEP. Per-slot opacity is
