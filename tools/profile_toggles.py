@@ -126,6 +126,12 @@ def main():
         "parity_up": base.replace(
             render_width=1280, render_height=736,
             gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
+            occlusion_culling=False, translucency=True,
+        ),
+        # Blend-curtain peel composite cost (delta vs parity_up).
+        "parity_up_noblend": base.replace(
+            render_width=1280, render_height=736,
+            gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
             occlusion_culling=False,
         ),
         # GBuffer materialization barrier: isolates XLA producer-duplication
@@ -283,7 +289,8 @@ def main():
         "base_bm": base.replace(raster_bitmask=True),
     }
 
-    scene, stats = courtyard_scene(column_rings=4, detail=args.detail).build()
+    scene, stats = courtyard_scene(column_rings=4, detail=args.detail,
+                                   curtains=True).build()
     print(f"# scene: {stats}", file=sys.stderr)
     cam = Camera(fov_degrees=75.0, aspect=w / h, render_resolution=(w, h))
     cam.set_position([0.0, 1.7, 6.0]); cam.pitch, cam.yaw = -0.05, np.pi
