@@ -148,8 +148,12 @@ def render_frame(
     drop = jnp.zeros_like(setup.valid)
     if config.alpha_masking and not bitmap_alpha:
         drop = drop | is_masked
-    if config.translucency:
-        drop = drop | is_blend
+    # BLEND primitives never rasterize in the opaque pass — the reference
+    # classifies them into translucent_primitives (render_scene.cpp:57-69),
+    # which its solid/masked passes exclude. (Its draw_transparent helper has
+    # NO call sites — the reference's shipped frame never draws them at all;
+    # config.translucency adds our peel composite on top, docs/PARITY.md.)
+    drop = drop | is_blend
     setup_opaque = setup._replace(valid=setup.valid & ~drop)
 
     # --- depth prepass + visibility buffer ----------------------------------------
@@ -662,6 +666,9 @@ def render_frame(
     # --- translucency: depth-peeled BLEND layers, back-to-front composite ------------
     if config.translucency:
         from androidrenderer_tpu.ops.raster.masked import _sample_alpha
+        from androidrenderer_tpu.ops.raster.raster_bitmask import (
+            rasterize_bitmask,
+        )
         from androidrenderer_tpu.ops.raster.raster_xla import (
             rasterize_depth as _rd, rasterize_visibility as _rv,
         )
@@ -678,11 +685,16 @@ def render_frame(
         for layer_i in range(config.translucent_layers):
             if use_pallas:
                 # Same Pallas z_limit peeling as the masked path — the XLA
-                # reduction raster costs seconds/layer at 1080p.
-                d_t, v_t = rasterize_binned(
-                    setup_b, h, w, win_h=32, cap=14, kb=8, unroll=2,
+                # reduction raster costs seconds/layer at 1080p. The BITMASK
+                # kernel (not binned): blend triangles are a few % of the
+                # scene, and its dead-chunk skipping makes each layer's scan
+                # cost ~touches, not ~total slots (with_z_limit=True sizing:
+                # the layer-0 binned call at native 1088x1920 measured 16.21M
+                # scoped vmem with the 2-slab depth+vis budget).
+                d_t, v_t = rasterize_bitmask(
+                    setup_b, h, w, win_h=32, kb=4, unroll=2,
                     num_slabs=auto_slabs_binned(
-                        h, w, win_h=32, with_z_limit=layer_i > 0
+                        h, w, win_h=32, with_z_limit=True
                     ),
                     interpret=config.pallas_interpret,
                     z_limit=None if layer_i == 0 else z_lim,

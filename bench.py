@@ -86,8 +86,14 @@ def main() -> int:
         tile_height=32, tile_width=128,
         max_tris_per_tile=4096,
         alpha_masking=True,  # masked foliage hedges (peel loop exercised)
-        translucency=True,  # blend-mode curtains, ~3.4% of tris (round 4:
-        # VERDICT r3 weak #5 — the peel composite is now in the headline)
+        # The scene carries blend-mode curtains (~3.4% of tris) which the
+        # opaque pass EXCLUDES — exactly the reference's shipped frame: it
+        # classifies translucent primitives (render_scene.cpp:57-69) but its
+        # draw_transparent helper has NO call sites, so they are never drawn.
+        # Our peel composite (translucency=True) goes beyond the reference;
+        # its cost is measured in tools/profile_toggles.py (parity_up vs
+        # parity_up_blend) and documented in docs/PARITY.md.
+        translucency=False,
         # Static material specialization: normal + metal-rough textures ON
         # (Sponza's census); no emissive in the scene.
         use_normal_maps=True, use_mr_textures=True, use_emission=False,

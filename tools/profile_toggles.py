@@ -126,13 +126,15 @@ def main():
         "parity_up": base.replace(
             render_width=1280, render_height=736,
             gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
-            occlusion_culling=False, translucency=True,
+            occlusion_culling=False,
         ),
-        # Blend-curtain peel composite cost (delta vs parity_up).
-        "parity_up_noblend": base.replace(
+        # Blend-curtain peel composite cost (delta vs parity_up; the
+        # reference never draws its translucent list — draw_transparent has
+        # no call sites — so the peel is a beyond-reference feature).
+        "parity_up_blend": base.replace(
             render_width=1280, render_height=736,
             gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
-            occlusion_culling=False,
+            occlusion_culling=False, translucency=True,
         ),
         # GBuffer materialization barrier: isolates XLA producer-duplication
         # (consumers re-running the plane/texture gathers inside their fusions).

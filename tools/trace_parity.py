@@ -47,7 +47,7 @@ def main():
         gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
         occlusion_culling=False, gbuffer_barrier=args.gbar,
     )
-    scene_host = courtyard_scene(column_rings=4, detail=13)
+    scene_host = courtyard_scene(column_rings=4, detail=13, curtains=True)
     scene, _stats = scene_host.build()
     cam = Camera(
         fov_degrees=config.fov_degrees, aspect=w / h,
