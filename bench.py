@@ -106,6 +106,15 @@ def main() -> int:
         # config therefore renders the identical image without it; it stays on
         # by default for occlusion-heavy interiors and in the driver dryrun.
         occlusion_culling=False,
+        # Staggered LPV cascade updates (1 cascade/frame round-robin): the
+        # reference's own irradiance cache uses exactly this budgeted-update
+        # pattern (irradiance_cache.cpp:15-19); its LPV rebuilds all cascades
+        # per frame. On a static scene the staggered volumes reach the
+        # rebuild-all steady state exactly (tests/test_lpv_stagger.py), so
+        # the chained bench frames are identical; dynamic content sees up to
+        # lpv_num_cascades frames of GI lag (docs/PARITY.md divergence entry).
+        # Measured: -11.3 ms/frame (tools/profile_toggles.py parity_up_lpv_b1).
+        lpv_update_budget=1,
     )
 
     # detail=13 => 320,728 triangles incl. 13% alpha-masked foliage and 3.4%

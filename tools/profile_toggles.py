@@ -126,6 +126,12 @@ def main():
         "parity_up": base.replace(
             render_width=1280, render_height=736,
             gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
+            occlusion_culling=False, lpv_update_budget=1,
+        ),
+        # Rebuild-all LPV (the reference's clear-and-rebuild policy).
+        "parity_up_lpv_b0": base.replace(
+            render_width=1280, render_height=736,
+            gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
             occlusion_culling=False,
         ),
         # Blend-curtain peel composite cost (delta vs parity_up; the
@@ -185,6 +191,11 @@ def main():
             render_width=1280, render_height=736,
             gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
             occlusion_culling=False, lpv_update_budget=1,
+        ),
+        "parity_up_lpv_b2": base.replace(
+            render_width=1280, render_height=736,
+            gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
+            occlusion_culling=False, lpv_update_budget=2,
         ),
         "parity_up_nogi": base.replace(
             render_width=1280, render_height=736,
