@@ -2,7 +2,7 @@
 //
 // The reference's entire engine is C++ (SURVEY.md §2); the TPU rebuild keeps the
 // compute path in XLA/Pallas and moves the host-side heavy lifting here:
-//   - BVH build (Morton sort + complete-tree preorder flatten) — replaces the
+//   - BVH build (median-split ordering + complete-tree preorder flatten) — replaces the
 //     Python-loop flatten in scene/bvh.py (~100x faster on Sponza-scale meshes).
 //   - Area-weighted surface point-cloud sampling (mesh_storage.cpp:246-319 analog).
 //
@@ -20,24 +20,6 @@
 namespace {
 
 constexpr int kLeafSize = 4;
-
-inline uint64_t spread_bits(uint64_t v) {
-  v = (v | (v << 16)) & 0x030000FFull;
-  v = (v | (v << 8)) & 0x0300F00Full;
-  v = (v | (v << 4)) & 0x030C30C3ull;
-  v = (v | (v << 2)) & 0x09249249ull;
-  return v;
-}
-
-inline uint64_t morton3(float x, float y, float z) {
-  auto q = [](float v) -> uint64_t {
-    float c = v * 1024.0f;
-    if (c < 0.0f) c = 0.0f;
-    if (c > 1023.0f) c = 1023.0f;
-    return static_cast<uint64_t>(c);
-  };
-  return spread_bits(q(x)) | (spread_bits(q(y)) << 1) | (spread_bits(q(z)) << 2);
-}
 
 }  // namespace
 
@@ -78,32 +60,66 @@ int sah_build_bvh(const float* positions, int64_t num_vertices,
     }
   }
 
-  std::vector<std::pair<uint64_t, int64_t>> keys(n);
-  for (int64_t i = 0; i < n; ++i) {
-    float nx[3];
-    for (int k = 0; k < 3; ++k) {
-      const float d = std::max(chi[k] - clo[k], 1e-9f);
-      nx[k] = (cent[3 * i + k] - clo[k]) / d;
-    }
-    keys[i] = {morton3(nx[0], nx[1], nx[2]), i};
-  }
-  std::stable_sort(keys.begin(), keys.end(),
-                   [](const auto& a, const auto& b) { return a.first < b.first; });
-
   const int64_t num_leaves = std::max<int64_t>(1, (n + kLeafSize - 1) / kLeafSize);
   int depth = 0;
   while ((int64_t{1} << depth) < num_leaves) ++depth;
   const int64_t p = int64_t{1} << depth;
 
+  // Recursive widest-axis median-split ordering onto the complete tree's
+  // leaf capacity — EXACTLY the python builder's median_split_order
+  // (scene/bvh.py): per segment, stable-sort by the centroid bounds' widest
+  // axis (lowest axis index on ties) and split at half the slot capacity.
+  // Replaced the round-3 Morton ordering (primary rays measured ~350-visit
+  // medians on the bench scene; median splits follow the geometry).
+  std::vector<int64_t> order(n);
+  for (int64_t i = 0; i < n; ++i) order[i] = i;
+  {
+    struct Seg {
+      int64_t lo, hi, cap;
+    };
+    std::vector<Seg> segs;
+    segs.push_back({0, n, p * kLeafSize});
+    while (!segs.empty()) {
+      const Seg sg = segs.back();
+      segs.pop_back();
+      const int64_t len = sg.hi - sg.lo;
+      if (len <= kLeafSize || sg.cap <= kLeafSize) continue;
+      float lo3[3] = {1e30f, 1e30f, 1e30f}, hi3[3] = {-1e30f, -1e30f, -1e30f};
+      for (int64_t i = sg.lo; i < sg.hi; ++i)
+        for (int k = 0; k < 3; ++k) {
+          const float c = cent[3 * order[i] + k];
+          lo3[k] = std::min(lo3[k], c);
+          hi3[k] = std::max(hi3[k], c);
+        }
+      int ax = 0;
+      float best = hi3[0] - lo3[0];
+      for (int k = 1; k < 3; ++k) {
+        const float e = hi3[k] - lo3[k];
+        if (e > best) {  // strictly greater keeps the lowest axis on ties
+          best = e;
+          ax = k;
+        }
+      }
+      std::stable_sort(order.begin() + sg.lo, order.begin() + sg.hi,
+                       [&](int64_t a, int64_t b) {
+                         return cent[3 * a + ax] < cent[3 * b + ax];
+                       });
+      const int64_t half = sg.cap / 2;
+      const int64_t mid = std::min(sg.lo + half, sg.hi);
+      segs.push_back({mid, sg.hi, half});
+      segs.push_back({sg.lo, mid, half});
+    }
+  }
+
   std::fill(tri_order, tri_order + p * kLeafSize, -1);
-  for (int64_t i = 0; i < n; ++i) tri_order[i] = ids[keys[i].second];
+  for (int64_t i = 0; i < n; ++i) tri_order[i] = ids[order[i]];
 
   // Leaf AABBs + counts.
   std::vector<float> lmin(p * 3, 1e30f), lmax(p * 3, -1e30f);
   std::vector<int32_t> lcount(p, 0);
   for (int64_t i = 0; i < n; ++i) {
     const int64_t leaf = i / kLeafSize;
-    const int64_t src = keys[i].second;
+    const int64_t src = order[i];
     for (int k = 0; k < 3; ++k) {
       lmin[3 * leaf + k] = std::min(lmin[3 * leaf + k], tmin[3 * src + k]);
       lmax[3 * leaf + k] = std::max(lmax[3 * leaf + k], tmax[3 * src + k]);
