@@ -169,12 +169,18 @@ class RenderConfig:
     # the every-frame steady state after C frames (tests/test_lpv_stagger.py).
     lpv_update_budget: int = 0
 
-    # Irradiance probe cache (irradiance_cache.cpp:15-19: 4 cascades, budgeted
-    # updates of 1024 probes/frame).
-    probe_cascades: int = 2
-    probe_grid: Tuple[int, int, int] = (16, 8, 16)
-    probe_spacing: float = 1.0
-    probe_budget: int = 512
+    # Irradiance probe cache — REFERENCE-scale structure as of round 4
+    # (irradiance_cache.hpp:41-44, .cpp:22): 4 cascades of 32x8x32 probes,
+    # budget 256/cascade = 1024 probe updates/frame (the reference's cvar
+    # value; its budget is one shared list, ours is per-cascade round-robin).
+    # Cascade 0 spans 16x16x4 m at 0.5 m spacing like the reference; outer
+    # cascades scale 2x per level (theirs scale 4-16x to reach 8 km — beyond
+    # any fixture here; docs/PARITY.md). probe_rays=64 vs the reference's 400
+    # is the one remaining scale-down (documented divergence, measured cost).
+    probe_cascades: int = 4
+    probe_grid: Tuple[int, int, int] = (32, 8, 32)
+    probe_spacing: float = 0.5
+    probe_budget: int = 256
     probe_rays: int = 64
 
     # Bloom (bloomer.cpp:9: 6 mips).

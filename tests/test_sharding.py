@@ -86,7 +86,7 @@ def test_sharded_full_pipeline_matches_single_device(setup):
     renderer = make_sharded_renderer(cfg, mesh)
     out, temp = renderer(scene, view, params, temporal)
 
-    np.testing.assert_array_equal(np.asarray(out.image), np.asarray(ref_out.image))
+    _assert_images_match_ulp(out.image, ref_out.image)
     np.testing.assert_array_equal(
         np.asarray(out.visibility), np.asarray(ref_out.visibility)
     )
@@ -94,7 +94,24 @@ def test_sharded_full_pipeline_matches_single_device(setup):
     # union across bands.
     ref_out2, _ = make_renderer(cfg)(scene, view, params, ref_temp)
     out2, _ = renderer(scene, view, params, temp)
-    np.testing.assert_array_equal(np.asarray(out2.image), np.asarray(ref_out2.image))
+    _assert_images_match_ulp(out2.image, ref_out2.image)
+
+
+def _assert_images_match_ulp(a, b):
+    """Byte-equal except ULP-edge quantization flips.
+
+    Depth/visibility/gbuffer compare EXACTLY equal (asserted elsewhere); the
+    u8 image may differ where a 1-ULP HDR difference lands on a quantization
+    boundary — XLA fuses the shard_map body and the single-device program
+    differently under --xla_allow_excess_precision (round 4: ONE pixel of
+    49152 measured hdr delta exactly 1.19e-07 with identical gbuffer inputs).
+    Gate: |delta| <= 1 u8 step at <= 0.01% of pixels."""
+    a = np.asarray(a).astype(np.int32)
+    b = np.asarray(b).astype(np.int32)
+    d = np.abs(a - b)
+    assert d.max() <= 1, f"non-ULP image divergence: max delta {d.max()}"
+    frac = (d > 0).mean()
+    assert frac <= 1e-4, f"too many ULP flips: {frac:.6f}"
 
 
 def test_sharded_rejects_bad_band_split(setup):
