@@ -70,13 +70,25 @@ def _hit_alpha_passes(scene, bvh, hits):
 
 def trace_rays_masked(
     bvh, scene, origins, directions, tmin, tmax,
-    peels: int = ALPHA_PEELS, active=None,
+    peels: int = ALPHA_PEELS, active=None, use_bitmap: bool = True,
 ):
-    """Closest-hit trace honoring alpha-masked geometry: hits whose base-color
-    alpha fails the cutoff are ignored and the ray re-traced past them — the
-    wavefront equivalent of the reference's any-hit IgnoreHit loop. Rays still
-    unresolved after ``peels`` masked layers treat the last hit as opaque."""
+    """Closest-hit trace honoring alpha-masked geometry.
+
+    Default (``use_bitmap``): ONE trace with the in-traversal 16x16
+    barycentric alpha bitmaps (traverse.py alpha_bitmap_test — the same baked
+    bitmaps the raster kernel tests, docs/PARITY.md alpha_bitmap divergence).
+    ``use_bitmap=False`` is the exact texture-sampling path: hits whose
+    base-color alpha fails the cutoff are ignored and the ray re-traced past
+    them — the wavefront equivalent of the reference's any-hit IgnoreHit
+    loop, at ``peels`` full traversals. Rays still unresolved after ``peels``
+    masked layers treat the last hit as opaque."""
     from androidrenderer_tpu.ops.rt.traverse import Hits
+
+    if use_bitmap:
+        return trace_rays(
+            bvh, origins, directions, tmin, tmax, active=active,
+            alpha_bitmap_test=True,
+        )
 
     r = origins.shape[0]
     t0 = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
@@ -109,10 +121,24 @@ def trace_rays_masked(
 
 def occlusion_masked(
     bvh, scene, origins, directions, tmin, tmax,
-    peels: int = ALPHA_PEELS, active=None,
+    peels: int = ALPHA_PEELS, active=None, use_bitmap: bool = True,
 ):
-    """(R,) bool any-hit occlusion with alpha-masked geometry. Rays park on
-    opaque hits (fast path); masked hits alpha-test and re-trace."""
+    """(R,) bool any-hit occlusion with alpha-masked geometry.
+
+    Default (``use_bitmap``): ONE any-hit trace where masked slots only hit
+    through their baked 16x16 alpha bitmap (see trace_rays_masked). The exact
+    path (``use_bitmap=False``): rays park on opaque hits; masked hits
+    alpha-test the texture and re-trace, up to ``peels`` traversals."""
+    if use_bitmap:
+        hits = trace_rays(
+            bvh, origins, directions, tmin, tmax, any_hit=True, active=active,
+            alpha_bitmap_test=True,
+        )
+        live = (
+            jnp.ones(origins.shape[:1], bool) if active is None
+            else jnp.asarray(active)
+        )
+        return (hits.slot >= 0) & live
     # Per-slot opacity is baked into bvh.node_rows (the trace's masked
     # any-hit park test); the per-hit check below reuses the same source.
     slot_opaque = scene.tri_alpha_mode[jnp.maximum(bvh.slot_tri, 0)] != 1

@@ -32,10 +32,12 @@ LEAF_SIZE = 4
 # node_rows channel layout (all f32; integer fields are f32-exact, < 2^24):
 # 0:3 aabb min | 3:6 aabb max | 6 miss link | 7 first slot (-1 = inner) |
 # 8 slot count | SLOT0 : OPQ0 slots x (v0, e1, e2) | OPQ0 : +LEAF_SIZE
-# per-slot opaque flags.
+# per-slot opaque flags | GRID0 : +LEAF_SIZE*8 per-slot 16x16 barycentric
+# alpha bitmaps (8 i32 words bitcast to f32; all-ones for opaque slots).
 SLOT0 = 9
 OPQ0 = SLOT0 + LEAF_SIZE * 9
-NODE_ROW_CHANNELS = OPQ0 + LEAF_SIZE
+GRID0 = OPQ0 + LEAF_SIZE
+NODE_ROW_CHANNELS = GRID0 + LEAF_SIZE * 8
 
 
 class DeviceBVH(NamedTuple):
@@ -63,6 +65,7 @@ def pack_node_rows(
     slot_e1,
     slot_e2,
     slot_opaque=None,  # (S,) bool; None = everything opaque
+    slot_alpha_grid=None,  # (S, 8) i32 16x16 barycentric bitmaps; None = solid
 ) -> jnp.ndarray:
     """(M, NODE_ROW_CHANNELS) f32 packed rows (see layout above).
 
@@ -85,12 +88,26 @@ def pack_node_rows(
         opq = jnp.ones((s,), jnp.float32)
     else:
         opq = slot_opaque.astype(jnp.float32)
+    if slot_alpha_grid is None:
+        grid_f = jnp.broadcast_to(
+            jax.lax.bitcast_convert_type(jnp.full((8,), -1, jnp.int32),
+                                         jnp.float32)[None, :],
+            (s, 8),
+        )
+    else:
+        grid_f = jax.lax.bitcast_convert_type(
+            slot_alpha_grid.astype(jnp.int32), jnp.float32
+        )
     opq_cols = []
+    grid_cols = []
     for k in range(LEAF_SIZE):
         sl = jnp.minimum(base + k, s - 1)
         cols += [slot_v0[sl], slot_e1[sl], slot_e2[sl]]
         opq_cols.append(opq[sl][:, None])
-    return jnp.concatenate(cols + opq_cols, axis=1).astype(jnp.float32)
+        grid_cols.append(grid_f[sl])
+    return jnp.concatenate(cols + opq_cols + grid_cols, axis=1).astype(
+        jnp.float32
+    )
 
 
 class Hits(NamedTuple):
@@ -113,6 +130,7 @@ def trace_rays(
     max_steps: int = 1024,
     active: jnp.ndarray | None = None,  # (R,) bool — inactive rays report miss
     masked_any_hit: bool = False,  # any-hit parks only on OPAQUE hits (see below)
+    alpha_bitmap_test: bool = False,  # in-traversal 16x16 barycentric alpha test
 ) -> Hits:
     """Closest-hit (or any-hit) trace of R rays.
 
@@ -121,7 +139,14 @@ def trace_rays(
     the reference's masked any-hit shader (gltf_basic_pbr.slang:291-317): rays
     park (terminate) only on OPAQUE hits (per-slot opacity baked into
     node_rows); alpha-masked hits keep the closest-so-far and continue, so the
-    caller can alpha-test the committed hit and re-trace."""
+    caller can alpha-test the committed hit and re-trace.
+
+    ``alpha_bitmap_test`` instead resolves masked geometry INSIDE the
+    traversal with the same per-triangle 16x16 barycentric alpha bitmaps the
+    raster kernel uses (docs/PARITY.md alpha_bitmap divergence; baked into
+    node_rows channels GRID0+): slots whose bitmap bit at the hit's (u, v) is
+    0 simply do not hit, so ONE trace replaces the 3-peel IgnoreHit loop for
+    both closest-hit and any-hit masked queries."""
     r = origins.shape[0]
     m = bvh.node_rows.shape[0]
     inv_d = 1.0 / jnp.where(directions == 0.0, 1e-30, directions)
@@ -191,6 +216,21 @@ def trace_rays(
             & (t > tmin_b)
             & (t < best_t[:, None])
         )
+        if alpha_bitmap_test:
+            # MT's u = lambda1, v = lambda2 — the bake's (ui, vi) convention
+            # (scene/scene.py _bake_alpha_grids; raster_bitmask eval math).
+            gwords = jax.lax.bitcast_convert_type(
+                row[:, GRID0:GRID0 + LEAF_SIZE * 8], jnp.int32
+            ).reshape(-1, LEAF_SIZE, 8)
+            ui = jnp.clip(u * 16.0, 0.0, 15.0).astype(jnp.int32)
+            vi = jnp.clip(v * 16.0, 0.0, 15.0).astype(jnp.int32)
+            idx_b = vi * 16 + ui  # (R, k)
+            wsel = idx_b >> 5
+            word = gwords[:, :, 0]
+            for wj in range(1, 8):
+                word = jnp.where(wsel == wj, gwords[:, :, wj], word)
+            bit = jnp.right_shift(word, idx_b & 31) & 1
+            ok = ok & (bit == 1)
         # Among this leaf's passing slots, keep the nearest (slots in a leaf
         # are unordered; the old ascending-k unroll kept the LAST passing k
         # with t < best-so-far, i.e. also the running nearest).

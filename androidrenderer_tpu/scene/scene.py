@@ -337,6 +337,11 @@ class RenderScene:
             epts = np.zeros((1, 9), np.float32)
             ecount = 0
 
+        alpha_grid = _bake_alpha_grids(
+            np.concatenate(all_alpha), np.concatenate(all_mat), tri_indices,
+            np.concatenate(all_uv), mat_params, self.materials._images,
+        )
+
         # BVH over the world-space triangles (RT path). Prefer the native builder
         # (native/sah_native.cpp, ~8x faster, bit-identical output).
         if with_bvh:
@@ -384,6 +389,9 @@ class RenderScene:
                     jnp.asarray(bvh_np.node_count),
                     jnp.asarray(slot_v0), jnp.asarray(slot_e1),
                     jnp.asarray(slot_e2), jnp.asarray(slot_opaque_np),
+                    slot_alpha_grid=jnp.asarray(
+                        np.where(slots[:, None] >= 0, alpha_grid[safe], -1)
+                    ),
                 ),
             )
         else:
@@ -407,10 +415,6 @@ class RenderScene:
                 node_rows=empty_rows,
             )
 
-        alpha_grid = _bake_alpha_grids(
-            np.concatenate(all_alpha), np.concatenate(all_mat), tri_indices,
-            np.concatenate(all_uv), mat_params, self.materials._images,
-        )
         proxy, self.proxy_host = build_proxy_mesh(
             positions, np.concatenate(all_nrm), np.concatenate(all_uv),
             np.concatenate(all_col), np.concatenate(all_vp), tri_indices,

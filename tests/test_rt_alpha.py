@@ -33,13 +33,20 @@ def _fence_rays(n=24):
     return jnp.asarray(o, jnp.float32), jnp.asarray(np.ascontiguousarray(d))
 
 
-def test_masked_occlusion_has_holes():
+import pytest
+
+
+@pytest.mark.parametrize("use_bitmap", [True, False])
+def test_masked_occlusion_has_holes(use_bitmap):
+    # Both masked paths: the default in-traversal 16x16 alpha bitmaps and the
+    # exact texture-sampling IgnoreHit re-trace loop (use_bitmap=False).
     scene = _scene()
     o, d = _fence_rays()
     # tmax=2: only the fence can occlude (wall is at t=3).
     occ_solid = np.asarray(occlusion(scene.bvh, o, d, 0.01, 2.0))
     occ_masked = np.asarray(
-        occlusion_masked(scene.bvh, scene, o, d, 0.01, 2.0)
+        occlusion_masked(scene.bvh, scene, o, d, 0.01, 2.0,
+                         use_bitmap=use_bitmap)
     )
     # Solid treats every fence texel as an occluder; masked must open holes
     # where the foliage alpha fails the 0.5 cutoff — and keep real occluders.
@@ -49,11 +56,13 @@ def test_masked_occlusion_has_holes():
     assert (occ_masked & ~occ_solid).sum() == 0
 
 
-def test_masked_closest_hit_passes_through():
+@pytest.mark.parametrize("use_bitmap", [True, False])
+def test_masked_closest_hit_passes_through(use_bitmap):
     scene = _scene()
     o, d = _fence_rays()
     hits_solid = trace_rays(scene.bvh, o, d, 0.01, 1e30)
-    hits = trace_rays_masked(scene.bvh, scene, o, d, 0.01, 1e30)
+    hits = trace_rays_masked(scene.bvh, scene, o, d, 0.01, 1e30,
+                             use_bitmap=use_bitmap)
     t_solid = np.asarray(hits_solid.t)
     t = np.asarray(hits.t)
     # Solid: every ray stops at the fence (t ~ 1).
@@ -63,7 +72,8 @@ def test_masked_closest_hit_passes_through():
     assert through.sum() > 0 and (~through).sum() > 0
     assert np.allclose(t[~through], 1.0, atol=1e-3)
     # Consistency with the occlusion query's alpha decisions.
-    occ = np.asarray(occlusion_masked(scene.bvh, scene, o, d, 0.01, 2.0))
+    occ = np.asarray(occlusion_masked(scene.bvh, scene, o, d, 0.01, 2.0,
+                                      use_bitmap=use_bitmap))
     np.testing.assert_array_equal(~occ, through)
 
 

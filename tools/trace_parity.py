@@ -46,6 +46,7 @@ def main():
         use_normal_maps=True, use_mr_textures=True, use_emission=False,
         gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
         occlusion_culling=False, gbuffer_barrier=args.gbar,
+        lpv_update_budget=1,  # the bench headline config (round 4)
     )
     scene_host = courtyard_scene(column_rings=4, detail=13, curtains=True)
     scene, _stats = scene_host.build()
