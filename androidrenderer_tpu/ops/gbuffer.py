@@ -78,25 +78,31 @@ def pack_attribute_planes(scene: SceneArrays, setup: TriangleSetup) -> jnp.ndarr
     # updates): the 3 vertex-attr gathers + 5 material gathers this pack used
     # to issue cost ~6 ms/frame at 310k tris; now it is pure FMAs. Values and
     # summation order are identical to the gather formulation (bit-exact).
+    #
+    # Built DIRECTLY in the flat (N, 3C) row layout the resolve gathers — one
+    # (N, C) block per plane coefficient, concatenated along the row axis. A
+    # (N, 3, C) intermediate + reshape forced a ~108 MB layout-change copy
+    # (the parity trace's single largest "data formatting" op, ~1.2 ms/frame);
+    # row-major concat of row-major blocks fuses into the producing FMAs. The
+    # flat layout itself is load-bearing: a (N, 3, C) slice gather measures
+    # 206 ms vs 26 ms for the identical flat row gather at 2M px
+    # (tools/microbench_gather.py).
     t = scene.tri_attr_corners  # (N, 3, A)
-    planes = (
-        setup.edge[:, 0, :, None] * t[:, 0][:, None, :]
-        + setup.edge[:, 1, :, None] * t[:, 1][:, None, :]
-        + setup.edge[:, 2, :, None] * t[:, 2][:, None, :]
-    )  # (N, 3, A)
-    s_plane = jnp.sum(setup.edge, axis=1)  # (N, 3)
-
-    # Multiply by the s-plane so the per-pixel divide by s(p) cancels exactly.
-    const_planes = scene.tri_consts[:, None, :] * s_plane[:, :, None]
-    table = jnp.concatenate(
-        [planes, s_plane[:, :, None], const_planes], axis=2
-    )  # (N, 3, A+1+K)
-    # Stored FLAT: a (N, 3, C) table makes the resolve's per-pixel gather a
-    # multi-dim slice, which measures 206 ms vs 26 ms for the identical flat
-    # (N, 3C) row gather at 2M px (tools/microbench_gather.py) — width is free
-    # up to >= 87 f32; the dims of the slice are what kill it.
-    n = table.shape[0]
-    return table.reshape(n, 3 * table.shape[2])
+    blocks = []
+    for c in range(3):
+        attrs_c = (
+            setup.edge[:, 0, c, None] * t[:, 0]
+            + setup.edge[:, 1, c, None] * t[:, 1]
+            + setup.edge[:, 2, c, None] * t[:, 2]
+        )  # (N, A)
+        s_c = (
+            setup.edge[:, 0, c] + setup.edge[:, 1, c] + setup.edge[:, 2, c]
+        )  # (N,)
+        # Multiply by the s-plane so the per-pixel divide by s(p) cancels
+        # exactly (constant channels recover bit-exactly).
+        const_c = scene.tri_consts * s_c[:, None]  # (N, K)
+        blocks += [attrs_c, s_c[:, None], const_c]
+    return jnp.concatenate(blocks, axis=1)  # (N, 3 * (A + 1 + K))
 
 
 def resolve_gbuffer(
