@@ -16,7 +16,9 @@ import numpy as np
 
 from androidrenderer_tpu.camera import Camera, taa_jitter
 from androidrenderer_tpu.config import AAMode, RenderConfig, RenderParams
-from androidrenderer_tpu.render import initial_temporal_state, make_renderer
+from androidrenderer_tpu.render import (
+    initial_temporal_state, make_renderer, temporal_state_for,
+)
 from androidrenderer_tpu.scene.scene import RenderScene
 
 MOVE_SPEED = 2.0  # m/s (application.hpp:35-37)
@@ -57,14 +59,7 @@ class Application:
             render_resolution=(config.render_width, config.render_height),
         )
         self._renderer = make_renderer(config)
-        self.temporal = initial_temporal_state(
-            config.render_height, config.render_width,
-            probe_cascades=config.probe_cascades, probe_grid=config.probe_grid,
-            probe_spacing=config.probe_spacing, max_primitives=config.max_primitives,
-            out_height=config.output_height, out_width=config.output_width,
-            lpv_cascades=config.lpv_num_cascades,
-            lpv_resolution=config.lpv_resolution,
-        )
+        self.temporal = temporal_state_for(config)
         self.params = RenderParams.default()
         self.frame_count = 0
         self.last_frame_seconds: Optional[float] = None
@@ -86,17 +81,13 @@ class Application:
             or old.probe_spacing != config.probe_spacing
             or old.lpv_num_cascades != config.lpv_num_cascades
             or old.lpv_resolution != config.lpv_resolution
+            or bool(old.shadow_update_budget) != bool(config.shadow_update_budget)
+            or (config.shadow_update_budget and (
+                old.num_shadow_cascades != config.num_shadow_cascades
+                or old.shadow_cascade_resolution
+                != config.shadow_cascade_resolution))
         ):
-            self.temporal = initial_temporal_state(
-                config.render_height, config.render_width,
-                probe_cascades=config.probe_cascades,
-                probe_grid=config.probe_grid,
-                probe_spacing=config.probe_spacing,
-                max_primitives=config.max_primitives,
-                out_height=config.output_height, out_width=config.output_width,
-                lpv_cascades=config.lpv_num_cascades,
-                lpv_resolution=config.lpv_resolution,
-            )
+            self.temporal = temporal_state_for(config)
 
     # -- input (flycam) ---------------------------------------------------------
     def move(self, local_delta, dt: float = 1.0 / 60.0) -> None:

@@ -67,6 +67,11 @@ _DEFS: List[CVarDef] = [
             "CSM far distance (m)"),
     CVarDef("r.Shadow.CSM.WinH", "structural", "shadow_win_h", int,
             "bitmask cascade-raster window height (bit-identical output)"),
+    CVarDef("r.Shadow.CSM.UpdateBudget", "structural", "shadow_update_budget",
+            int,
+            "far cascades re-rastered per frame against the cached packed "
+            "atlas (0 = all every frame, the reference's refit-and-render-all; "
+            "shadow.py::render_shadow_cascades_staggered)"),
     CVarDef("r.GI.LPV.NumCascades", "structural", "lpv_num_cascades", int, ""),
     CVarDef("r.GI.LPV.Resolution", "structural", "lpv_resolution", int, ""),
     CVarDef("r.GI.LPV.CellSize", "structural", "lpv_cell_size", float, ""),
@@ -87,6 +92,10 @@ _DEFS: List[CVarDef] = [
     CVarDef("r.Raster.Bitmask", "structural", "raster_bitmask",
             lambda v: v.lower() in ("1", "true", "on"),
             "bitmask-driven raster kernel (no scalar Phase A; bit-identical)"),
+    CVarDef("r.Raster.PallasInterpret", "structural", "pallas_interpret",
+            lambda v: v.lower() in ("1", "true", "on"),
+            "interpret-mode Pallas kernels (drives the production kernel "
+            "path off-TPU, e.g. the staggered-CSM atlas on a CPU run)"),
     CVarDef("r.Raster.PaUnroll", "structural", "raster_pa_unroll", int,
             "binned-kernel Phase A triangles per loop iteration (pow2)"),
     # Runtime cvars (traced RenderParams — no recompile).

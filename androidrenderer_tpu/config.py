@@ -142,6 +142,16 @@ class RenderConfig:
     shadow_proxy_from_cascade: int = 2
     shadow_cascade_split_lambda: float = 0.95
     shadow_max_distance: float = 128.0
+    # Far cascades re-rastered per frame (cascade 0 always updates): 0 = every
+    # cascade every frame, exactly the reference's refit-and-render-all
+    # (directional_light.cpp:84-230). 1 = budgeted round-robin over cascades
+    # 1..C-1 against cached packed maps in TemporalState — the irradiance-cache
+    # budget pattern (irradiance_cache.cpp:15-19) applied to CSM. Static
+    # scene + static sun reaches the rebuild-all steady state BIT-exactly
+    # after ceil((C-1)/budget) frames (tests/test_shadow.py); dynamic content
+    # sees up to that many frames of far-shadow lag (docs/PARITY.md).
+    # Production (Pallas) path only; ignored on the XLA fallback raster.
+    shadow_update_budget: int = 0
     # Window height of the bitmask cascade rasters. Cascade triangles are
     # mostly far smaller than a window, so per-touch fold cost scales ~linearly
     # with win_h while the touch count barely grows (the main view keeps 32:

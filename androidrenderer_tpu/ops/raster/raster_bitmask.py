@@ -802,7 +802,7 @@ def rasterize_bitmask(
     # cuts the per-chunk SMEM fill (the cascade kernels' measured floor) by a
     # third; build_window_masks keeps consuming the full records.
     if vmem_records:
-        from androidrenderer_tpu.ops.raster.raster_lanes import pack_lane_records
+        from androidrenderer_tpu.ops.raster.records import pack_lane_records
 
         krecs, _ = pack_lane_records(setup, affine_z=affine_z, alpha_grid=alpha_grid)
         rec_w = krecs.shape[1]  # 32 lanes

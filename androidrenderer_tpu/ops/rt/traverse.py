@@ -75,6 +75,16 @@ def pack_node_rows(
     free), then every traversal step reads one row instead of 17 gathers."""
     m = node_min.shape[0]
     s = slot_v0.shape[0]
+    # Links (miss/first/count) ride as f32, exact only below 2^24. Expose the
+    # true capacity loudly (CLAUDE.md rule) instead of silently corrupting
+    # traversal on a >16.7M-slot scene. m/s are static shapes, so this is a
+    # host-side check even inside jit traces.
+    if m >= 2 ** 24 or s >= 2 ** 24:
+        raise ValueError(
+            f"BVH too large for f32-packed node rows: nodes={m}, slots={s} "
+            "(links are exact only below 2**24); split the scene or widen the "
+            "row links to a bitcast-i32 channel"
+        )
     first = node_first.astype(jnp.int32)
     base = jnp.maximum(first, 0)
     cols = [

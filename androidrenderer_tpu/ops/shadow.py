@@ -348,6 +348,142 @@ def render_shadow_cascades(
     return jnp.concatenate([full_maps[:k_proxy], prox_maps], axis=0)
 
 
+def render_shadow_cascades_staggered(
+    positions: jnp.ndarray,
+    tri_indices: jnp.ndarray,
+    tri_valid: jnp.ndarray,
+    cascades: CascadeData,
+    resolution: int,
+    cached_packed: jnp.ndarray,  # (C, R, R, 2) i32 packed-PCF atlas (TemporalState)
+    cached_matrices: jnp.ndarray,  # (C, 4, 4) matrices the cache was built with
+    frame_index,  # () i32 traced
+    update_budget: int = 1,  # far cascades re-rastered per frame (besides c0)
+    pallas_interpret: bool = False,
+    double_sided: jnp.ndarray | None = None,
+    proxy=None,
+    proxy_from_cascade: int = 10**9,
+    corners: jnp.ndarray | None = None,
+    win_h: int = 32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Budgeted cascade updates: raster cascade 0 every frame plus
+    ``update_budget`` far cascades round-robin; the rest keep their cached
+    packed maps AND the matrices they were rastered with (a stale map sampled
+    through a fresh matrix would shadow from the wrong ortho frame).
+
+    Returns (packed_atlas (C, R, R, 2) i32, matrices (C, 4, 4)) — the
+    EFFECTIVE pair to sample with and to cache for next frame.
+
+    The reference refits and re-renders all 4 cascades per frame at 4096^2
+    (directional_light.cpp:84-230, 305-326); its own irradiance cache
+    legitimizes budgeted updates (irradiance_cache.cpp:15-19 — 1024 probes of
+    ~66k/frame). Far cascades move slowly (texel-snapped sphere fits), so on
+    a static scene with a static sun the staggered steady state equals the
+    rebuild-all maps BIT-exactly after ceil((C-1)/budget) frames
+    (tests/test_shadow.py::test_staggered_cascades_steady_state). Pallas
+    production path only (bitmask kernel; interpret=True for CPU tests)."""
+    from androidrenderer_tpu.ops.raster.raster_binned import auto_slabs_binned
+    from androidrenderer_tpu.ops.raster.raster_bitmask import rasterize_bitmask
+
+    if double_sided is None:
+        double_sided = jnp.ones(tri_indices.shape[0], dtype=bool)
+    num_cascades = int(cascades.matrices.shape[0])
+    k_proxy = min(max(int(proxy_from_cascade), 1), num_cascades)
+    use_proxy = proxy is not None and k_proxy < num_cascades
+    mc = cascades.canonical
+
+    def full_setup(mat):
+        if corners is not None:
+            return triangle_setup_corners(
+                corners, mat, resolution, resolution,
+                double_sided=double_sided, tri_valid=tri_valid,
+            )
+        clip = transform_to_clip(positions, mat)
+        return triangle_setup(
+            clip, tri_indices, resolution, resolution,
+            double_sided=double_sided, tri_valid=tri_valid,
+        )
+
+    setup_c = full_setup(mc)
+    setup_p = (
+        triangle_setup_corners(
+            proxy.corners, mc, resolution, resolution,
+            double_sided=proxy.tri_double_sided, tri_valid=proxy.tri_valid,
+        )
+        if use_proxy else None
+    )
+
+    def raster(src, mi):
+        setup_i = derive_ortho_setup(src, mc, mi, resolution)
+        return rasterize_bitmask(
+            setup_i, resolution, resolution,
+            win_h=win_h, kb=4, unroll=2,
+            num_slabs=auto_slabs_binned(
+                resolution, resolution, depth_only=True, win_h=win_h
+            ),
+            depth_only=True, affine_z=True, interpret=pallas_interpret,
+        )
+
+    new_packed = cached_packed
+    new_matrices = cached_matrices
+
+    def commit(packed_k, mi, k, pk, mk):
+        pk = jax.lax.dynamic_update_slice(
+            pk, packed_k[None], (k, 0, 0, 0)
+        )
+        mk = jax.lax.dynamic_update_slice(mk, mi[None], (k, 0, 0))
+        return pk, mk
+
+    # Cascade 0 (nearest; the most camera-sensitive) re-rasters every frame.
+    m0 = cascades.matrices[0]
+    new_packed, new_matrices = commit(
+        pack_pcf_taps(raster(setup_c, m0)), m0, jnp.int32(0),
+        new_packed, new_matrices,
+    )
+
+    # Far cascades: ``update_budget`` consecutive ids round-robin (static
+    # divisor — the traced-divisor integer-div trap does not apply).
+    n_far = num_cascades - 1
+    b = min(max(int(update_budget), 1), n_far)
+    for j in range(b):
+        k = 1 + (frame_index * b + j) % n_far
+        mi = jnp.take(cascades.matrices, k, axis=0)
+        if not use_proxy:
+            mp = raster(setup_c, mi)
+        elif k_proxy == 1:
+            mp = raster(setup_p, mi)
+        else:
+            # Geometry source is static per cascade id but the id is traced:
+            # one conditional, both branches shape-(R, R). XLA executes only
+            # the taken branch (real lax.cond — operands are large).
+            mp = jax.lax.cond(
+                k < k_proxy,
+                lambda: raster(setup_c, mi),
+                lambda: raster(setup_p, mi),
+            )
+        new_packed, new_matrices = commit(
+            pack_pcf_taps(mp), mi, k, new_packed, new_matrices
+        )
+    return new_packed, new_matrices
+
+
+def pack_pcf_taps(shadow_maps: jnp.ndarray) -> jnp.ndarray:
+    """(..., R, R) depth -> (..., R, R, 2) i32 packed 2x2 PCF taps.
+
+    Leading axes (cascade, or none) pass through; see ``_pack_pcf_taps`` for
+    the layout and precision rationale. Exposed per-cascade so the staggered
+    CSM path (``render_shadow_cascades_staggered``) can pack ONLY the
+    cascades it re-rastered this frame and cache the packed atlas in
+    TemporalState — at 2048^2 x 4 cascades the full repack is ~16.7M texels
+    of elementwise work per frame for maps that did not change."""
+    r = shadow_maps.shape[-1]
+    pad = [(0, 0)] * (shadow_maps.ndim - 2) + [(0, 1), (0, 1)]
+    p = jnp.pad(shadow_maps, pad, mode="edge")
+    q = jnp.round(jnp.clip(p, 0.0, 1.0) * 65535.0).astype(jnp.int32)
+    w0 = q[..., :r, :r] | (q[..., :r, 1:] << 16)
+    w1 = q[..., 1:, :r] | (q[..., 1:, 1:] << 16)
+    return jnp.stack([w0, w1], axis=-1)
+
+
 def _pack_pcf_taps(shadow_maps: jnp.ndarray) -> jnp.ndarray:
     """(C, R, R) -> (C*R*R, 2) i32: taps [self, +x, +y, +x+y] as u16 fixed-point.
 
@@ -362,12 +498,7 @@ def _pack_pcf_taps(shadow_maps: jnp.ndarray) -> jnp.ndarray:
     and the reference's own shadow maps are D16 (directional_light.cpp:28-44),
     so the production comparison actually MATCHES the reference's precision
     more closely than the f32 taps did."""
-    c, r, _ = shadow_maps.shape
-    p = jnp.pad(shadow_maps, ((0, 0), (0, 1), (0, 1)), mode="edge")
-    q = jnp.round(jnp.clip(p, 0.0, 1.0) * 65535.0).astype(jnp.int32)
-    w0 = q[:, :r, :r] | (q[:, :r, 1:] << 16)
-    w1 = q[:, 1:, :r] | (q[:, 1:, 1:] << 16)
-    return jnp.stack([w0, w1], axis=-1).reshape(-1, 2)
+    return pack_pcf_taps(shadow_maps).reshape(-1, 2)
 
 
 def sample_csm(
@@ -375,17 +506,25 @@ def sample_csm(
     view_distance: jnp.ndarray,  # (H, W) positive forward distance (-view z)
     ndotl: jnp.ndarray,  # (H, W, 1)
     cascades: CascadeData,
-    shadow_maps: jnp.ndarray,  # (C, R, R)
+    shadow_maps: jnp.ndarray | None,  # (C, R, R); None with packed_taps
     bias_scale,  # 0.0005 (RenderParams.shadow_bias)
     normal: jnp.ndarray | None = None,  # (H, W, 3) — enables normal-offset
+    packed_taps: jnp.ndarray | None = None,  # (C, R, R, 2) i32 pre-packed atlas
 ) -> jnp.ndarray:
     """(H, W, 1) shadow factor in [0, 1] — sample_csm (frag:62-110) with 2x2 PCF.
 
     ``normal`` enables normal-offset shadows: the receiver position shifts along
     its normal by ~one cascade texel before projection. The reference leans on
     4096^2 maps + HW slope bias; at our cascade resolutions front-face self-
-    shadowing (floors ARE in the maps) needs the offset to stay acne-free."""
-    c, r, _ = shadow_maps.shape
+    shadowing (floors ARE in the maps) needs the offset to stay acne-free.
+
+    ``packed_taps`` skips the in-frame PCF pack and samples a pre-packed atlas
+    (the staggered-CSM cache in TemporalState); bit-identical to packing
+    ``shadow_maps`` here since pack_pcf_taps is deterministic per cascade."""
+    if packed_taps is not None:
+        c, r = packed_taps.shape[0], packed_taps.shape[1]
+    else:
+        c, r, _ = shadow_maps.shape
     # Cascade pick: first cascade whose far plane exceeds the pixel distance.
     idx = jnp.sum(
         (view_distance[..., None] > cascades.splits[None, None, :]).astype(jnp.int32),
@@ -441,7 +580,10 @@ def sample_csm(
     fx = x - x0
     fy = y - y0
 
-    packed = _pack_pcf_taps(shadow_maps)  # (C*R*R, 2) i32, 4 x u16 taps
+    if packed_taps is not None:
+        packed = packed_taps.reshape(-1, 2)
+    else:
+        packed = _pack_pcf_taps(shadow_maps)  # (C*R*R, 2) i32, 4 x u16 taps
     xi = jnp.clip(x0.astype(jnp.int32), 0, r - 1)
     yi = jnp.clip(y0.astype(jnp.int32), 0, r - 1)
     words = packed[ci * (r * r) + yi * r + xi]  # (H, W, 2)

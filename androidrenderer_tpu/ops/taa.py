@@ -102,6 +102,111 @@ def _bilinear_sample_packed(img: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     return top + (bot - top) * fy
 
 
+def _enc_l11(y: jnp.ndarray) -> jnp.ndarray:
+    """(...,) f32 nonneg -> (...,) i32 11-bit float (R11 of R11G11B10)."""
+    h = jnp.clip(y, 0.0, 64512.0).astype(jnp.float16)
+    bits = jax.lax.bitcast_convert_type(h, jnp.uint16).astype(jnp.uint32)
+    return (((bits + 8) >> 4) & 0x7FF).astype(jnp.int32)
+
+
+def _dec_l11(l: jnp.ndarray) -> jnp.ndarray:
+    u = (l.astype(jnp.uint32) & 0x7FF) << 4
+    return jax.lax.bitcast_convert_type(
+        u.astype(jnp.uint16), jnp.float16
+    ).astype(jnp.float32)
+
+
+def _bilinear_sample_packed8(img: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear-sample (H, W, 3) HDR at (..., 2) uv through an 8-BYTE row.
+
+    Halves ``_bilinear_sample_packed``'s 16-byte row: LARGE-operand gather
+    cost scales with row bytes on this TPU (tools/microbench_taa4.py /
+    microbench_taa5.py), and the history fetch is the TAAU resolve's
+    dominant cost. Layout (2 i32 per 2x2 footprint):
+
+      - 4 x 11-bit luma (Y = (r + 2g + b)/4 as the R11 float format) — full
+        per-tap luminance detail, same precision class as R11G11B10.
+      - one SHARED chroma pair for the footprint (10+10 bit): the SELF
+        tap's (Co, Cg) ratios — 4:2:0-style chroma subsampling. Zero-motion
+        steady state (jitter cancelled) lands on pixel centers and
+        reconstructs exactly; while moving, chroma lags by <= 1 px, bounded
+        by the neighborhood clamp.
+
+      w0 = L0 | L1<<11 | (L2 & 0x3FF)<<22
+      w1 = (L2>>10) | L3<<1 | co10<<12 | cg10<<22
+
+    YCoCg'-style transform (Y nonneg for nonneg rgb):
+      Y = (r + 2g + b)/4, Co = r - b (in [-4Y, 4Y]), Cg = g - (r + b)/2
+      (in [-2Y, 2Y]); stored as ratios co = Co/(4Y), cg = Cg/(2Y) in [-1, 1].
+      Inverse: r = Y + (Co - Cg')/2, g = Y + Cg'/2, b = Y - (Co + Cg')/2
+      with Co = 4Y*co, Cg' = 2Y*cg."""
+    h, w, _ = img.shape
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    y = 0.25 * r + 0.5 * g + 0.25 * b
+    safe = jnp.maximum(y, 1e-8)
+    co = jnp.clip((r - b) / (4.0 * safe), -1.0, 1.0)
+    cg = jnp.clip((g - 0.5 * (r + b)) / (2.0 * safe), -1.0, 1.0)
+    l11 = _enc_l11(y)
+
+    def taps4(a):
+        right = jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
+        down = jnp.concatenate([a[1:], a[-1:]], axis=0)
+        dr = jnp.concatenate([right[1:], right[-1:]], axis=0)
+        return a, right, down, dr
+
+    l0, l1, l2, l3 = taps4(l11)
+    # Chroma = the SELF tap's (co, cg), not a footprint mean: with jitter
+    # cancelled and zero motion the fetch lands ON pixel centers (fx = fy =
+    # 0), so the steady state reconstructs self-luma + self-chroma EXACTLY —
+    # no iterative chroma bleed at colored edges. A footprint-averaged
+    # chroma desaturates edges a little MORE each frame (the polluted value
+    # stays inside the clamp box); self-chroma errs only while actually
+    # moving (<= 1 px chroma lag), where TAA blurs anyway.
+    co10 = jnp.round((co * 0.5 + 0.5) * 1023.0).astype(jnp.int32)
+    cg10 = jnp.round((cg * 0.5 + 0.5) * 1023.0).astype(jnp.int32)
+    w0 = l0 | (l1 << 11) | ((l2 & 0x3FF) << 22)
+    w1 = (l2 >> 10) | (l3 << 1) | (co10 << 12) | (cg10 << 22)
+    packed = jnp.stack([w0, w1], axis=-1).reshape(h * w, 2)
+
+    # Snap fetch coordinates to 1/256 px: (i + 0.5)/w * w - 0.5 lands at
+    # i +- ~1e-4 in f32, and a NEGATIVE eps would floor to i-1 with fx ~ 1 —
+    # harmless for the luma bilinear but the row's shared chroma would come
+    # from the left/top neighbor forever at rest. 1/256-px motion
+    # quantization is far below perceptible reprojection error.
+    x = jnp.round(jnp.clip(uv[..., 0] * w - 0.5, 0.0, w - 1.0) * 256.0) / 256.0
+    yy = jnp.round(jnp.clip(uv[..., 1] * h - 0.5, 0.0, h - 1.0) * 256.0) / 256.0
+    x0 = jnp.floor(x)
+    yf0 = jnp.floor(yy)
+    fx = (x - x0)[..., None]
+    fy = (yy - yf0)[..., None]
+    idx = yf0.astype(jnp.int32) * w + x0.astype(jnp.int32)
+    rows = packed[idx]  # (..., 2) i32
+    u0 = rows[..., 0]
+    u1 = rows[..., 1]
+    lum = [
+        _dec_l11(u0),
+        _dec_l11(u0 >> 11),
+        _dec_l11(((u0 >> 22) & 0x3FF) | ((u1 & 1) << 10)),
+        _dec_l11(u1 >> 1),
+    ]
+    co_d = (((u1 >> 12) & 0x3FF).astype(jnp.float32) / 1023.0) * 2.0 - 1.0
+    cg_d = (((u1 >> 22) & 0x3FF).astype(jnp.float32) / 1023.0) * 2.0 - 1.0
+    top = lum[0] + (lum[1] - lum[0]) * fx[..., 0]
+    bot = lum[2] + (lum[3] - lum[2]) * fx[..., 0]
+    y_s = top + (bot - top) * fy[..., 0]
+    co_s = 4.0 * y_s * co_d
+    cg_s = 2.0 * y_s * cg_d
+    out = jnp.stack(
+        [
+            y_s + 0.5 * (co_s - cg_s),
+            y_s + 0.5 * cg_s,
+            y_s - 0.5 * (co_s + cg_s),
+        ],
+        axis=-1,
+    )
+    return jnp.maximum(out, 0.0)
+
+
 def _bilinear_sample(img: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     """Sample (H, W, C) at (H, W, 2) uv (clamped).
 

@@ -2,7 +2,9 @@
 as one jitted pure function over scene/view/temporal pytrees."""
 
 from androidrenderer_tpu.render.frame import FrameOutputs, make_renderer, render_frame
-from androidrenderer_tpu.render.temporal import TemporalState, initial_temporal_state
+from androidrenderer_tpu.render.temporal import (
+    TemporalState, initial_temporal_state, temporal_state_for,
+)
 
 __all__ = [
     "FrameOutputs",
@@ -10,4 +12,5 @@ __all__ = [
     "render_frame",
     "TemporalState",
     "initial_temporal_state",
+    "temporal_state_for",
 ]

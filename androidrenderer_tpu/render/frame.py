@@ -343,19 +343,57 @@ def render_frame(
             config.z_near, config.shadow_max_distance,
             config.shadow_cascade_split_lambda,
         )
-        shadow_maps = shadow_ops.render_shadow_cascades(
-            scene.positions, scene.tri_indices, scene.tri_valid, cascades,
-            config.shadow_cascade_resolution,
-            cap=config.max_tris_per_tile,
-            use_pallas=use_pallas, pallas_interpret=config.pallas_interpret,
-            double_sided=scene.tri_double_sided,
-            proxy=scene.proxy,
-            proxy_from_cascade=config.shadow_proxy_from_cascade,
-            pa_unroll=config.raster_pa_unroll,
-            use_bitmask=config.raster_bitmask,
-            corners=scene.tri_corner_pos,
-            win_h=config.shadow_win_h,
+        csm_stagger = (
+            0 < config.shadow_update_budget < config.num_shadow_cascades
+            and use_pallas and config.raster_bitmask
         )
+        if csm_stagger:
+            want = (
+                config.num_shadow_cascades,
+                config.shadow_cascade_resolution,
+                config.shadow_cascade_resolution, 2,
+            )
+            if temporal.csm_packed.shape != want:
+                raise ValueError(
+                    f"TemporalState.csm_packed {temporal.csm_packed.shape} != "
+                    f"{want}: initial_temporal_state must be sized with "
+                    "shadow_cascades/shadow_resolution from this config when "
+                    "shadow_update_budget > 0"
+                )
+            csm_packed, csm_matrices = shadow_ops.render_shadow_cascades_staggered(
+                scene.positions, scene.tri_indices, scene.tri_valid, cascades,
+                config.shadow_cascade_resolution,
+                temporal.csm_packed, temporal.csm_matrices,
+                temporal.frame_index,
+                update_budget=config.shadow_update_budget,
+                pallas_interpret=config.pallas_interpret,
+                double_sided=scene.tri_double_sided,
+                proxy=scene.proxy,
+                proxy_from_cascade=config.shadow_proxy_from_cascade,
+                corners=scene.tri_corner_pos,
+                win_h=config.shadow_win_h,
+            )
+            temporal = temporal._replace(
+                csm_packed=csm_packed, csm_matrices=csm_matrices
+            )
+            # Sampling (and FrameOutputs.csm) consume the EFFECTIVE matrices —
+            # each cascade pairs with the matrix its cached map was built with.
+            cascades = cascades._replace(matrices=csm_matrices)
+            shadow_maps = None
+        else:
+            shadow_maps = shadow_ops.render_shadow_cascades(
+                scene.positions, scene.tri_indices, scene.tri_valid, cascades,
+                config.shadow_cascade_resolution,
+                cap=config.max_tris_per_tile,
+                use_pallas=use_pallas, pallas_interpret=config.pallas_interpret,
+                double_sided=scene.tri_double_sided,
+                proxy=scene.proxy,
+                proxy_from_cascade=config.shadow_proxy_from_cascade,
+                pa_unroll=config.raster_pa_unroll,
+                use_bitmask=config.raster_bitmask,
+                corners=scene.tri_corner_pos,
+                win_h=config.shadow_win_h,
+            )
         l = -scene.sun_direction / jnp.linalg.norm(scene.sun_direction)
         ndotl = jnp.clip(
             jnp.sum(gbuf.normal * l[None, None, :], axis=-1, keepdims=True), 0.0, 1.0
@@ -367,13 +405,16 @@ def render_frame(
             # Profiling stub: keep the cascade rasters (the Pallas calls are
             # opaque to DCE — consuming one texel keeps them) but skip the
             # PCF pack + sample entirely.
-            shadow = jnp.ones((h, w, 1), jnp.float32) * (
-                1.0 + 0.0 * shadow_maps[0, 0, 0]
+            keep = (
+                temporal.csm_packed[0, 0, 0, 0].astype(jnp.float32)
+                if csm_stagger else shadow_maps[0, 0, 0]
             )
+            shadow = jnp.ones((h, w, 1), jnp.float32) * (1.0 + 0.0 * keep)
         else:
             shadow = shadow_ops.sample_csm(
                 gbuf.world_position, view_distance, ndotl, cascades, shadow_maps,
                 params.shadow_bias, normal=gbuf.normal,
+                packed_taps=temporal.csm_packed if csm_stagger else None,
             )
     elif config.shadow_mode == ShadowMode.RT and full_features:
         # Ray-traced sun shadows (directional_light.cpp:372-422).
@@ -759,6 +800,7 @@ def render_frame(
             shadow_f = shadow_ops.sample_csm(
                 gbuf_f.world_position, vd_f, ndotl_f, cascades, shadow_maps,
                 params.shadow_bias, normal=gbuf_f.normal,
+                packed_taps=temporal.csm_packed if csm_stagger else None,
             )
         elif shadow is not None:  # RT shadows: coarse quad value
             shadow_f = quad_fetch(shadow)

@@ -32,6 +32,13 @@ class TemporalState(NamedTuple):
     # (config.lpv_update_budget > 0; ops/lpv.py::update_lpv_staggered).
     # Untouched (zeros) when staggering is off or GI != LPV.
     lpv: LPVVolumes
+    # Staggered-CSM cache (config.shadow_update_budget > 0): packed 2x2-PCF
+    # atlas + the matrices each cascade was rastered with
+    # (ops/shadow.py::render_shadow_cascades_staggered). Empty (0-cascade)
+    # arrays when staggering is off — size with shadow_cascades/
+    # shadow_resolution to enable.
+    csm_packed: jnp.ndarray  # (C, R, R, 2) i32
+    csm_matrices: jnp.ndarray  # (C, 4, 4) f32
 
 
 def initial_temporal_state(
@@ -40,6 +47,7 @@ def initial_temporal_state(
     probe_spacing: float = 1.0, max_primitives: int = 65536,
     out_height: int | None = None, out_width: int | None = None,
     lpv_cascades: int = 4, lpv_resolution: int = 32,
+    shadow_cascades: int = 0, shadow_resolution: int = 0,
 ) -> TemporalState:
     """``height``/``width`` are the RENDER resolution. With temporal upscaling
     (TAA + render res != output res) the TAA history accumulates at OUTPUT
@@ -55,4 +63,34 @@ def initial_temporal_state(
         rtgi_history=jnp.zeros((height, width, 3), jnp.float32),
         rtgi_valid=jnp.array(False),
         lpv=make_lpv_state(lpv_cascades, lpv_resolution),
+        # Zero packed taps decode to depth 0 (reversed-Z farthest) => fully
+        # lit, and the zero matrix projects to z = 0 (outside the z > 0
+        # gate) => lit: stale cascades degrade to "no shadow" for the first
+        # ceil((C-1)/budget) frames, never to garbage shadows.
+        csm_packed=jnp.zeros(
+            (shadow_cascades, shadow_resolution, shadow_resolution, 2),
+            jnp.int32,
+        ),
+        csm_matrices=jnp.zeros((shadow_cascades, 4, 4), jnp.float32),
+    )
+
+
+def temporal_state_for(config) -> TemporalState:
+    """Initial TemporalState sized for a RenderConfig (every cached-feature
+    shape — probe grids, LPV volumes, staggered-CSM atlas — must match the
+    config or render_frame raises)."""
+    return initial_temporal_state(
+        config.render_height, config.render_width,
+        probe_cascades=config.probe_cascades, probe_grid=config.probe_grid,
+        probe_spacing=config.probe_spacing,
+        max_primitives=config.max_primitives,
+        out_height=config.output_height, out_width=config.output_width,
+        lpv_cascades=config.lpv_num_cascades,
+        lpv_resolution=config.lpv_resolution,
+        shadow_cascades=(
+            config.num_shadow_cascades if config.shadow_update_budget else 0
+        ),
+        shadow_resolution=(
+            config.shadow_cascade_resolution if config.shadow_update_budget else 0
+        ),
     )

@@ -397,10 +397,16 @@ class RenderScene:
         else:
             from androidrenderer_tpu.ops.rt.traverse import NODE_ROW_CHANNELS
 
+            from androidrenderer_tpu.scene.bvh import FAR_SENTINEL
+
             z3 = jnp.zeros((1, 3), jnp.float32)
             empty_rows = jnp.zeros((1, NODE_ROW_CHANNELS), jnp.float32)
-            empty_rows = empty_rows.at[0, 0:3].set(jnp.inf)  # degenerate AABB
-            empty_rows = empty_rows.at[0, 3:6].set(-jnp.inf)
+            # Degenerate AABB at the FINITE far sentinel: an inverted
+            # (+inf,-inf) box is ALWAYS-HIT under the slab test (tn=-inf <=
+            # tf=+inf — the round-4 trap sanitize_padded_boxes exists for);
+            # the sentinel box genuinely misses every ray.
+            empty_rows = empty_rows.at[0, 0:3].set(FAR_SENTINEL)
+            empty_rows = empty_rows.at[0, 3:6].set(FAR_SENTINEL)
             empty_rows = empty_rows.at[0, 6].set(1.0)  # miss link -> park
             empty_rows = empty_rows.at[0, 7].set(-1.0)  # inner (no slots)
             device_bvh = DeviceBVH(

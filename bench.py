@@ -68,7 +68,9 @@ def main() -> int:
     from androidrenderer_tpu.config import (
         AAMode, AOMode, GIMode, RenderConfig, RenderParams,
     )
-    from androidrenderer_tpu.render import initial_temporal_state, make_renderer
+    from androidrenderer_tpu.render import (
+        initial_temporal_state, make_renderer, temporal_state_for,
+    )
     from androidrenderer_tpu.scene.procedural import courtyard_scene
 
     # Output 1920x1088 (the extra 8 rows vs 1080 are <1% more work, counted
@@ -115,6 +117,15 @@ def main() -> int:
         # lpv_num_cascades frames of GI lag (docs/PARITY.md divergence entry).
         # Measured: -11.3 ms/frame (tools/profile_toggles.py parity_up_lpv_b1).
         lpv_update_budget=1,
+        # Staggered CSM (round 5): cascade 0 re-rasters every frame, far
+        # cascades round-robin against the cached packed-PCF atlas
+        # (shadow.py::render_shadow_cascades_staggered) — the same budget
+        # pattern as the LPV stagger above. Static scene + static sun reach
+        # the rebuild-all steady state BIT-exactly after 3 frames
+        # (tests/test_shadow.py::test_staggered_cascades_steady_state), so
+        # the timed chained frames are identical to rebuild-all output.
+        # Measured: -10.3 ms/frame (92.8 -> 82.5, parity_up_csmb1).
+        shadow_update_budget=1,
     )
 
     # detail=13 => 320,728 triangles incl. 13% alpha-masked foliage and 3.4%
@@ -135,11 +146,7 @@ def main() -> int:
 
     def measure(cfg, label):
         renderer = make_renderer(cfg)
-        temp = initial_temporal_state(
-            cfg.render_height, cfg.render_width,
-            out_height=cfg.output_height, out_width=cfg.output_width,
-            lpv_cascades=cfg.lpv_num_cascades, lpv_resolution=cfg.lpv_resolution,
-        )
+        temp = temporal_state_for(cfg)
         # Warmup (compile) + 2 cached frames.
         t0 = time.perf_counter()
         out, temp = renderer(scene, view, params, temp)

@@ -157,3 +157,43 @@ def test_bitmask_cascades_win_height_bit_identical():
         ))
     assert np.array_equal(maps[32], maps[16])
     assert np.array_equal(maps[32], maps[8])
+
+
+def test_staggered_cascades_steady_state():
+    # config.shadow_update_budget=1: cascade 0 re-rasters every frame, far
+    # cascades round-robin against the cached packed atlas. Static scene +
+    # static sun => after C-1 frames the staggered frame must equal the
+    # rebuild-all frame EXACTLY (matrices are identical every frame, the
+    # kernel is deterministic, and sampling consumes the same packed taps).
+    scene, _ = _shadow_scene().build()
+    W = H = 128
+    common = dict(
+        render_width=W, render_height=H, output_width=W, output_height=H,
+        tile_height=32, tile_width=128, max_tris_per_tile=256,
+        shadow_mode=ShadowMode.CSM, shadow_cascade_resolution=256,
+        sky=False, bloom=False, alpha_masking=False, translucency=False,
+        occlusion_culling=False, pallas_interpret=True,
+    )
+    cfg_all = RenderConfig(**common)
+    cfg_st = RenderConfig(**common, shadow_update_budget=1)
+    cam = Camera(fov_degrees=75.0, aspect=1.0, render_resolution=(W, H))
+    cam.set_position([0.0, 6.0, 6.0])
+    cam.pitch, cam.yaw = -0.8, np.pi
+    view = cam.view_data()
+    params = RenderParams.default()
+
+    out_all, _ = make_renderer(cfg_all)(
+        scene, view, params, initial_temporal_state(H, W)
+    )
+    r_st = make_renderer(cfg_st)
+    t_st = initial_temporal_state(H, W, shadow_cascades=4, shadow_resolution=256)
+    hdrs = []
+    for _ in range(4):
+        out_st, t_st = r_st(scene, view, params, t_st)
+        hdrs.append(np.asarray(out_st.hdr))
+    # Frames 0-1 are transients (stale far cascades degrade to LIT, never to
+    # garbage): the image may differ from rebuild-all but must stay finite.
+    assert np.isfinite(hdrs[0]).all()
+    # By frame C-2 = 2 every cascade has been rastered once (c0 every frame;
+    # c1@f0, c2@f1, c3@f2) -> steady state from frame 3 onward.
+    np.testing.assert_array_equal(hdrs[3], np.asarray(out_all.hdr))

@@ -156,7 +156,9 @@ def main():
         elif name.startswith("subfold"):
             # subfold[:kb[:unroll[:dN][:cN]]] — win32 tables + per-sub-block
             # lane-batched folds (raster_subfold.py).
-            from androidrenderer_tpu.ops.raster.raster_subfold import (
+            import sys as _sys, os as _os
+            _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "experiments"))
+            from raster_subfold import (  # design study (tools/experiments/)
                 auto_slabs_subfold, rasterize_subfold,
             )
 

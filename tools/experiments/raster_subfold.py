@@ -70,7 +70,7 @@ from androidrenderer_tpu.ops.raster.raster_bitmask import (
     _ctz32,
     build_window_masks,
 )
-from androidrenderer_tpu.ops.raster.raster_lanes import LREC, pack_lane_records
+from androidrenderer_tpu.ops.raster.records import LREC, pack_lane_records
 
 WIN_W = 128
 WIN_H = 32  # window height (tables, RMW granularity)

@@ -20,7 +20,7 @@ from androidrenderer_tpu.ops.raster import (
 )
 from androidrenderer_tpu.ops.raster.binning import bin_triangles
 from androidrenderer_tpu.ops.raster.raster_binned import rasterize_binned
-from androidrenderer_tpu.ops.raster.raster_lanes import rasterize_lanes
+from raster_lanes import rasterize_lanes
 
 from test_raster import random_scene
 

@@ -22,7 +22,7 @@ from androidrenderer_tpu.ops.raster import (
 )
 from androidrenderer_tpu.ops.raster.binning import bin_triangles
 from androidrenderer_tpu.ops.raster.raster_binned import rasterize_binned
-from androidrenderer_tpu.ops.raster.raster_subfold import rasterize_subfold
+from raster_subfold import rasterize_subfold
 
 from test_raster import random_scene
 

@@ -6,7 +6,7 @@ import pytest
 
 from androidrenderer_tpu.ops.raster import rasterize_depth, rasterize_visibility
 from androidrenderer_tpu.ops.raster.binning import bin_triangles
-from androidrenderer_tpu.ops.raster.raster_touch import rasterize_touch
+from raster_touch import rasterize_touch
 
 from test_raster import random_scene
 from test_raster_pallas import _setup_for, W, H

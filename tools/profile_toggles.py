@@ -21,6 +21,12 @@ sys.path.insert(0, "/root/repo")
 def time_config(config, scene, view, params, chain=10, reps=3):
     import jax
 
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass
+
     from androidrenderer_tpu.render import initial_temporal_state, make_renderer
 
     temporal = initial_temporal_state(
@@ -30,6 +36,12 @@ def time_config(config, scene, view, params, chain=10, reps=3):
         out_height=config.output_height, out_width=config.output_width,
         lpv_cascades=config.lpv_num_cascades,
         lpv_resolution=config.lpv_resolution,
+        shadow_cascades=(
+            config.num_shadow_cascades if config.shadow_update_budget else 0
+        ),
+        shadow_resolution=(
+            config.shadow_cascade_resolution if config.shadow_update_budget else 0
+        ),
     )
     renderer = make_renderer(config)
     t0 = time.perf_counter()
@@ -196,6 +208,35 @@ def main():
             render_width=1280, render_height=736,
             gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
             occlusion_culling=False, lpv_update_budget=2,
+        ),
+        # Staggered CSM (round 5): cascade 0 every frame + 1 far cascade
+        # round-robin against the cached packed-PCF atlas
+        # (shadow.py::render_shadow_cascades_staggered). _2048/_4096 raise the
+        # cascade resolution toward the reference's 4096^2 D16
+        # (directional_light.cpp:28-44) on the staggered budget.
+        "parity_up_csmb1": base.replace(
+            render_width=1280, render_height=736,
+            gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
+            occlusion_culling=False, lpv_update_budget=1,
+            shadow_update_budget=1,
+        ),
+        "parity_up_csmb1_2048": base.replace(
+            render_width=1280, render_height=736,
+            gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
+            occlusion_culling=False, lpv_update_budget=1,
+            shadow_update_budget=1, shadow_cascade_resolution=2048,
+        ),
+        "parity_up_csmb1_4096": base.replace(
+            render_width=1280, render_height=736,
+            gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
+            occlusion_culling=False, lpv_update_budget=1,
+            shadow_update_budget=1, shadow_cascade_resolution=4096,
+        ),
+        "parity_up_csm2048": base.replace(
+            render_width=1280, render_height=736,
+            gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
+            occlusion_culling=False, lpv_update_budget=1,
+            shadow_cascade_resolution=2048,
         ),
         "parity_up_nogi": base.replace(
             render_width=1280, render_height=736,

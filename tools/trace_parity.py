@@ -58,10 +58,9 @@ def main():
     cam.pitch, cam.yaw = -0.05, np.pi
     view = cam.view_data()
     params = RenderParams.default()
-    temporal = initial_temporal_state(
-        rh, rw, out_height=h, out_width=w,
-        lpv_cascades=config.lpv_num_cascades, lpv_resolution=config.lpv_resolution,
-    )
+    from androidrenderer_tpu.render import temporal_state_for
+
+    temporal = temporal_state_for(config)
     renderer = make_renderer(config)
     out, temporal = renderer(scene, view, params, temporal)
     np.asarray(out.image[0, 0])  # compile + settle outside the trace
