@@ -193,6 +193,18 @@ class RenderConfig:
     probe_budget: int = 256
     probe_rays: int = 64
 
+    # TAA/TAAU history fetch row width: True = 8-byte rows (4 x 11-bit luma +
+    # shared 10+10-bit chroma, taa._bilinear_sample_packed8; zero-motion
+    # steady state reconstructs exactly), False = 16-byte R11G11B10 x 4.
+    # MEASURED NEGATIVE round 5 (default stays False): the halved gather row
+    # saved ~0.25 ms (tools/microbench_taa5.py — reprojection indices are
+    # spatially coherent, so the 2M-row fetch is only ~3 ms, not the 9 ms the
+    # round-4 trace attributed to the fused op) while the YCoCg encode's
+    # extra elementwise work cost ~+0.7 ms in-frame (profile_toggles
+    # parity_up_csmb1 vs _p16). Kept as an option: quality is gated equal-or-
+    # better on the convergence fixture (tests/test_taau.py).
+    taa_pack8: bool = False
+
     # Bloom (bloomer.cpp:9: 6 mips).
     bloom_num_mips: int = 6
 

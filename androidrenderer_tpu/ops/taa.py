@@ -263,6 +263,7 @@ def taa_resolve(
     blend: float = 0.1,
     row_offset=0,  # band rendering: first screen row of `current`
     current_halo: jnp.ndarray | None = None,  # (H+2, W, 3) edge-halo'd current
+    pack8: bool = False,  # 8-byte history rows (measured-negative default; see config)
 ):
     """(resolved, new_history) — exponential accumulation with neighborhood clamp.
 
@@ -278,10 +279,12 @@ def taa_resolve(
         axis=-1,
     )
     prev_uv = uv - mv
-    # R11G11B10-packed history fetch (history itself stays f32 in the temporal
-    # state; quantization happens per-fetch and the neighborhood clamp below
-    # bounds it — the visual contract of GPU TAA's R11G11B10 accumulators).
-    hist = _bilinear_sample_packed(history, prev_uv)
+    # Packed history fetch (history itself stays f32 in the temporal state;
+    # quantization happens per-fetch and the neighborhood clamp below bounds
+    # it — the visual contract of GPU TAA's R11G11B10 accumulators). pack8
+    # halves the row to 8 bytes (large-operand gathers are byte-bound).
+    sample = _bilinear_sample_packed8 if pack8 else _bilinear_sample_packed
+    hist = sample(history, prev_uv)
     if current_halo is not None:
         mn, mx = _neighborhood_minmax(current_halo)
         mn, mx = mn[1:-1], mx[1:-1]
@@ -317,6 +320,7 @@ def taau_resolve(
     conf_sigma: float = 10.0,  # subpixel-confidence falloff (render px^-2)
     alpha_floor: float = 0.02,  # min fraction of blend for far samples
     clamp_pad: float = 0.5,  # clamp-box inflation as a fraction of its size
+    pack8: bool = False,  # 8-byte history rows (measured-negative default; see config)
 ):
     """(resolved (oh, ow, 3), new_history) — temporal UPSCALING resolve.
 
@@ -421,7 +425,9 @@ def taau_resolve(
         axis=-1,
     )
     prev_uv = uv - mv_up
-    hist = _bilinear_sample_packed(history, prev_uv)
+    hist = (_bilinear_sample_packed8 if pack8 else _bilinear_sample_packed)(
+        history, prev_uv
+    )
     pad = clamp_pad * (mx_up - mn_up)
     hist = jnp.clip(hist, mn_up - pad, mx_up + pad)
 

@@ -856,6 +856,7 @@ def render_frame(
                 lit_f, history_full, temporal.taa_valid, mv_f,
                 jnp.asarray(view.jitter),
                 config.output_height, config.output_width,
+                pack8=config.taa_pack8,
             )
             if axis_name is not None:
                 n_bands = jax.lax.axis_size(axis_name)
@@ -867,6 +868,7 @@ def render_frame(
             lit, new_history = taa_ops.taa_resolve(
                 lit, history_full, temporal.taa_valid, mv,
                 row_offset=row_offset, current_halo=lit_halo,
+                pack8=config.taa_pack8,
             )
         taa_state = dict(taa_history=new_history, taa_valid=jnp.array(True))
     else:

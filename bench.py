@@ -144,9 +144,22 @@ def main() -> int:
     view = cam.view_data()
     params = RenderParams.default()
 
-    def measure(cfg, label):
+    def measure(cfg, label, want_flops=False):
         renderer = make_renderer(cfg)
         temp = temporal_state_for(cfg)
+        flops = None
+        if want_flops:
+            # XLA's own cost model for the compiled frame (cache hit — same
+            # trace signature as the calls below). Renderers are gather/
+            # bandwidth-bound, so MFU is a utilization DENOMINATOR, not a
+            # target; still useful to see how far from compute-bound we run.
+            try:
+                ca = renderer.lower(scene, view, params, temp).compile().cost_analysis()
+                if ca:
+                    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+                    flops = float(ca.get("flops", 0.0)) or None
+            except Exception as e:
+                print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
         # Warmup (compile) + 2 cached frames.
         t0 = time.perf_counter()
         out, temp = renderer(scene, view, params, temp)
@@ -172,7 +185,7 @@ def main() -> int:
         ms = float(np.median(times))
         print(f"# [{label}] chained frame times (ms): "
               f"{[round(t, 2) for t in times]}", file=sys.stderr)
-        return ms
+        return (ms, flops) if want_flops else ms
 
     # Raster-only mirrors the reference's AA=None mode: NATIVE resolution
     # (scene_renderer.cpp:135-139 sets render res = output res when AA is off).
@@ -182,14 +195,21 @@ def main() -> int:
     )
     raster_ms = measure(raster_cfg, "raster-only")
     print(f"# raster_only_frame_ms: {round(raster_ms, 3)}", file=sys.stderr)
-    ms = measure(config, "parity (LPV GI + SSAO + TAA)")
+    ms, flops = measure(config, "parity (LPV GI + SSAO + TAA)", want_flops=True)
 
-    print(json.dumps({
+    result = {
         "metric": "sponza_class_321k_tris_masked_blend_1920x1080_parity_frame_time",
         "value": round(ms, 3),
         "unit": "ms",
         "vs_baseline": round(TARGET_MS / ms, 4),
-    }))
+    }
+    if flops:
+        # v5e peak = 197 TFLOP/s (bf16 MXU); the frame is mostly f32 VPU +
+        # gathers, so read this as "fraction of chip peak", a denominator for
+        # perf rounds (VERDICT r4 item 7), not a kernel-quality score.
+        result["flops_est"] = round(flops, 0)
+        result["mfu_est"] = round(flops / (ms * 1e-3) / 197e12, 5)
+    print(json.dumps(result))
     return 0
 
 

@@ -111,3 +111,29 @@ def test_taau_frame_shapes_and_upscaled_output():
     assert img.shape == (oh, ow, 3)
     assert img.std() > 5.0
     assert t.taa_history.shape == (oh, ow, 3)
+
+
+def test_taau_pack8_convergence_not_worse():
+    # The 8-byte history row option (config.taa_pack8; measured-negative perf
+    # default, kept as an option) must converge at least as well as the
+    # 16-byte R11G11B10 rows on the synthetic fixture.
+    def run(pack8):
+        history = jnp.zeros((OH, OW, 3), jnp.float32)
+        valid = jnp.bool_(False)
+        mv = jnp.zeros((RH, RW, 2), jnp.float32)
+        out = None
+        for i in range(24):
+            j = taa_jitter(i)
+            out, history = taa.taau_resolve(
+                render_jittered(j[0], j[1]), history, valid, mv,
+                jnp.asarray(j), OH, OW, pack8=pack8,
+            )
+            valid = jnp.bool_(True)
+        ox = (np.arange(OW) + 0.5) / (OW / RW) - 0.5
+        oy = (np.arange(OH) + 0.5) / (OH / RH) - 0.5
+        gx, gy = np.meshgrid(ox, oy)
+        ref = truth(gx, gy)
+        return float(np.sqrt(np.mean((np.asarray(out) - ref) ** 2)))
+
+    r16, r8 = run(False), run(True)
+    assert r8 < r16 * 1.05, (r8, r16)

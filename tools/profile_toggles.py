@@ -232,6 +232,15 @@ def main():
             occlusion_culling=False, lpv_update_budget=1,
             shadow_update_budget=1, shadow_cascade_resolution=4096,
         ),
+        # 8-byte luma+chroma history rows vs the 16-byte R11G11B10x4 default —
+        # measured NEGATIVE (+0.7 ms: encode math > gather saving; the
+        # reprojection gather is coherent and only ~3 ms at 16 B).
+        "parity_up_csmb1_p8": base.replace(
+            render_width=1280, render_height=736,
+            gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
+            occlusion_culling=False, lpv_update_budget=1,
+            shadow_update_budget=1, taa_pack8=True,
+        ),
         "parity_up_csm2048": base.replace(
             render_width=1280, render_height=736,
             gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
