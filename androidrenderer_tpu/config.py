@@ -184,14 +184,17 @@ class RenderConfig:
     # budget 256/cascade = 1024 probe updates/frame (the reference's cvar
     # value; its budget is one shared list, ours is per-cascade round-robin).
     # Cascade 0 spans 16x16x4 m at 0.5 m spacing like the reference; outer
-    # cascades scale 2x per level (theirs scale 4-16x to reach 8 km — beyond
-    # any fixture here; docs/PARITY.md). probe_rays=64 vs the reference's 400
-    # is the one remaining scale-down (documented divergence, measured cost).
+    # cascades follow the reference's extent ladder as of round 5
+    # (irradiance_cache.cpp:15-18: 16x16x4 m / 64x64x16 / 512x512x128 /
+    # 8x8x2 km => spacing multipliers 1x/4x/32x/500x, probes.cascade_spacings)
+    # and probe_rays matches the reference's 20x20 dispatch_rays grid
+    # (.cpp:637, 400 rays/probe).
     probe_cascades: int = 4
     probe_grid: Tuple[int, int, int] = (32, 8, 32)
     probe_spacing: float = 0.5
+    probe_spacing_ladder: Tuple[float, ...] = (1.0, 4.0, 32.0, 500.0)
     probe_budget: int = 256
-    probe_rays: int = 64
+    probe_rays: int = 400
 
     # TAA/TAAU history fetch row width: True = 8-byte rows (4 x 11-bit luma +
     # shared 10+10-bit chroma, taa._bilinear_sample_packed8; zero-motion

@@ -3,9 +3,19 @@
 
 The reference gets frame generation from the FSR3 vendor SDK (upscaling/fsr3.cpp).
 The TPU-native replacement reuses the renderer's own reprojection motion vectors as
-the flow field: the midpoint frame samples both neighbors half-way along the flow and
-blends, falling back to the nearer-in-time frame where the reprojection leaves the
-screen or the two warped samples disagree strongly (disocclusion heuristic).
+the flow field: the midpoint frame samples both neighbors half-way along the flow
+and blends. Disocclusion handling (round 5, VERDICT r4 item 9): instead of a fixed
+absolute-difference threshold, the blend confidence combines
+
+- RELATIVE photometric disagreement of the two warped samples (scale-free —
+  an absolute 0.5 threshold meant HDR highlights always "disoccluded" and
+  dark scenes never did), and
+- FLOW DIVERGENCE: the motion vector sampled at the current-frame tap is
+  compared against the pixel's own flow; where they disagree by pixels, the
+  two taps straddle an occlusion edge and the warp is not trustworthy.
+
+Low confidence falls back smoothly to the temporally nearer frame (what FSR3's
+disocclusion mask does), rather than hard-switching per pixel.
 """
 
 from __future__ import annotations
@@ -20,6 +30,8 @@ def interpolate_frame(
     curr_frame: jnp.ndarray,  # (H, W, 3)
     mv: jnp.ndarray,  # (H, W, 2) uv motion (uv_prev = uv_curr - mv)
     t: float = 0.5,  # interpolation phase in (0, 1)
+    rel_sigma: float = 0.5,  # photometric confidence falloff (relative diff)
+    flow_sigma_px: float = 2.0,  # flow-divergence confidence falloff (pixels)
 ) -> jnp.ndarray:
     """Synthesize the frame at phase t between prev (t=0) and curr (t=1)."""
     h, w, _ = curr_frame.shape
@@ -29,8 +41,8 @@ def interpolate_frame(
         [jnp.broadcast_to(px[None, :], (h, w)), jnp.broadcast_to(py[:, None], (h, w))],
         axis=-1,
     )
-    # The mid-frame pixel saw the surface at uv - (1-t)*mv in prev and uv + ... in
-    # curr along the flow (mv maps curr -> prev).
+    # The mid-frame pixel saw the surface at uv - (1-t)*mv in prev and uv + t*mv
+    # in curr along the flow (mv maps curr -> prev).
     uv_prev = uv - mv * (1.0 - t)
     uv_curr = uv + mv * t
     a = _bilinear_sample(prev_frame, uv_prev)
@@ -45,9 +57,26 @@ def interpolate_frame(
 
     blend = jnp.where(on_a & on_b, jnp.float32(t), jnp.where(on_b, 1.0, 0.0))
     mid = a + (b - a) * blend
-    # Disocclusion heuristic: where warped neighbors disagree strongly, bias to the
-    # temporally nearer frame.
+
+    # Confidence 1: relative photometric disagreement of the warped taps
+    # (scale-free; the round-4 fixed |a-b| > 0.5 threshold was HDR-scale
+    # dependent).
     diff = jnp.abs(a - b).mean(axis=-1, keepdims=True)
+    mag = 0.5 * (jnp.abs(a) + jnp.abs(b)).mean(axis=-1, keepdims=True) + 1e-3
+    rel = diff / mag
+    conf_photo = jnp.exp(-(rel / rel_sigma) ** 2)
+    # Confidence 2: flow divergence — the motion stored at the current-frame
+    # tap should agree with the flow used to get there; a mismatch of pixels
+    # means the taps straddle an occlusion boundary.
+    mv_b = _bilinear_sample(mv, uv_curr)
+    flow_err = jnp.stack(
+        [(mv_b[..., 0] - mv[..., 0]) * w, (mv_b[..., 1] - mv[..., 1]) * h],
+        axis=-1,
+    )
+    err_px = jnp.sqrt(jnp.sum(flow_err * flow_err, axis=-1, keepdims=True))
+    conf_flow = jnp.exp(-(err_px / flow_sigma_px) ** 2)
+    conf = conf_photo * conf_flow
+
+    # Low confidence falls back smoothly to the temporally nearer frame.
     near = b if t >= 0.5 else a
-    mid = jnp.where(diff > 0.5, near, mid)
-    return mid
+    return conf * mid + (1.0 - conf) * near

@@ -33,11 +33,22 @@ LEAF_SIZE = 4
 # 0:3 aabb min | 3:6 aabb max | 6 miss link | 7 first slot (-1 = inner) |
 # 8 slot count | SLOT0 : OPQ0 slots x (v0, e1, e2) | OPQ0 : +LEAF_SIZE
 # per-slot opaque flags | GRID0 : +LEAF_SIZE*8 per-slot 16x16 barycentric
-# alpha bitmaps (8 i32 words bitcast to f32; all-ones for opaque slots).
+# alpha bitmaps (8 i32 words bitcast to f32; all-ones for opaque slots) |
+# LOOK0 : +4 lookahead target slots (-1 = none) | +4*6 target AABBs.
+#
+# Lookahead (round 5): an inner node's 4 targets are its GRANDCHILDREN (or a
+# leaf child directly), in preorder order. A traversal step at an inner node
+# slab-tests the 4 target boxes riding the SAME gathered row and jumps
+# straight to the first hit target — descending TWO levels (or skipping a
+# whole 2-level subtree) per gather. Correct under preorder skip links:
+# every arrival (descend or miss-link) re-tests the node's own box, a target
+# box contains its whole subtree, and all skipped intermediates are either
+# ancestors of the jump target or subtrees whose target box missed.
 SLOT0 = 9
 OPQ0 = SLOT0 + LEAF_SIZE * 9
 GRID0 = OPQ0 + LEAF_SIZE
-NODE_ROW_CHANNELS = GRID0 + LEAF_SIZE * 8
+LOOK0 = GRID0 + LEAF_SIZE * 8
+NODE_ROW_CHANNELS = LOOK0 + 4 + 4 * 6
 
 
 class DeviceBVH(NamedTuple):
@@ -115,9 +126,53 @@ def pack_node_rows(
         cols += [slot_v0[sl], slot_e1[sl], slot_e2[sl]]
         opq_cols.append(opq[sl][:, None])
         grid_cols.append(grid_f[sl])
-    return jnp.concatenate(cols + opq_cols + grid_cols, axis=1).astype(
-        jnp.float32
+
+    # Lookahead targets (see layout comment). Topology-derived, so this works
+    # identically at host bake and inside jitted refits: left child of inner
+    # X is X+1; the right child is the left subtree's miss link.
+    from androidrenderer_tpu.scene.bvh import FAR_SENTINEL
+
+    nm = node_min.astype(jnp.float32)
+    nx = node_max.astype(jnp.float32)
+    miss_i = node_miss.astype(jnp.int32)
+    first_i = first
+    ids = jnp.arange(m, dtype=jnp.int32)
+    is_inner = first_i < 0
+
+    def child_targets(c, c_valid):
+        """Two targets for child c: (c itself) when c is a leaf, else c's two
+        children. Returns [(slot, valid), (slot, valid)]."""
+        c_s = jnp.clip(c, 0, m - 1)
+        c_leaf = first_i[c_s] >= 0
+        g1 = c_s + 1
+        g1_ok = c_valid & ~c_leaf & (g1 < m)
+        g1_s = jnp.clip(g1, 0, m - 1)
+        g2 = miss_i[g1_s]
+        g2_ok = g1_ok & (g2 > g1) & (g2 < m)
+        tA = jnp.where(c_leaf, c_s, g1_s)
+        tA_ok = c_valid & (c_leaf | g1_ok)
+        return [(tA, tA_ok), (jnp.clip(g2, 0, m - 1), g2_ok)]
+
+    left = ids + 1
+    left_ok = is_inner & (left < m)
+    left_s = jnp.clip(left, 0, m - 1)
+    right = miss_i[left_s]
+    right_ok = left_ok & (right > left) & (right < m)
+    targets = child_targets(left_s, left_ok) + child_targets(
+        jnp.clip(right, 0, m - 1), right_ok
     )
+    t_slots = []
+    t_boxes = []
+    for slot_k, ok_k in targets:
+        t_slots.append(
+            jnp.where(ok_k, slot_k, -1).astype(jnp.float32)[:, None]
+        )
+        bmin = jnp.where(ok_k[:, None], nm[slot_k], FAR_SENTINEL)
+        bmax = jnp.where(ok_k[:, None], nx[slot_k], FAR_SENTINEL)
+        t_boxes.append(jnp.concatenate([bmin, bmax], axis=1))
+    return jnp.concatenate(
+        cols + opq_cols + grid_cols + t_slots + t_boxes, axis=1
+    ).astype(jnp.float32)
 
 
 class Hits(NamedTuple):
@@ -125,54 +180,35 @@ class Hits(NamedTuple):
     slot: jnp.ndarray  # (R,) hit slot id, -1 = miss
     u: jnp.ndarray  # (R,) barycentric u
     v: jnp.ndarray  # (R,) barycentric v
+    # () i32 traversal steps executed / () bool true when the step cap parked
+    # rays that had not finished (possible silently-truncated tail hits —
+    # expose the true count rather than silently capping; CLAUDE.md rule).
+    steps: jnp.ndarray | None = None
+    overflow: jnp.ndarray | None = None
 
 
-def trace_rays(
+def _phase(
     bvh: DeviceBVH,
-    origins: jnp.ndarray,  # (R, 3)
-    directions: jnp.ndarray,  # (R, 3) need not be normalized
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
     tmin,
-    tmax,
-    any_hit: bool = False,
-    # Park-step p100 on the bench scene is ~950 (tools/microbench_rt.py);
-    # 512 silently truncated the deepest ~5% of closest-hit walks. The loop
-    # exits when every ray parks, so the cap only bounds the worst case.
-    max_steps: int = 1024,
-    active: jnp.ndarray | None = None,  # (R,) bool — inactive rays report miss
-    masked_any_hit: bool = False,  # any-hit parks only on OPAQUE hits (see below)
-    alpha_bitmap_test: bool = False,  # in-traversal 16x16 barycentric alpha test
-) -> Hits:
-    """Closest-hit (or any-hit) trace of R rays.
+    state,
+    limit: int,
+    *,
+    any_hit: bool,
+    masked_any_hit: bool,
+    alpha_bitmap_test: bool,
+):
+    """Run the lockstep walk until ``limit`` total steps or all rays park.
 
-    ``tmin`` may be per-ray (R,) — used by the alpha-test re-trace loop to peel
-    past ignored hits. ``masked_any_hit`` changes any-hit semantics to match
-    the reference's masked any-hit shader (gltf_basic_pbr.slang:291-317): rays
-    park (terminate) only on OPAQUE hits (per-slot opacity baked into
-    node_rows); alpha-masked hits keep the closest-so-far and continue, so the
-    caller can alpha-test the committed hit and re-trace.
-
-    ``alpha_bitmap_test`` instead resolves masked geometry INSIDE the
-    traversal with the same per-triangle 16x16 barycentric alpha bitmaps the
-    raster kernel uses (docs/PARITY.md alpha_bitmap divergence; baked into
-    node_rows channels GRID0+): slots whose bitmap bit at the hit's (u, v) is
-    0 simply do not hit, so ONE trace replaces the 3-peel IgnoreHit loop for
-    both closest-hit and any-hit masked queries."""
-    r = origins.shape[0]
+    ``state`` = (step, idx, best_t, best_slot, best_u, best_v, best_opq);
+    resumable — trace_rays chains phases with ray compaction in between."""
     m = bvh.node_rows.shape[0]
     inv_d = 1.0 / jnp.where(directions == 0.0, 1e-30, directions)
 
-    idx0 = jnp.zeros((r,), jnp.int32)
-    if active is not None:
-        idx0 = jnp.where(active, idx0, m)
-    best_t = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
-    best_slot = jnp.full((r,), -1, jnp.int32)
-    best_u = jnp.zeros((r,), jnp.float32)
-    best_v = jnp.zeros((r,), jnp.float32)
-    best_opq = jnp.zeros((r,), bool)
-
     def cond(state):
         step, idx, *_ = state
-        return (step < max_steps) & jnp.any(idx < m)
+        return (step < limit) & jnp.any(idx < m)
 
     def body(state):
         step, idx, best_t, best_slot, best_u, best_v, best_opq = state
@@ -261,8 +297,30 @@ def trace_rays(
         opq_b = jnp.sum(row[:, OPQ0:OPQ0 + LEAF_SIZE] * oh, axis=-1)
         best_opq = jnp.where(any_ok, opq_b != 0.0, best_opq)
 
-        descend = box_hit & (first_f < 0.0)
-        nxt = jnp.where(descend, idx + 1, miss)
+        # Inner nodes: jump to the first (preorder) hit lookahead target —
+        # two levels per gather; no hit target => the whole 2-level subtree
+        # misses and we take the skip link.
+        t_slot_f = row[:, LOOK0:LOOK0 + 4]  # (R, 4) f32, -1 = none
+        t_box = row[:, LOOK0 + 4:LOOK0 + 28].reshape(-1, 4, 2, 3)
+        tb0 = (t_box[:, :, 0, :] - origins[:, None, :]) * inv_d[:, None, :]
+        tb1 = (t_box[:, :, 1, :] - origins[:, None, :]) * inv_d[:, None, :]
+        ttn = jnp.max(jnp.minimum(tb0, tb1), axis=-1)  # (R, 4)
+        ttf = jnp.min(jnp.maximum(tb0, tb1), axis=-1)
+        t_hit = (
+            (t_slot_f >= 0.0)
+            & (ttn <= ttf)
+            & (ttf >= tmin_b)  # scalar or (R, 1) — broadcasts over targets
+            & (ttn <= best_t[:, None])
+        )
+        k1 = jnp.argmax(t_hit, axis=-1)  # first hit target (preorder order)
+        oh1 = jnp.arange(4)[None, :] == k1[:, None]
+        jump = jnp.sum(
+            jnp.where(oh1, t_slot_f, 0.0), axis=-1
+        ).astype(jnp.int32)
+        any_target = jnp.any(t_hit, axis=-1)
+
+        descend = box_hit & (first_f < 0.0) & any_target
+        nxt = jnp.where(descend, jump, miss)
         nxt = jnp.where(active, nxt, idx)
         if any_hit:
             committed = best_slot >= 0
@@ -273,11 +331,125 @@ def trace_rays(
             nxt = jnp.where(committed, m, nxt)
         return step + 1, nxt, best_t, best_slot, best_u, best_v, best_opq
 
-    state = (jnp.int32(0), idx0, best_t, best_slot, best_u, best_v, best_opq)
-    _, _, best_t, best_slot, best_u, best_v, _ = jax.lax.while_loop(
-        cond, body, state
+
+    return jax.lax.while_loop(cond, body, state)
+
+
+def trace_rays(
+    bvh: DeviceBVH,
+    origins: jnp.ndarray,  # (R, 3)
+    directions: jnp.ndarray,  # (R, 3) need not be normalized
+    tmin,
+    tmax,
+    any_hit: bool = False,
+    # Park-step p100 on the bench scene is ~950 (tools/microbench_rt.py);
+    # 512 silently truncated the deepest ~5% of closest-hit walks. The loop
+    # exits when every ray parks, so the cap only bounds the worst case.
+    max_steps: int = 1024,
+    active: jnp.ndarray | None = None,  # (R,) bool — inactive rays report miss
+    masked_any_hit: bool = False,  # any-hit parks only on OPAQUE hits (see below)
+    alpha_bitmap_test: bool = False,  # in-traversal 16x16 barycentric alpha test
+    compact_after: int | None = None,  # steps before compacting survivors;
+    # None = auto (128 for closest-hit traces of >= 32k rays), 0 = never.
+    compact_div: int = 4,  # survivor buffer = r // compact_div (>= 1024)
+) -> Hits:
+    """Closest-hit (or any-hit) trace of R rays.
+
+    ``tmin`` may be per-ray (R,) — used by the alpha-test re-trace loop to peel
+    past ignored hits. ``masked_any_hit`` changes any-hit semantics to match
+    the reference's masked any-hit shader (gltf_basic_pbr.slang:291-317): rays
+    park (terminate) only on OPAQUE hits (per-slot opacity baked into
+    node_rows); alpha-masked hits keep the closest-so-far and continue, so the
+    caller can alpha-test the committed hit and re-trace.
+
+    ``alpha_bitmap_test`` instead resolves masked geometry INSIDE the
+    traversal with the same per-triangle 16x16 barycentric alpha bitmaps the
+    raster kernel uses (docs/PARITY.md alpha_bitmap divergence; baked into
+    node_rows channels GRID0+): slots whose bitmap bit at the hit's (u, v) is
+    0 simply do not hit, so ONE trace replaces the 3-peel IgnoreHit loop for
+    both closest-hit and any-hit masked queries."""
+    r = origins.shape[0]
+    m = bvh.node_rows.shape[0]
+
+    idx0 = jnp.zeros((r,), jnp.int32)
+    if active is not None:
+        idx0 = jnp.where(active, idx0, m)
+    state = (
+        jnp.int32(0),
+        idx0,
+        jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,)),
+        jnp.full((r,), -1, jnp.int32),
+        jnp.zeros((r,), jnp.float32),
+        jnp.zeros((r,), jnp.float32),
+        jnp.zeros((r,), bool),
     )
-    return Hits(t=best_t, slot=best_slot, u=best_u, v=best_v)
+    flags = dict(
+        any_hit=any_hit, masked_any_hit=masked_any_hit,
+        alpha_bitmap_test=alpha_bitmap_test,
+    )
+
+    if compact_after is None:
+        # Auto: closest-hit walks have a long straggler tail (park p50 ~ 1/3
+        # of p100 — tools/microbench_rt.py); any-hit rays park on first
+        # occluders, so full-width is already cheap.
+        compact_after = 128 if (not any_hit and r >= 32 * 1024) else 0
+    if compact_after <= 0 or compact_after >= max_steps or r < 4 * 1024:
+        state = _phase(bvh, origins, directions, tmin, state, max_steps, **flags)
+    else:
+        # Segmented trace with ray compaction (the wavefront-compaction
+        # analog): run full-width until most rays park, then gather the
+        # survivors into an r/compact_div buffer and finish narrow. Step cost
+        # scales with the array width, so the straggler tail (p50 park step
+        # is ~1/3 of p100) stops costing full-width iterations. If more than
+        # cap rays survive phase 1 (atypical scene), the cond falls back to a
+        # full-width finish — never drops rays.
+        state = _phase(bvh, origins, directions, tmin, state, compact_after, **flags)
+        cap = max(1024, r // compact_div)
+        per_ray_tmin = jnp.ndim(tmin) == 1
+
+        def finish_full(state):
+            return _phase(bvh, origins, directions, tmin, state, max_steps, **flags)
+
+        def finish_compact(state):
+            step, idx, bt, bs, bu, bv, bo = state
+            act = idx < m
+            pos = jnp.cumsum(act.astype(jnp.int32)) - 1
+            scat = jnp.where(act, pos, cap)  # OOB (cap) rows drop
+            inv = jnp.zeros((cap,), jnp.int32).at[scat].set(
+                jnp.arange(r, dtype=jnp.int32), mode="drop"
+            )
+            lane_ok = jnp.arange(cap, dtype=jnp.int32) < jnp.sum(
+                act.astype(jnp.int32)
+            )
+            o_c = origins[inv]
+            d_c = directions[inv]
+            tmin_c = jnp.asarray(tmin, jnp.float32)[inv] if per_ray_tmin else tmin
+            sub = (
+                step,
+                jnp.where(lane_ok, idx[inv], m),
+                bt[inv], bs[inv], bu[inv], bv[inv], bo[inv],
+            )
+            sub = _phase(bvh, o_c, d_c, tmin_c, sub, max_steps, **flags)
+            s_step, s_idx, s_bt, s_bs, s_bu, s_bv, s_bo = sub
+            back = jnp.where(lane_ok, inv, r)  # OOB rows drop
+            return (
+                s_step,
+                idx.at[back].set(s_idx, mode="drop"),
+                bt.at[back].set(s_bt, mode="drop"),
+                bs.at[back].set(s_bs, mode="drop"),
+                bu.at[back].set(s_bu, mode="drop"),
+                bv.at[back].set(s_bv, mode="drop"),
+                bo.at[back].set(s_bo, mode="drop"),
+            )
+
+        n_act = jnp.sum((state[1] < m).astype(jnp.int32))
+        state = jax.lax.cond(n_act <= cap, finish_compact, finish_full, state)
+
+    steps, idx_f, best_t, best_slot, best_u, best_v, _ = state
+    return Hits(
+        t=best_t, slot=best_slot, u=best_u, v=best_v,
+        steps=steps, overflow=jnp.any(idx_f < m),
+    )
 
 
 def occlusion(bvh: DeviceBVH, origins, directions, tmin, tmax, max_steps=1024):

@@ -348,6 +348,117 @@ def render_shadow_cascades(
     return jnp.concatenate([full_maps[:k_proxy], prox_maps], axis=0)
 
 
+def _raster_cascade_dynamic(
+    setup_c, setup_p, mc, mi, k, k_proxy, resolution, win_h,
+    pallas_interpret,
+):
+    """Rasterize cascade ``k`` (traced index) at traced matrix ``mi``.
+
+    Geometry source is static per cascade id (full below k_proxy, proxy at or
+    above) but the id is traced — one lax.cond, both branches (R, R). XLA
+    executes only the taken branch. Shared by the staggered and the
+    device-sharded cascade paths."""
+    from androidrenderer_tpu.ops.raster.raster_binned import auto_slabs_binned
+    from androidrenderer_tpu.ops.raster.raster_bitmask import rasterize_bitmask
+
+    def raster(src):
+        setup_i = derive_ortho_setup(src, mc, mi, resolution)
+        return rasterize_bitmask(
+            setup_i, resolution, resolution,
+            win_h=win_h, kb=4, unroll=2,
+            num_slabs=auto_slabs_binned(
+                resolution, resolution, depth_only=True, win_h=win_h
+            ),
+            depth_only=True, affine_z=True, interpret=pallas_interpret,
+        )
+
+    if setup_p is None:
+        return raster(setup_c)
+    if k_proxy <= 0:
+        return raster(setup_p)
+    return jax.lax.cond(
+        k < k_proxy, lambda: raster(setup_c), lambda: raster(setup_p)
+    )
+
+
+def render_shadow_cascades_sharded(
+    positions: jnp.ndarray,
+    tri_indices: jnp.ndarray,
+    tri_valid: jnp.ndarray,
+    cascades: CascadeData,
+    resolution: int,
+    axis_name: str,
+    pallas_interpret: bool = False,
+    double_sided: jnp.ndarray | None = None,
+    proxy=None,
+    proxy_from_cascade: int = 10**9,
+    corners: jnp.ndarray | None = None,
+    win_h: int = 32,
+) -> jnp.ndarray:
+    """(C, R, R) cascade maps with the per-cascade rasters DIVIDED across the
+    mesh axis (VERDICT r4 item 6): device d rasterizes cascades {i : i %% n ==
+    d} from its replicated scene data, contributes them into a zero-initialized
+    (C, R, R) stack, and a psum over ICI assembles the full set (0 + x == x
+    exactly, so the combine is bit-exact). With n >= C each device runs ONE
+    cascade raster instead of C — the reference renders all cascades on its
+    single GPU in one multiview pass (directional_light.cpp:305-326); this is
+    the multi-chip analog."""
+    if double_sided is None:
+        double_sided = jnp.ones(tri_indices.shape[0], dtype=bool)
+    num_cascades = int(cascades.matrices.shape[0])
+    k_proxy = min(max(int(proxy_from_cascade), 0), num_cascades)
+    use_proxy = proxy is not None and k_proxy < num_cascades
+    mc = cascades.canonical
+
+    def full_setup(mat):
+        if corners is not None:
+            return triangle_setup_corners(
+                corners, mat, resolution, resolution,
+                double_sided=double_sided, tri_valid=tri_valid,
+            )
+        clip = transform_to_clip(positions, mat)
+        return triangle_setup(
+            clip, tri_indices, resolution, resolution,
+            double_sided=double_sided, tri_valid=tri_valid,
+        )
+
+    # Only build the setups a branch can actually take (k_proxy == 0 means
+    # every cascade rasters the proxy; no cond is emitted then).
+    setup_c = full_setup(mc) if (not use_proxy or k_proxy > 0) else None
+    setup_p = (
+        triangle_setup_corners(
+            proxy.corners, mc, resolution, resolution,
+            double_sided=proxy.tri_double_sided, tri_valid=proxy.tri_valid,
+        )
+        if use_proxy else None
+    )
+    if setup_c is None:
+        setup_c = setup_p  # k_proxy == 0: single-branch path uses proxy only
+        setup_p = None
+        k_proxy = 0
+
+    n = jax.lax.axis_size(axis_name)
+    d = jax.lax.axis_index(axis_name)
+    maps = jnp.zeros((num_cascades, resolution, resolution), jnp.float32)
+    for j in range(-(-num_cascades // n)):  # ceil(C / n) rasters per device
+        k = d + jnp.int32(j * n)
+        own = k < num_cascades
+        k_s = jnp.minimum(k, num_cascades - 1)
+        mi = jnp.take(cascades.matrices, k_s, axis=0)
+        mp = _raster_cascade_dynamic(
+            setup_c, setup_p, mc, mi, k_s, k_proxy, resolution, win_h,
+            pallas_interpret,
+        )
+        contrib = jnp.where(own, mp, 0.0)
+        maps = jax.lax.dynamic_update_slice(
+            maps,
+            (jax.lax.dynamic_slice(maps, (k_s, 0, 0), (1, resolution, resolution))
+             + contrib[None]),
+            (k_s, 0, 0),
+        )
+    return jax.lax.psum(maps, axis_name)
+
+
 def render_shadow_cascades_staggered(
     positions: jnp.ndarray,
     tri_indices: jnp.ndarray,

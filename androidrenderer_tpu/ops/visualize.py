@@ -183,8 +183,14 @@ def visualize_gi(scene, view, config, temporal, outputs, mode: str) -> jnp.ndarr
         grid = config.probe_grid
         p = grid[0] * grid[1] * grid[2]
         imgs = jnp.asarray(outputs.image, jnp.float32) / 255.0 * 0.25
+        from androidrenderer_tpu.ops.probes import cascade_spacings
+
+        spacings_v = cascade_spacings(
+            config.probe_spacing, temporal.probes.irradiance.shape[0],
+            config.probe_spacing_ladder,
+        )
         for ci in range(temporal.probes.irradiance.shape[0]):
-            spacing = config.probe_spacing * (2.0**ci)
+            spacing = spacings_v[ci]
             pos = (temporal.probes.cell[ci].astype(jnp.float32) + 0.5) * spacing
             col = jnp.mean(temporal.probes.irradiance[ci], axis=1)  # (P, 3)
             col = col / jnp.maximum(jnp.max(col), 1e-6)

@@ -60,6 +60,11 @@ def _screen_sharded_spec(axis: str, has_csm: bool = False, has_motion: bool = Fa
         # LPV volumes are replicated (every band applies from the same cascade
         # set; the staggered update's inputs are replicated, so its output is).
         lpv=LPVVolumes(*([P()] * len(LPVVolumes._fields))),
+        # Staggered-CSM cache: replicated like LPV (updates are deterministic
+        # functions of replicated inputs, so every device carries the same
+        # atlas; the sharded-cascade psum path re-replicates explicitly).
+        csm_packed=P(),
+        csm_matrices=P(),
     )
     return out_spec, temp_spec
 

@@ -380,6 +380,26 @@ def render_frame(
             # each cascade pairs with the matrix its cached map was built with.
             cascades = cascades._replace(matrices=csm_matrices)
             shadow_maps = None
+        elif (
+            axis_name is not None
+            and config.raster_bitmask
+            and (jax.default_backend() == "tpu" or config.pallas_interpret)
+        ):
+            # Multi-chip: divide the independent per-cascade rasters across
+            # the mesh axis and psum-assemble (VERDICT r4 item 6) — cascade
+            # raster work per device drops by ~n while staying bit-exact
+            # (the band path otherwise replicates all C rasters per device).
+            shadow_maps = shadow_ops.render_shadow_cascades_sharded(
+                scene.positions, scene.tri_indices, scene.tri_valid, cascades,
+                config.shadow_cascade_resolution,
+                axis_name=axis_name,
+                pallas_interpret=config.pallas_interpret,
+                double_sided=scene.tri_double_sided,
+                proxy=scene.proxy,
+                proxy_from_cascade=config.shadow_proxy_from_cascade,
+                corners=scene.tri_corner_pos,
+                win_h=config.shadow_win_h,
+            )
         else:
             shadow_maps = shadow_ops.render_shadow_cascades(
                 scene.positions, scene.tri_indices, scene.tri_valid, cascades,
@@ -645,10 +665,12 @@ def render_frame(
             config.probe_rays, temporal.frame_index, params.sun_exposure,
             masked=config.alpha_masking, use_textures=config.use_base_textures,
             hysteresis=params.probe_hysteresis,
+            spacing_ladder=config.probe_spacing_ladder,
         )
         irr = probe_ops.sample_probes(
             probes, gbuf.world_position, gbuf.normal, gbuf.valid,
             jnp.asarray(view.position), config.probe_grid, config.probe_spacing,
+            spacing_ladder=config.probe_spacing_ladder,
         )
         gi = irr * gbuf.base_color
         temporal = temporal._replace(probes=probes)

@@ -203,13 +203,20 @@ def refit_bvh(
     # saving 16 gathers per ray per traversal STEP. Per-slot opacity is
     # topology-static: reuse it from the old rows (channels 45:49 keyed by
     # node_first, which never changes in a refit).
-    from androidrenderer_tpu.ops.rt.traverse import OPQ0, pack_node_rows
+    from androidrenderer_tpu.ops.rt.traverse import LOOK0, OPQ0, pack_node_rows
 
     rows = pack_node_rows(
         node_min, node_max, bvh.node_miss, bvh.node_first, bvh.node_count,
         slot_v0, slot_e1, slot_e2,
     )
-    rows = jnp.concatenate([rows[:, :OPQ0], bvh.node_rows[:, OPQ0:]], axis=1)
+    # Splice: opacity + alpha grids [OPQ0:LOOK0] are topology-static (keyed by
+    # node_first) — reuse them; the lookahead target BOXES [LOOK0:] follow the
+    # refit geometry and must come from the fresh pack (target SLOTS are
+    # topology-static either way).
+    rows = jnp.concatenate(
+        [rows[:, :OPQ0], bvh.node_rows[:, OPQ0:LOOK0], rows[:, LOOK0:]],
+        axis=1,
+    )
     return bvh._replace(
         node_min=node_min, node_max=node_max,
         slot_v0=slot_v0, slot_e1=slot_e1, slot_e2=slot_e2,

@@ -409,6 +409,12 @@ class RenderScene:
             empty_rows = empty_rows.at[0, 3:6].set(FAR_SENTINEL)
             empty_rows = empty_rows.at[0, 6].set(1.0)  # miss link -> park
             empty_rows = empty_rows.at[0, 7].set(-1.0)  # inner (no slots)
+            from androidrenderer_tpu.ops.rt.traverse import LOOK0
+
+            # No lookahead targets (slot -1; zeroed boxes are never tested
+            # because the slot gate fails first).
+            empty_rows = empty_rows.at[0, LOOK0:LOOK0 + 4].set(-1.0)
+            empty_rows = empty_rows.at[0, LOOK0 + 4:].set(FAR_SENTINEL)
             device_bvh = DeviceBVH(
                 node_min=jnp.full((1, 3), jnp.inf),
                 node_max=jnp.full((1, 3), -jnp.inf),

@@ -95,3 +95,30 @@ def test_scaled_primitive_bounds_stay_conservative():
     vp = np.asarray(dyn.vertex_prim)
     pts = np.asarray(scene2.positions)[vp == 7]
     assert np.all(np.linalg.norm(pts - b[:3], axis=1) <= b[3] + 1e-4)
+
+
+def test_refit_lookahead_boxes_track_geometry():
+    # The packed-row lookahead target BOXES (traverse.py LOOK0+) must follow
+    # refit geometry — a stale-box splice would make post-refit rays miss
+    # moved geometry two levels early (round-5 regression guard).
+    from androidrenderer_tpu.ops.rt.traverse import LOOK0
+
+    rs, scene, dyn, t0 = _setup()
+    t1 = t0.at[1, 1, 3].add(3.0)  # move primitive 1 up 3 m
+    scene2 = jax.jit(update_primitive_transforms)(scene, dyn, t1)
+    rows = np.asarray(scene2.bvh.node_rows)
+    slots = rows[:, LOOK0:LOOK0 + 4]
+    boxes = rows[:, LOOK0 + 4:LOOK0 + 28].reshape(-1, 4, 2, 3)
+    ok = slots >= 0
+    # Each valid target's stored box equals the refit node_min/max at that slot.
+    nmin = np.asarray(scene2.bvh.node_min)
+    nmax = np.asarray(scene2.bvh.node_max)
+    si = np.clip(slots.astype(np.int64), 0, nmin.shape[0] - 1)
+    np.testing.assert_allclose(
+        np.where(ok[..., None], boxes[:, :, 0, :], 0.0),
+        np.where(ok[..., None], nmin[si], 0.0), atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.where(ok[..., None], boxes[:, :, 1, :], 0.0),
+        np.where(ok[..., None], nmax[si], 0.0), atol=1e-5,
+    )

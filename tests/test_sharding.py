@@ -167,3 +167,46 @@ def test_sharded_taau_matches_single_device(setup):
 
     assert np.asarray(out.image).shape == (oh, ow, 3)
     np.testing.assert_array_equal(np.asarray(out.image), np.asarray(ref.image))
+
+
+def test_sharded_cascade_rasters_match_single_device(setup):
+    # Round-5 cascade sharding (shadow.py::render_shadow_cascades_sharded):
+    # per-cascade rasters divided across devices + psum-assembled must equal
+    # the single-device bitmask cascade loop EXACTLY (psum of zeros + map is
+    # exact; the kernel is deterministic). Tested at the shadow-op level —
+    # the full-frame band path uses the XLA raster for the main view, whose
+    # ULP-edge contract would confound the comparison.
+    import jax.numpy as jnp
+    from androidrenderer_tpu.ops import shadow as S
+
+    scene, view, params = setup
+    res, ncasc = 256, 2
+    cascades = S.fit_cascades(
+        jnp.asarray(view.inverse_view), view.projection[0, 0],
+        view.projection[1, 1], scene.sun_direction, ncasc, res,
+        0.05, 128.0, 0.95,
+    )
+    ref = np.asarray(S.render_shadow_cascades(
+        scene.positions, scene.tri_indices, scene.tri_valid, cascades, res,
+        use_pallas=True, pallas_interpret=True, use_bitmask=True,
+        double_sided=scene.tri_double_sided, corners=scene.tri_corner_pos,
+        proxy=scene.proxy, proxy_from_cascade=1,
+    ))
+    mesh = Mesh(np.array(jax.devices()[:4]), ("screen",))
+
+    def band_fn():
+        return S.render_shadow_cascades_sharded(
+            scene.positions, scene.tri_indices, scene.tri_valid, cascades,
+            res, axis_name="screen", pallas_interpret=True,
+            double_sided=scene.tri_double_sided, corners=scene.tri_corner_pos,
+            proxy=scene.proxy, proxy_from_cascade=1,
+        )
+
+    from jax.sharding import PartitionSpec as P
+
+    sharded = np.asarray(
+        jax.jit(jax.shard_map(
+            band_fn, mesh=mesh, in_specs=(), out_specs=P(), check_vma=False
+        ))()
+    )
+    np.testing.assert_array_equal(sharded, ref)

@@ -69,8 +69,21 @@ def park_steps(bvh, origins, directions, tmin, tmax, max_steps=1024):
             ok = (live & (jnp.abs(det) > 1e-12) & (u >= 0) & (v >= 0)
                   & (u + v <= 1.0) & (t > tmin) & (t < best_t))
             best_t = jnp.where(ok, t, best_t)
-        descend = box_hit & (first_f < 0.0)
-        nxt = jnp.where(descend, idx + 1, miss)
+        # Lookahead jump (round 5): mirror trace_rays' 2-level descend.
+        t_slot_f = row[:, T.LOOK0:T.LOOK0 + 4]
+        t_box = row[:, T.LOOK0 + 4:T.LOOK0 + 28].reshape(-1, 4, 2, 3)
+        tb0 = (t_box[:, :, 0, :] - origins[:, None, :]) * inv_d[:, None, :]
+        tb1 = (t_box[:, :, 1, :] - origins[:, None, :]) * inv_d[:, None, :]
+        ttn = jnp.max(jnp.minimum(tb0, tb1), axis=-1)
+        ttf = jnp.min(jnp.maximum(tb0, tb1), axis=-1)
+        t_hit = (t_slot_f >= 0.0) & (ttn <= ttf) & (ttf >= tmin) & (
+            ttn <= best_t[:, None]
+        )
+        k1 = jnp.argmax(t_hit, axis=-1)
+        oh1 = jnp.arange(4)[None, :] == k1[:, None]
+        jump = jnp.sum(jnp.where(oh1, t_slot_f, 0.0), axis=-1).astype(jnp.int32)
+        descend = box_hit & (first_f < 0.0) & jnp.any(t_hit, axis=-1)
+        nxt = jnp.where(descend, jump, miss)
         nxt = jnp.where(active, nxt, idx)
         parked = jnp.where(active & (nxt >= m), step + 1, parked)
         return step + 1, nxt, best_t, parked
@@ -82,6 +95,21 @@ def park_steps(bvh, origins, directions, tmin, tmax, max_steps=1024):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--caps", default="1024,512,384,256",
+                    help="comma-separated max_steps caps for the timing sweep")
+    ap.add_argument("--skip-park", action="store_true")
+    args = ap.parse_args()
+
+    import jax as _jax
+    try:
+        _jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass
+
     from androidrenderer_tpu.camera import Camera
     from androidrenderer_tpu.ops.rt.traverse import trace_rays
     from androidrenderer_tpu.ops.sky import view_ray_directions
@@ -101,25 +129,26 @@ def main():
         256, 256)).reshape(-1, 3)
     o = np.broadcast_to(np.asarray(cam.position, np.float32), dirs.shape).copy()
 
-    ps = np.asarray(jax.jit(park_steps, static_argnames=())(
-        bvh, jnp.asarray(o), jnp.asarray(dirs), 0.01, 1e30))
-    q = np.percentile(ps, [50, 90, 99, 100])
-    print(f"primary rays (65k): park steps p50={q[0]:.0f} p90={q[1]:.0f} "
-          f"p99={q[2]:.0f} max={q[3]:.0f}")
+    if not args.skip_park:
+        ps = np.asarray(jax.jit(park_steps, static_argnames=())(
+            bvh, jnp.asarray(o), jnp.asarray(dirs), 0.01, 1e30))
+        q = np.percentile(ps, [50, 90, 99, 100])
+        print(f"primary rays (65k): park steps p50={q[0]:.0f} p90={q[1]:.0f} "
+              f"p99={q[2]:.0f} max={q[3]:.0f}")
 
-    # Diffuse-bounce-style rays: random directions from surface points.
-    rng = np.random.default_rng(0)
-    d2 = rng.normal(size=dirs.shape).astype(np.float32)
-    d2 /= np.linalg.norm(d2, axis=-1, keepdims=True)
-    o2 = o + dirs * 2.0
-    ps2 = np.asarray(jax.jit(park_steps)(
-        bvh, jnp.asarray(o2), jnp.asarray(d2), 0.01, 1e30))
-    q2 = np.percentile(ps2, [50, 90, 99, 100])
-    print(f"random bounce rays:  park steps p50={q2[0]:.0f} p90={q2[1]:.0f} "
-          f"p99={q2[2]:.0f} max={q2[3]:.0f}")
+        # Diffuse-bounce-style rays: random directions from surface points.
+        rng = np.random.default_rng(0)
+        d2 = rng.normal(size=dirs.shape).astype(np.float32)
+        d2 /= np.linalg.norm(d2, axis=-1, keepdims=True)
+        o2 = o + dirs * 2.0
+        ps2 = np.asarray(jax.jit(park_steps)(
+            bvh, jnp.asarray(o2), jnp.asarray(d2), 0.01, 1e30))
+        q2 = np.percentile(ps2, [50, 90, 99, 100])
+        print(f"random bounce rays:  park steps p50={q2[0]:.0f} p90={q2[1]:.0f} "
+              f"p99={q2[2]:.0f} max={q2[3]:.0f}")
 
     # Timing vs max_steps cap (chained, DCE-proof).
-    for cap in (1024, 512, 384, 256):
+    for cap in tuple(int(x) for x in args.caps.split(",") if x):
         def run_once(cap=cap):
             def step_fn(carry, _):
                 hits = trace_rays(bvh, jnp.asarray(o) + carry * 1e-30,

@@ -47,6 +47,7 @@ def main():
         gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
         occlusion_culling=False, gbuffer_barrier=args.gbar,
         lpv_update_budget=1,  # the bench headline config (round 4)
+        shadow_update_budget=1,  # staggered CSM (round 5 bench default)
     )
     scene_host = courtyard_scene(column_rings=4, detail=13, curtains=True)
     scene, _stats = scene_host.build()
