@@ -191,14 +191,19 @@ def update_probes(
     hp = o + d * hits.t[:, None]
     to_sun = -scene.sun_direction / jnp.linalg.norm(scene.sun_direction)
     ndotl = jnp.clip(jnp.sum(hn * to_sun, axis=-1), 0.0, 1.0)
+    # Sun-occlusion only matters where the probe ray HIT geometry (missed
+    # rays shade from the sky LUT) — the active mask lets ray compaction
+    # drop the sky-ray lanes at the first stage.
+    hit_mask = hits.slot >= 0
     if masked:
         occ = occlusion_masked(
             bvh, scene, hp + hn * 0.02, jnp.broadcast_to(to_sun, hp.shape),
-            0.01, 1e30,
+            0.01, 1e30, active=hit_mask,
         )
     else:
         occ = occlusion(bvh, hp + hn * 0.02,
-                        jnp.broadcast_to(to_sun, hp.shape), 0.01, 1e30)
+                        jnp.broadcast_to(to_sun, hp.shape), 0.01, 1e30,
+                        active=hit_mask)
     li = (
         albedo / jnp.pi * scene.sun_color[None, :] * sun_exposure
         * (ndotl * jnp.where(occ, 0.0, 1.0))[:, None]
@@ -273,89 +278,160 @@ def sample_probes(
 
     The finest containing cascade dominates; within ~1.5 cells of its usable
     edge it cross-fades into the next coarser one (the reference scrolls +
-    blends cascades rather than hard-switching — irradiance_cache.cpp:362-453;
-    VERDICT round-2 weak #7: the hard switch showed seams at cascade borders
-    crossing walls)."""
+    blends cascades rather than hard-switching — irradiance_cache.cpp:362-453).
+
+    Round-5 gather-count restructure (the round-4 sampler issued 64
+    screen-sized gathers = 8 corners x (irradiance + depth) x 4 cascades,
+    ~1.7 s/frame at 2M px alone):
+    - PER-PIXEL CASCADE PAIR: only the finest containing cascade and its
+      next-coarser neighbor are fetched (the front-to-back composite
+      saturates after the finest cascade everywhere except its 1.5-cell
+      fade band, where exactly the next cascade contributes — deeper
+      overlaps cannot occur because fade bands of 4x-spaced cascades never
+      nest). 4 cascades of fetches -> 2.
+    - CORNER-PACKED IRRADIANCE: the irradiance texel id depends only on the
+      surface normal, so all 8 corner probes read the SAME texel —
+      ``irr_packed`` rows hold that texel for the 8 corners of each cell
+      (built by 8 tiny P-row gathers), turning 8 screen gathers into ONE
+      24-f32-row gather (the LPV corner-packed-volume trick).
+    - Depth moments stay per-corner (the Chebyshev test direction differs
+      per corner): 8 gathers x 2 cascades.
+    Net: 64 -> 2 x (1 + 8) = 18 screen-sized gathers."""
     cnum = state.irradiance.shape[0]
     gx, gy, gz = grid
-    g = jnp.asarray([gx, gy, gz], jnp.float32)
     h, w, _ = world_position.shape
+    p = gx * gy * gz
+    spacings = cascade_spacings(spacing_base, cnum, spacing_ladder)
+    spac = jnp.asarray(spacings, jnp.float32)  # (C,)
+    bases = jnp.stack([
+        jnp.floor(camera_position / spacings[ci]).astype(jnp.int32)
+        - jnp.asarray([gx, gy, gz], jnp.int32) // 2
+        for ci in range(cnum)
+    ])  # (C, 3)
+
+    # Corner-packed irradiance table: row (cell-slot, texel) -> the texel for
+    # the cell's 8 corner probes (+dx +dy +dz offsets in slot space).
+    slots_xyz = _slot_coords(grid)  # (P, 3)
+    packs = []
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                c = (slots_xyz + jnp.asarray([dx, dy, dz], jnp.int32)) % (
+                    jnp.asarray([gx, gy, gz], jnp.int32)
+                )
+                s = c[:, 0] + c[:, 1] * gx + c[:, 2] * gx * gy  # (P,)
+                packs.append(state.irradiance[:, s])  # (C, P, T, 3)
+    irr_packed = jnp.concatenate(packs, axis=-1)  # (C, P, T, 24)
+    irr_tab = irr_packed.reshape(-1, 24)  # rows: ((ci*P + slot)*T + texel)
+    dep_tab = state.depth.reshape(-1, 2)  # rows: ((ci*P + slot)*Td + texel)
+
+    # Per-pixel finest containing cascade + its fade.
+    def cascade_geom(ci_arr):
+        """Per-pixel spacing/base/cell math for a traced cascade index.
+
+        Selected by per-cascade WHERE chains, not table gathers — a
+        screen-sized gather costs ~27 ms at 2M px even on a 4-row table."""
+        sp = jnp.full(ci_arr.shape, float(spacings[0]), jnp.float32)
+        base = jnp.broadcast_to(bases[0], ci_arr.shape + (3,))
+        for ci in range(1, cnum):
+            sel = ci_arr == ci
+            sp = jnp.where(sel, float(spacings[ci]), sp)
+            base = jnp.where(sel[..., None], bases[ci], base)
+        sp = sp[..., None]  # (H, W, 1)
+        cellf = world_position / sp - 0.5
+        c0 = jnp.floor(cellf).astype(jnp.int32)
+        f = cellf - c0
+        gvec = jnp.asarray([gx, gy, gz], jnp.int32)
+        inside = jnp.all((c0 >= base + 1) & (c0 + 1 <= base + gvec - 2), axis=-1)
+        lo = (base + 1).astype(jnp.float32)
+        hi = (base + gvec - 2).astype(jnp.float32)
+        edge = jnp.min(jnp.minimum(cellf - lo, hi - (cellf + 1.0)), axis=-1)
+        fade = jnp.clip(edge / 1.5, 0.0, 1.0)
+        return sp[..., 0], c0, f, inside, fade
+
+    # inside flags per cascade (cheap elementwise; no gathers).
+    insides = []
+    for ci in range(cnum):
+        sp = spacings[ci]
+        cellf = world_position / sp - 0.5
+        c0 = jnp.floor(cellf).astype(jnp.int32)
+        gvec = jnp.asarray([gx, gy, gz], jnp.int32)
+        insides.append(jnp.all(
+            (c0 >= bases[ci] + 1) & (c0 + 1 <= bases[ci] + gvec - 2), axis=-1
+        ))
+    inside_any = jnp.stack(insides)  # (C, H, W)
+    # Finest containing cascade (argmax picks the first True).
+    ci0 = jnp.argmax(inside_any, axis=0).astype(jnp.int32)  # (H, W)
+    has_any = jnp.any(inside_any, axis=0)
 
     total = jnp.zeros((h, w, 3), jnp.float32)
     acc = jnp.zeros((h, w, 1), jnp.float32)
-    spacings = cascade_spacings(spacing_base, cnum, spacing_ladder)
-    for ci in range(cnum):
-        spacing = spacings[ci]
-        base = jnp.floor(camera_position / spacing).astype(jnp.int32) - jnp.asarray(
-            [gx, gy, gz], jnp.int32
-        ) // 2
-        cellf = world_position / spacing - 0.5  # probe centers at (cell+0.5)*spacing
-        c0 = jnp.floor(cellf).astype(jnp.int32)
-        f = cellf - c0
-        inside = jnp.all(
-            (c0 >= base + 1) & (c0 + 1 <= base + jnp.asarray([gx, gy, gz]) - 2), axis=-1
-        )
-        # Continuous distance (cells) to the cascade's usable border -> fade.
-        lo = (base + 1).astype(jnp.float32)
-        hi = (base + jnp.asarray([gx, gy, gz]) - 2).astype(jnp.float32)
-        edge = jnp.minimum(cellf - lo, hi - (cellf + 1.0))
-        edge = jnp.min(edge, axis=-1)
-        fade = jnp.clip(edge / 1.5, 0.0, 1.0)
-        if ci == cnum - 1:
-            fade = jnp.ones_like(fade)  # coarsest covers to its hard edge
-        use = inside & valid
+    for j in (0, 1):
+        ci_px = jnp.minimum(ci0 + j, cnum - 1)
+        sp, c0, f, inside, fade = cascade_geom(ci_px)
+        if j == 0:
+            wc = jnp.where(ci_px == cnum - 1, 1.0, fade)  # coarsest: hard edge
+        else:
+            # The coarser member's own fade ~ 1 where the finer one fades
+            # (bands of 4x-spaced cascades don't nest); the front-to-back
+            # (1 - acc) factor below applies the remainder — skip entirely
+            # when j=0 already was the coarsest (ci_px unchanged).
+            wc = jnp.where(ci_px == ci0, 0.0, 1.0)
+        use = inside & valid & has_any
+        wct = jnp.where(use, wc, 0.0)[..., None]
+
+        # Irradiance: ONE corner-packed gather at the normal's texel.
+        iuv = dir_to_oct_uv(normal)
+        it = jnp.clip((iuv * IRR_RES).astype(jnp.int32), 0, IRR_RES - 1)
+        iidx = it[..., 1] * IRR_RES + it[..., 0]
+        gvec = jnp.asarray([gx, gy, gz], jnp.int32)
+        cw = ((c0 % gvec) + gvec) % gvec
+        slot0 = cw[..., 0] + cw[..., 1] * gx + cw[..., 2] * gx * gy
+        row = irr_tab[
+            ((ci_px * p + slot0) * (IRR_RES * IRR_RES)) + iidx
+        ]  # (H, W, 24)
+        e8 = row.reshape(h, w, 8, 3)
 
         irr = jnp.zeros((h, w, 3), jnp.float32)
         wsum = jnp.zeros((h, w, 1), jnp.float32)
+        k = 0
         for dz in (0, 1):
             for dy in (0, 1):
                 for dx in (0, 1):
                     cell = c0 + jnp.asarray([dx, dy, dz], jnp.int32)
+                    cw_k = ((cell % gvec) + gvec) % gvec
                     slot = (
-                        (cell[..., 0] % gx)
-                        + (cell[..., 1] % gy) * gx
-                        + (cell[..., 2] % gz) * gx * gy
+                        cw_k[..., 0] + cw_k[..., 1] * gx + cw_k[..., 2] * gx * gy
                     )
-                    probe_pos = (cell.astype(jnp.float32) + 0.5) * spacing
+                    probe_pos = (cell.astype(jnp.float32) + 0.5) * sp[..., None]
                     to_probe = probe_pos - world_position
                     dist = jnp.linalg.norm(to_probe, axis=-1, keepdims=True)
                     dir_tp = to_probe / jnp.maximum(dist, 1e-6)
-                    # Trilinear weight.
                     tw = (
                         jnp.where(dx, f[..., 0], 1 - f[..., 0])
                         * jnp.where(dy, f[..., 1], 1 - f[..., 1])
                         * jnp.where(dz, f[..., 2], 1 - f[..., 2])
                     )[..., None]
-                    # Backface (wrap-shading) weight.
                     bw = (jnp.sum(dir_tp * normal, axis=-1, keepdims=True) + 1.0) * 0.5
                     bw = bw * bw + 0.2
-                    # Chebyshev visibility from depth moments.
                     duv = dir_to_oct_uv(-dir_tp)
                     dt = jnp.clip(
                         (duv * DEPTH_RES).astype(jnp.int32), 0, DEPTH_RES - 1
                     )
                     didx = dt[..., 1] * DEPTH_RES + dt[..., 0]
-                    # Single-axis flat gather: 2-axis advanced indexing lowers
-                    # to the slow multi-dim gather form (microbench_gather.py).
-                    dtab = state.depth[ci].reshape(-1, 2)
-                    moments = dtab[slot * (DEPTH_RES * DEPTH_RES) + didx]  # (H, W, 2)
+                    moments = dep_tab[
+                        ((ci_px * p + slot) * (DEPTH_RES * DEPTH_RES)) + didx
+                    ]  # (H, W, 2)
                     mean = moments[..., 0:1]
                     var = jnp.maximum(moments[..., 1:2] - mean * mean, 1e-4)
                     delta = jnp.maximum(dist - mean, 0.0)
                     cheb = var / (var + delta * delta)
                     vis = jnp.where(dist <= mean, 1.0, jnp.maximum(cheb, 0.05))
-                    # Irradiance texel toward the surface normal.
-                    iuv = dir_to_oct_uv(normal)
-                    it = jnp.clip((iuv * IRR_RES).astype(jnp.int32), 0, IRR_RES - 1)
-                    iidx = it[..., 1] * IRR_RES + it[..., 0]
-                    itab = state.irradiance[ci].reshape(-1, 3)
-                    e = itab[slot * (IRR_RES * IRR_RES) + iidx]  # (H, W, 3)
                     wgt = tw * bw * vis
-                    irr = irr + e * wgt
+                    irr = irr + e8[:, :, k] * wgt
                     wsum = wsum + wgt
+                    k += 1
         irr = irr / jnp.maximum(wsum, 1e-5)
-        # Front-to-back cascade compositing: w = fade * remaining opacity.
-        wct = jnp.where(use, fade, 0.0)[..., None] * (1.0 - acc)
-        total = total + irr * wct
-        acc = acc + wct
+        total = total + irr * wct * (1.0 - acc)
+        acc = acc + wct * (1.0 - acc)
     return total / jnp.maximum(acc, 1e-5) * jnp.minimum(acc * 1e5, 1.0)

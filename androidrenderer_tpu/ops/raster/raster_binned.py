@@ -450,7 +450,11 @@ def auto_slabs_binned(
     ``with_z_limit`` accounts for the peel-bound input block, which Mosaic may
     double-buffer (measured: 2-slab 1088x1920 peel = 16.33M scoped vmem)."""
     bytes_per_px = (4 if depth_only else 8) + (8 if with_z_limit else 0)
-    budget = 10 * 2**20
+    # win_h >= 64 doubles the bitmask kernel's per-window scratch (lists +
+    # mask tables scale with window rows): a 2-slab 2048^2 w64 depth raster
+    # measured 16.04M scoped vmem against the 16M limit — shrink the
+    # framebuffer budget so the slab count rises first.
+    budget = (6 if win_h >= 64 else 10) * 2**20
     s = 1
     while True:
         hp = -(-height // (s * win_h)) * (s * win_h)

@@ -389,49 +389,62 @@ def trace_rays(
     )
 
     if compact_after is None:
-        # Auto: closest-hit walks have a long straggler tail (park p50 ~ 1/3
-        # of p100 — tools/microbench_rt.py); any-hit rays park on first
-        # occluders, so full-width is already cheap.
-        compact_after = 128 if (not any_hit and r >= 32 * 1024) else 0
-    if compact_after <= 0 or compact_after >= max_steps or r < 4 * 1024:
-        state = _phase(bvh, origins, directions, tmin, state, max_steps, **flags)
-    else:
-        # Segmented trace with ray compaction (the wavefront-compaction
-        # analog): run full-width until most rays park, then gather the
-        # survivors into an r/compact_div buffer and finish narrow. Step cost
-        # scales with the array width, so the straggler tail (p50 park step
-        # is ~1/3 of p100) stops costing full-width iterations. If more than
-        # cap rays survive phase 1 (atypical scene), the cond falls back to a
-        # full-width finish — never drops rays.
-        state = _phase(bvh, origins, directions, tmin, state, compact_after, **flags)
-        cap = max(1024, r // compact_div)
-        per_ray_tmin = jnp.ndim(tmin) == 1
+        # Auto: both walk kinds have long straggler tails (park p50 ~ 1/3 of
+        # p100 — tools/microbench_rt.py). Closest-hit: deep walks; any-hit:
+        # occluded rays park instantly but UNOCCLUDED rays must walk the
+        # whole tree to prove a miss (sky/probe rays are mostly unoccluded).
+        # 48/x4 then 240/x4 measured best on 512^2 RTGI (720 ms vs 950 for a
+        # 32/x4 + 128/x8 schedule, whose stage 1 fires before enough rays
+        # park and whose over-shrunk stage 2 then falls back full-width).
+        compact_after = 48 if r >= 32 * 1024 else 0
+    per_ray_tmin = jnp.ndim(tmin) == 1
 
-        def finish_full(state):
-            return _phase(bvh, origins, directions, tmin, state, max_steps, **flags)
+    def run_staged(origins_, directions_, tmin_, state_, stages):
+        """Chain _phase segments, compacting surviving rays between them.
 
-        def finish_compact(state):
-            step, idx, bt, bs, bu, bv, bo = state
+        ``stages`` = ((step_limit, width_divisor), ...); the final segment
+        runs to max_steps. Compaction gathers survivors to the front of a
+        smaller buffer (step cost scales with array width — the straggler
+        tail stops costing full-width iterations), bit-exact, with a
+        full-width cond fallback when more than the buffer survives."""
+        if not stages:
+            return _phase(bvh, origins_, directions_, tmin_, state_, max_steps,
+                          **flags)
+        limit, div = stages[0]
+        rest = stages[1:]
+        r_cur = origins_.shape[0]
+        state_ = _phase(bvh, origins_, directions_, tmin_, state_, limit, **flags)
+        cap = max(1024, r_cur // div)
+        if cap >= r_cur:
+            return run_staged(origins_, directions_, tmin_, state_, rest)
+
+        def finish_full(st):
+            return run_staged(origins_, directions_, tmin_, st, rest)
+
+        def finish_compact(st):
+            step, idx, bt, bs, bu, bv, bo = st
             act = idx < m
             pos = jnp.cumsum(act.astype(jnp.int32)) - 1
             scat = jnp.where(act, pos, cap)  # OOB (cap) rows drop
             inv = jnp.zeros((cap,), jnp.int32).at[scat].set(
-                jnp.arange(r, dtype=jnp.int32), mode="drop"
+                jnp.arange(r_cur, dtype=jnp.int32), mode="drop"
             )
             lane_ok = jnp.arange(cap, dtype=jnp.int32) < jnp.sum(
                 act.astype(jnp.int32)
             )
-            o_c = origins[inv]
-            d_c = directions[inv]
-            tmin_c = jnp.asarray(tmin, jnp.float32)[inv] if per_ray_tmin else tmin
+            o_c = origins_[inv]
+            d_c = directions_[inv]
+            tmin_c = (
+                jnp.asarray(tmin_, jnp.float32)[inv] if per_ray_tmin else tmin_
+            )
             sub = (
                 step,
                 jnp.where(lane_ok, idx[inv], m),
                 bt[inv], bs[inv], bu[inv], bv[inv], bo[inv],
             )
-            sub = _phase(bvh, o_c, d_c, tmin_c, sub, max_steps, **flags)
+            sub = run_staged(o_c, d_c, tmin_c, sub, rest)
             s_step, s_idx, s_bt, s_bs, s_bu, s_bv, s_bo = sub
-            back = jnp.where(lane_ok, inv, r)  # OOB rows drop
+            back = jnp.where(lane_ok, inv, r_cur)  # OOB rows drop
             return (
                 s_step,
                 idx.at[back].set(s_idx, mode="drop"),
@@ -442,8 +455,21 @@ def trace_rays(
                 bo.at[back].set(s_bo, mode="drop"),
             )
 
-        n_act = jnp.sum((state[1] < m).astype(jnp.int32))
-        state = jax.lax.cond(n_act <= cap, finish_compact, finish_full, state)
+        n_act = jnp.sum((state_[1] < m).astype(jnp.int32))
+        return jax.lax.cond(n_act <= cap, finish_compact, finish_full, state_)
+
+    if compact_after <= 0 or compact_after >= max_steps or r < 4 * 1024:
+        state = _phase(bvh, origins, directions, tmin, state, max_steps, **flags)
+    else:
+        # Two compaction stages: survivors after `compact_after` steps drop
+        # to width r/div (with a full-width cond fallback when most rays are
+        # still live — e.g. stage 1 on deep scenes); stragglers drop again,
+        # harder, at 4x the step count.
+        stages = (
+            (compact_after, compact_div),
+            (compact_after * 5, compact_div),
+        )
+        state = run_staged(origins, directions, tmin, state, stages)
 
     steps, idx_f, best_t, best_slot, best_u, best_v, _ = state
     return Hits(
@@ -452,8 +478,15 @@ def trace_rays(
     )
 
 
-def occlusion(bvh: DeviceBVH, origins, directions, tmin, tmax, max_steps=1024):
-    """(R,) bool — True where the segment is occluded (any-hit shadow query)."""
+def occlusion(bvh: DeviceBVH, origins, directions, tmin, tmax, max_steps=1024,
+              active=None):
+    """(R,) bool — True where the segment is occluded (any-hit shadow query).
+
+    ``active``: rays outside the mask report unoccluded without walking —
+    callers whose shading ignores the occlusion term for missed primary rays
+    (probe/RTGI sun tests) pass their hit mask so compaction drops the
+    sky-ray lanes immediately."""
     hits = trace_rays(bvh, origins, directions, tmin, tmax, any_hit=True,
-                      max_steps=max_steps)
-    return hits.slot >= 0
+                      max_steps=max_steps, active=active)
+    live = jnp.ones(origins.shape[:1], bool) if active is None else active
+    return (hits.slot >= 0) & live

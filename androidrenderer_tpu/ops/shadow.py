@@ -399,7 +399,11 @@ def render_shadow_cascades_sharded(
     mesh axis (VERDICT r4 item 6): device d rasterizes cascades {i : i %% n ==
     d} from its replicated scene data, contributes them into a zero-initialized
     (C, R, R) stack, and a psum over ICI assembles the full set (0 + x == x
-    exactly, so the combine is bit-exact). With n >= C each device runs ONE
+    exactly, so the COMBINE is bit-exact; the cond-wrapped derive contracts
+    FMAs differently from the inline single-device loop — coefficient ULPs
+    flip coverage at a few % of triangle-EDGE texels (the usual ULP-edge
+    contract; <= ~1e-4 depth deltas, gated by tests/test_sharding.py). With
+    n >= C each device runs ONE
     cascade raster instead of C — the reference renders all cascades on its
     single GPU in one multiview pass (directional_light.cpp:305-326); this is
     the multi-chip analog."""

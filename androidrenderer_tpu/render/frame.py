@@ -667,11 +667,40 @@ def render_frame(
             hysteresis=params.probe_hysteresis,
             spacing_ladder=config.probe_spacing_ladder,
         )
-        irr = probe_ops.sample_probes(
-            probes, gbuf.world_position, gbuf.normal, gbuf.valid,
-            jnp.asarray(view.position), config.probe_grid, config.probe_spacing,
-            spacing_ladder=config.probe_spacing_ladder,
-        )
+        half_gi = config.half_rate_gi and not vrsaa and h % 2 == 0 and w % 2 == 0
+        if half_gi:
+            # Half-rate probe sampling + joint-bilateral 2x reconstruction
+            # (the same VRS-coarse-rate policy as the LPV/SSAO paths): probe
+            # irradiance is low-frequency, and the sampler's screen-sized
+            # gathers are its dominant cost (18 per frame after the round-5
+            # cascade-pair/corner-pack restructure).
+            from androidrenderer_tpu.ops.upsample import bilateral_upsample_2x
+
+            wp_h = _half_grid(gbuf.world_position)
+            n_h = _half_grid(gbuf.normal)
+            irr_h = probe_ops.sample_probes(
+                probes, wp_h, n_h, _half_grid(gbuf.valid),
+                jnp.asarray(view.position), config.probe_grid,
+                config.probe_spacing,
+                spacing_ladder=config.probe_spacing_ladder,
+            )
+            d_h = _half_grid(depth)
+            if axis_name is not None:
+                irr = bilateral_upsample_2x(
+                    coll.row_halo(irr_h, 1, axis_name, wrap=False),
+                    coll.row_halo(d_h, 1, axis_name, wrap=False),
+                    coll.row_halo(n_h, 1, axis_name, wrap=False),
+                    depth, gbuf.normal, row_halo=1,
+                )
+            else:
+                irr = bilateral_upsample_2x(irr_h, d_h, n_h, depth, gbuf.normal)
+        else:
+            irr = probe_ops.sample_probes(
+                probes, gbuf.world_position, gbuf.normal, gbuf.valid,
+                jnp.asarray(view.position), config.probe_grid,
+                config.probe_spacing,
+                spacing_ladder=config.probe_spacing_ladder,
+            )
         gi = irr * gbuf.base_color
         temporal = temporal._replace(probes=probes)
     elif config.gi_mode == GIMode.RT and full_features:

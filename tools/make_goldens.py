@@ -130,8 +130,13 @@ CASES = {
 
 
 def main():
+    import sys
+
+    only = set(sys.argv[1:])  # optional fixture names: rebake just these
     GOLDEN_DIR.mkdir(exist_ok=True)
     for name, fn in CASES.items():
+        if only and name not in only:
+            continue
         img = fn()
         save_png(str(GOLDEN_DIR / f"{name}.png"), img)
         print(f"wrote {name}.png mean={img.mean():.2f}")

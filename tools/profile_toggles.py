@@ -241,6 +241,16 @@ def main():
             occlusion_culling=False, lpv_update_budget=1,
             shadow_update_budget=1, taa_pack8=True,
         ),
+        # Window-height ladder at 2048^2 cascades (the 1024^2 ladder measured
+        # bigger-is-better 8 -> 32; 64 is untested at 2048 where triangles
+        # span twice the texels).
+        "parity_up_csmb1_2048_w64": base.replace(
+            render_width=1280, render_height=736,
+            gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
+            occlusion_culling=False, lpv_update_budget=1,
+            shadow_update_budget=1, shadow_cascade_resolution=2048,
+            shadow_win_h=64,
+        ),
         "parity_up_csm2048": base.replace(
             render_width=1280, render_height=736,
             gi_mode=GIMode.LPV, ao_mode=AOMode.SSAO, aa_mode=AAMode.TAA,
