@@ -105,6 +105,7 @@ def update_probes(
     use_textures: bool = True,  # sample base/emission textures at hits (LOD 0)
     hysteresis=HYSTERESIS,  # traced history blend (irradiance_cache cvar)
     spacing_ladder=None,  # per-cascade spacing multipliers (cascade_spacings)
+    axis_name: str | None = None,  # shard cascade updates across a mesh axis
 ) -> ProbeCascades:
     """Scroll cascades, pick the stalest probes, trace + convolve + blend.
 
@@ -112,7 +113,16 @@ def update_probes(
     trace and ONE sun-occlusion trace (4x fewer lockstep while_loops — the
     straggler tail and the ~10 us/op launch overhead are paid once), and the
     cascade spacing ladder follows the reference's 4-16x extents instead of
-    2x doubling (cascade_spacings)."""
+    2x doubling (cascade_spacings).
+
+    ``axis_name`` (inside a shard_map): each device traces only the cascades
+    it owns ({i : i %% n == d} — probe updates are cascade-independent) and
+    the irradiance/depth deltas psum-combine (exactly one owner per cascade
+    contributes a nonzero delta, so the result is BIT-identical to the
+    replicated update; picks/ages/cells are deterministic functions of
+    replicated state and stay replicated). The update is the probes frame's
+    dominant cost (~2 s of rays at the 400-ray reference budget), so an
+    n-chip mesh cuts it ~n-fold."""
     c = state.irradiance.shape[0]
     p = state.irradiance.shape[1]
     irr_dirs = oct_texel_directions(IRR_RES).reshape(-1, 3)  # (T, 3)
@@ -140,8 +150,27 @@ def update_probes(
         desireds.append(desired)
         origins_c.append(jnp.repeat(probe_pos, rays_per_probe, axis=0))
 
-    o = jnp.concatenate(origins_c, axis=0)  # (C*B*R, 3)
-    d = jnp.tile(dirs, (c * b, 1))
+    spac_t = jnp.asarray(spacings, jnp.float32)
+    if axis_name is None:
+        nb = c  # cascade batches traced locally
+        o = jnp.concatenate(origins_c, axis=0)  # (C*B*R, 3)
+        clamp_d = jnp.repeat(spac_t * 4.0, b * rays_per_probe)
+        own_ids = None
+    else:
+        n_dev = jax.lax.axis_size(axis_name)
+        d_dev = jax.lax.axis_index(axis_name)
+        nb = -(-c // n_dev)  # ceil: owned cascade batches per device
+        origins_all = jnp.stack(origins_c)  # (C, B*R, 3)
+        own_ids = [
+            jnp.minimum(d_dev + jnp.int32(j * n_dev), c - 1) for j in range(nb)
+        ]
+        own_valid = [d_dev + jnp.int32(j * n_dev) < c for j in range(nb)]
+        o = jnp.concatenate([origins_all[i] for i in own_ids], axis=0)
+        clamp_d = jnp.concatenate([
+            jnp.broadcast_to(spac_t[i] * 4.0, (b * rays_per_probe,))
+            for i in own_ids
+        ])
+    d = jnp.tile(dirs, (nb * b, 1))
     if masked:
         from androidrenderer_tpu.ops.rt.effects import (
             occlusion_masked, trace_rays_masked,
@@ -215,26 +244,62 @@ def update_probes(
     )  # no extra factor — matches the background sky pass (weak #5 fixed)
     hit = hits.slot >= 0
     radiance = jnp.where(hit[:, None], li, sky_l).reshape(
-        c * b, rays_per_probe, 3
+        nb * b, rays_per_probe, 3
     )
-    # Per-cascade miss/clamp distance (spacing * 4).
-    clamp_d = jnp.repeat(
-        jnp.asarray([s * 4.0 for s in spacings], jnp.float32), b * rays_per_probe
-    )
+    # Per-cascade miss/clamp distance (spacing * 4; clamp_d built above).
     dist = jnp.minimum(
         jnp.where(hit, hits.t, clamp_d), clamp_d
-    ).reshape(c * b, rays_per_probe)
+    ).reshape(nb * b, rays_per_probe)
 
-    # Convolutions: texel x ray weight matmuls (MXU), batched over C*B probes.
+    # Convolutions: texel x ray weight matmuls (MXU), batched over nb*B probes.
     cosw = jnp.maximum(irr_dirs @ dirs.T, 0.0)  # (T, R)
     irr_all = jnp.einsum("tr,brk->btk", cosw, radiance) / jnp.maximum(
         jnp.sum(cosw, axis=1)[None, :, None], 1e-6
-    )  # (C*B, T, 3)
+    )  # (nb*B, T, 3)
     dw = jnp.maximum(dep_dirs @ dirs.T, 0.0) ** DEPTH_SHARPNESS  # (Td, R)
     wsum = jnp.maximum(jnp.sum(dw, axis=1), 1e-6)
     dmean = (dist @ dw.T) / wsum[None, :]  # (C*B, Td)
     dmean2 = ((dist * dist) @ dw.T) / wsum[None, :]
     dep_all = jnp.stack([dmean, dmean2], axis=-1)  # (C*B, Td, 2)
+
+    if axis_name is not None:
+        t_i = IRR_RES * IRR_RES
+        t_d = DEPTH_RES * DEPTH_RES
+        flat_irr = state.irradiance.reshape(c * p, t_i, 3)
+        flat_dep = state.depth.reshape(c * p, t_d, 2)
+        d_irr = jnp.zeros_like(flat_irr)
+        d_dep = jnp.zeros_like(flat_dep)
+        picks_s = jnp.stack(picks)  # (C, B)
+        ages_s = jnp.stack(ages)  # (C, P)
+        for j in range(nb):
+            cid = own_ids[j]
+            ok = own_valid[j]
+            pick = picks_s[cid]  # (B,)
+            age_pick = ages_s[cid][pick]
+            rows = cid * p + pick
+            old_irr = flat_irr[rows]
+            old_dep = flat_dep[rows]
+            irr_b = irr_all[j * b:(j + 1) * b]
+            dep_b = dep_all[j * b:(j + 1) * b]
+            fresh = (age_pick > 5_000)[:, None, None]
+            irr_upd = jnp.where(
+                fresh, irr_b, old_irr * hysteresis + irr_b * (1 - hysteresis)
+            )
+            dep_upd = jnp.where(
+                fresh, dep_b, old_dep * hysteresis + dep_b * (1 - hysteresis)
+            )
+            d_irr = d_irr.at[rows].add(jnp.where(ok, irr_upd - old_irr, 0.0))
+            d_dep = d_dep.at[rows].add(jnp.where(ok, dep_upd - old_dep, 0.0))
+        new_irr_all = flat_irr + jax.lax.psum(d_irr, axis_name)
+        new_dep_all = flat_dep + jax.lax.psum(d_dep, axis_name)
+        return ProbeCascades(
+            irradiance=new_irr_all.reshape(state.irradiance.shape),
+            depth=new_dep_all.reshape(state.depth.shape),
+            cell=jnp.stack(desireds),
+            age=jnp.stack([
+                ages[ci].at[picks[ci]].set(0) for ci in range(c)
+            ]),
+        )
 
     new_irr, new_dep, new_cell, new_age = [], [], [], []
     for ci in range(c):

@@ -666,6 +666,9 @@ def render_frame(
             masked=config.alpha_masking, use_textures=config.use_base_textures,
             hysteresis=params.probe_hysteresis,
             spacing_ladder=config.probe_spacing_ladder,
+            # Multi-chip: cascade updates divide across the mesh axis and
+            # psum-combine (bit-identical; probes.update_probes docstring).
+            axis_name=axis_name,
         )
         half_gi = config.half_rate_gi and not vrsaa and h % 2 == 0 and w % 2 == 0
         if half_gi:

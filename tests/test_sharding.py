@@ -224,3 +224,36 @@ def test_sharded_cascade_rasters_match_single_device(setup):
     d = np.abs(sharded - ref)
     assert d.max() < 1e-2, d.max()
     assert (d > 1e-4).mean() < 0.06, (d > 1e-4).mean()
+
+
+def test_sharded_probe_update_matches_single_device(setup):
+    # Round-5 probe-update sharding: each device traces only its owned
+    # cascades' rays; irradiance/depth deltas psum-combine. Must be
+    # BIT-identical to the replicated update (per-ray traversal, the
+    # per-probe convolution, and the psum of one nonzero delta are all
+    # deterministic and order-free).
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from androidrenderer_tpu.ops import probes as PR
+
+    scene, view = setup
+    grid = (8, 4, 8)
+    state = PR.make_probe_state(3, grid, 0.4)
+    cam = jnp.asarray([0.0, 0.5, 0.0])
+    args = dict(
+        grid=grid, spacing_base=0.4, budget_per_cascade=32, rays_per_probe=16,
+        frame_index=jnp.int32(2), sun_exposure=jnp.float32(3e-4), masked=False,
+        use_textures=False,
+    )
+    ref = jax.jit(lambda: PR.update_probes(state, scene.bvh, scene, cam, **args))()
+    mesh = Mesh(np.array(jax.devices()[:4]), ("screen",))
+    out = jax.jit(jax.shard_map(
+        lambda: PR.update_probes(
+            state, scene.bvh, scene, cam, axis_name="screen", **args
+        ),
+        mesh=mesh, in_specs=(), out_specs=P(), check_vma=False,
+    ))()
+    for f in PR.ProbeCascades._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(out, f)), np.asarray(getattr(ref, f)), err_msg=f
+        )
