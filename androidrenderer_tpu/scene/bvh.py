@@ -38,19 +38,25 @@ class BVHArrays(NamedTuple):
     tri_order: np.ndarray  # (L*LEAF_SIZE,) i32 triangle ids, -1 padded
 
 
-def median_split_order(centroid: np.ndarray) -> np.ndarray:
-    """Recursive widest-axis median-split ordering of triangle centroids.
+def median_split_order(
+    centroid: np.ndarray,
+    tri_min: np.ndarray | None = None,
+    tri_max: np.ndarray | None = None,
+) -> np.ndarray:
+    """Recursive SAH-axis median-split ordering of triangle centroids.
 
     Maps triangles onto the complete tree's leaf slots by recursively
-    stable-sorting each capacity segment along its centroid bounds' widest
-    axis (lowest axis index on ties) and splitting at half the slot capacity.
-    Replaces the round-3 Morton ordering: on the bench scene the balanced
-    tree over Morton-adjacent leaves gave primary rays ~350-visit medians;
-    median splits follow the geometry (the splits a median-SAH builder would
-    take, constrained to the balanced topology the refit path needs).
+    stable-sorting each capacity segment and splitting at half the slot
+    capacity. Round-5 axis rule (the binned-SAH axis decision constrained to
+    the balanced topology the refit path needs — raytracing_scene.cpp:50-170
+    is the structural spec): with per-triangle AABBs available, each segment
+    tries all 3 axes and keeps the one minimizing area(left AABB) +
+    area(right AABB) — the SAH cost with the child counts pinned by the
+    capacity split (lowest axis index on ties). Without AABBs it falls back
+    to the round-4 widest-centroid-extent rule.
 
     The native builder (native/sah_native.cpp) implements the identical
-    recursion with the same stable sort + tie rules — outputs are
+    recursion with the same stable sort + tie + f32 area rules — outputs are
     bit-identical (tests/test_native.py)."""
     n = centroid.shape[0]
     num_leaves = max(1, -(-n // LEAF_SIZE))
@@ -58,6 +64,13 @@ def median_split_order(centroid: np.ndarray) -> np.ndarray:
     cap0 = (1 << depth) * LEAF_SIZE
     out = np.empty(n, np.int64)
     pos = 0
+    use_sah = tri_min is not None and tri_max is not None
+
+    def half_area(mn, mx):
+        # f32 surface half-area, same expression order as the C++ builder.
+        d = (mx - mn).astype(np.float32)
+        return np.float32(d[0] * d[1] + d[1] * d[2] + d[2] * d[0])
+
     # Explicit stack, left-first emission (preorder leaf order).
     stack = [(np.arange(n, dtype=np.int64), cap0)]
     while stack:
@@ -67,10 +80,24 @@ def median_split_order(centroid: np.ndarray) -> np.ndarray:
             pos += len(idx)
             continue
         c = centroid[idx]
-        ext = c.max(axis=0) - c.min(axis=0)
-        ax = int(np.argmax(ext))  # argmax takes the LOWEST index on ties
-        s = idx[np.argsort(c[:, ax], kind="stable")]
         half = cap // 2
+        if use_sah and len(idx) > half:
+            best_cost = None
+            s = None
+            for ax in range(3):
+                s_ax = idx[np.argsort(c[:, ax], kind="stable")]
+                ls, rs = s_ax[:half], s_ax[half:]
+                cost = np.float32(
+                    half_area(tri_min[ls].min(axis=0), tri_max[ls].max(axis=0))
+                    + half_area(tri_min[rs].min(axis=0), tri_max[rs].max(axis=0))
+                )
+                if best_cost is None or cost < best_cost:  # strict: lowest ax ties
+                    best_cost = cost
+                    s = s_ax
+        else:
+            ext = c.max(axis=0) - c.min(axis=0)
+            ax = int(np.argmax(ext))  # argmax takes the LOWEST index on ties
+            s = idx[np.argsort(c[:, ax], kind="stable")]
         # push right first so left pops (and emits) first
         stack.append((s[half:], half))
         stack.append((s[:half], half))
@@ -124,7 +151,7 @@ def build_bvh(
     tmin = np.minimum(np.minimum(v0, v1), v2)
     tmax = np.maximum(np.maximum(v0, v1), v2)
     centroid = (tmin + tmax) * 0.5
-    order = median_split_order(centroid)
+    order = median_split_order(centroid, tmin, tmax)
     ids = ids[order]
     tmin, tmax = tmin[order], tmax[order]
 

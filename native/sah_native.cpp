@@ -84,27 +84,70 @@ int sah_build_bvh(const float* positions, int64_t num_vertices,
       segs.pop_back();
       const int64_t len = sg.hi - sg.lo;
       if (len <= kLeafSize || sg.cap <= kLeafSize) continue;
-      float lo3[3] = {1e30f, 1e30f, 1e30f}, hi3[3] = {-1e30f, -1e30f, -1e30f};
-      for (int64_t i = sg.lo; i < sg.hi; ++i)
-        for (int k = 0; k < 3; ++k) {
-          const float c = cent[3 * order[i] + k];
-          lo3[k] = std::min(lo3[k], c);
-          hi3[k] = std::max(hi3[k], c);
-        }
-      int ax = 0;
-      float best = hi3[0] - lo3[0];
-      for (int k = 1; k < 3; ++k) {
-        const float e = hi3[k] - lo3[k];
-        if (e > best) {  // strictly greater keeps the lowest axis on ties
-          best = e;
-          ax = k;
-        }
-      }
-      std::stable_sort(order.begin() + sg.lo, order.begin() + sg.hi,
-                       [&](int64_t a, int64_t b) {
-                         return cent[3 * a + ax] < cent[3 * b + ax];
-                       });
       const int64_t half = sg.cap / 2;
+      if (len > half) {
+        // SAH-axis rule (round 5, matches scene/bvh.py median_split_order
+        // exactly, incl. f32 area expression order and strict-< ties):
+        // try all 3 axes at the fixed capacity split, keep the one with
+        // minimal area(left AABB) + area(right AABB).
+        std::vector<int64_t> best_order, trial(order.begin() + sg.lo,
+                                               order.begin() + sg.hi);
+        float best_cost = 0.0f;
+        bool have = false;
+        for (int ax = 0; ax < 3; ++ax) {
+          std::vector<int64_t> s(order.begin() + sg.lo, order.begin() + sg.hi);
+          std::stable_sort(s.begin(), s.end(), [&](int64_t a, int64_t b) {
+            return cent[3 * a + ax] < cent[3 * b + ax];
+          });
+          float cost = 0.0f;
+          for (int side = 0; side < 2; ++side) {
+            const int64_t s0 = side == 0 ? 0 : half;
+            const int64_t s1 = side == 0 ? half : len;
+            float lo3[3] = {1e30f, 1e30f, 1e30f};
+            float hi3[3] = {-1e30f, -1e30f, -1e30f};
+            for (int64_t i = s0; i < s1; ++i)
+              for (int k = 0; k < 3; ++k) {
+                lo3[k] = std::min(lo3[k], tmin[3 * s[i] + k]);
+                hi3[k] = std::max(hi3[k], tmax[3 * s[i] + k]);
+              }
+            const float d0 = hi3[0] - lo3[0];
+            const float d1 = hi3[1] - lo3[1];
+            const float d2 = hi3[2] - lo3[2];
+            cost += d0 * d1 + d1 * d2 + d2 * d0;
+          }
+          if (!have || cost < best_cost) {  // strict < keeps the lowest axis
+            best_cost = cost;
+            have = true;
+            best_order = std::move(s);
+          }
+        }
+        std::copy(best_order.begin(), best_order.end(), order.begin() + sg.lo);
+      } else {
+        // Everything fits the left half: membership is axis-independent,
+        // but keep the legacy widest-extent sort so the RECURSION below
+        // sees the same ordering as the python builder's fallback... the
+        // python SAH path also skips the axis trial here (len <= half).
+        float lo3[3] = {1e30f, 1e30f, 1e30f}, hi3[3] = {-1e30f, -1e30f, -1e30f};
+        for (int64_t i = sg.lo; i < sg.hi; ++i)
+          for (int k = 0; k < 3; ++k) {
+            const float c = cent[3 * order[i] + k];
+            lo3[k] = std::min(lo3[k], c);
+            hi3[k] = std::max(hi3[k], c);
+          }
+        int ax = 0;
+        float best = hi3[0] - lo3[0];
+        for (int k = 1; k < 3; ++k) {
+          const float e = hi3[k] - lo3[k];
+          if (e > best) {  // strictly greater keeps the lowest axis on ties
+            best = e;
+            ax = k;
+          }
+        }
+        std::stable_sort(order.begin() + sg.lo, order.begin() + sg.hi,
+                         [&](int64_t a, int64_t b) {
+                           return cent[3 * a + ax] < cent[3 * b + ax];
+                         });
+      }
       const int64_t mid = std::min(sg.lo + half, sg.hi);
       segs.push_back({mid, sg.hi, half});
       segs.push_back({sg.lo, mid, half});
