@@ -465,10 +465,22 @@ def trace_rays(
         # to width r/div (with a full-width cond fallback when most rays are
         # still live — e.g. stage 1 on deep scenes); stragglers drop again,
         # harder, at 4x the step count.
-        stages = (
-            (compact_after, compact_div),
-            (compact_after * 5, compact_div),
-        )
+        # Schedule by batch size (both measured on the SAH tree): big
+        # batches (262k-ray RTGI, 410k-ray probes) park FAST on their
+        # workloads — a /4 stage 1 sticks and wins (715 ms RTGI vs 900 for
+        # /2 + /8); primary-ray batches (65k) still have ~half the rays
+        # live at step 48, so /4 falls back full-width (290 ms) while
+        # gradual /2 + /8 sticks (147 ms).
+        if r > 128 * 1024:
+            stages = (
+                (compact_after, compact_div),
+                (compact_after * 5, compact_div),
+            )
+        else:
+            stages = (
+                (compact_after, max(2, compact_div // 2)),
+                (compact_after * 4, compact_div * 2),
+            )
         state = run_staged(origins, directions, tmin, state, stages)
 
     steps, idx_f, best_t, best_slot, best_u, best_v, _ = state
