@@ -65,17 +65,21 @@ def luminance_contrast(
 def fine_worklist(
     fine: jnp.ndarray,  # (H, W) bool
     budget: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Compact fine quads to a static-size worklist.
 
-    Returns (qy (B,), qx (B,), live (B,)) — quad coords; overflow drops quads in
-    scan order (they keep their coarse shade)."""
+    Returns (qy (B,), qx (B,), live (B,), dropped ()) — quad coords; overflow
+    drops quads in scan order (they keep their coarse shade) and ``dropped``
+    exposes the true over-budget count (CLAUDE.md rule: never silently cap;
+    FrameOutputs.vrsaa_dropped surfaces it to callers/tests)."""
     h, w = fine.shape
     flat = fine.reshape(-1)
+    total = jnp.sum(flat.astype(jnp.int32))
     (idx,) = jnp.nonzero(flat, size=budget, fill_value=h * w)
     live = idx < h * w
     idx = jnp.minimum(idx, h * w - 1)
-    return idx // w, idx % w, live
+    dropped = jnp.maximum(total - jnp.int32(budget), 0)
+    return idx // w, idx % w, live, dropped
 
 
 def resolve_quads(

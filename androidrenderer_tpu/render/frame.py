@@ -63,6 +63,9 @@ class FrameOutputs(NamedTuple):
     # field frame interpolation consumes (ops/interpolation.py, the FSR3
     # frame-generation analog).
     motion: object = None
+    # () i32 contrast quads dropped past vrsaa_budget this frame (None unless
+    # VRSAA ran) — the worklist's true overflow count, never silently capped.
+    vrsaa_dropped: object = None
 
 
 def _half_grid(a: jnp.ndarray) -> jnp.ndarray:
@@ -823,7 +826,7 @@ def render_frame(
         fine = vrsaa_ops.detect_fine_quads(vis_ss, depth_ss)
         fine = fine | vrsaa_ops.luminance_contrast(lit)
         budget = max(1, int(config.vrsaa_budget * h * w))
-        qy, qx, live = vrsaa_ops.fine_worklist(fine, budget)
+        qy, qx, live, vrsaa_dropped = vrsaa_ops.fine_worklist(fine, budget)
         w_ss = 2 * w
         offs = ((0, 1), (1, 0), (1, 1))
         pys = jnp.stack([qy * 2 + dy for dy, dx in offs], axis=1)  # (B, 3) local
@@ -971,6 +974,7 @@ def render_frame(
         image=image, hdr=lit, depth=depth, visibility=vis, gbuffer=gbuf,
         csm=cascades if config.shadow_mode == ShadowMode.CSM else None,
         motion=mv if (config.aa_mode == AAMode.TAA and full_features) else None,
+        vrsaa_dropped=vrsaa_dropped if vrsaa else None,
     )
     return outputs, next_temporal
 

@@ -26,10 +26,13 @@ def test_detect_fine_quads():
 def test_fine_worklist_budget_and_overflow():
     fine = np.zeros((4, 4), bool)
     fine[1, 2] = fine[3, 0] = fine[3, 3] = True
-    qy, qx, live = vrsaa.fine_worklist(jnp.asarray(fine), budget=2)
+    qy, qx, live, dropped = vrsaa.fine_worklist(jnp.asarray(fine), budget=2)
     assert list(np.asarray(live)) == [True, True]
     assert (int(qy[0]), int(qx[0])) == (1, 2)
     assert (int(qy[1]), int(qx[1])) == (3, 0)  # third quad dropped (over budget)
+    assert int(dropped) == 1  # the true overflow count is EXPOSED, not silent
+    _, _, _, d0 = vrsaa.fine_worklist(jnp.asarray(fine), budget=8)
+    assert int(d0) == 0
 
 
 def _render(aa_mode, render_scale=1, native=False):
